@@ -1,0 +1,71 @@
+"""Scaled dot-product attention dispatch.
+
+TPU-native replacement for the reference's single hot kernel,
+``F.scaled_dot_product_attention`` (reference transformer.py:52). One entry
+point serves every family: dense bidirectional (ViT/BERT), additive-bias
+(MaxViT windows, T5 relative bias), causal (GPT/GPT-2/Whisper-dec), and
+cross-attention (DETR/Whisper/T5-dec).
+
+Two implementations:
+- ``"xla"``  — einsum with fp32 softmax; the reference path and parity oracle.
+- ``"flash"`` — Pallas blockwise flash-attention kernel (ops/flash_attention.py),
+  used automatically on TPU for shapes where it wins.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    attn_bias: jnp.ndarray | None = None,
+    causal: bool = False,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Attention over ``(..., n_heads, L, head_dim)`` tensors.
+
+    ``attn_bias`` is an additive mask/bias broadcastable to ``(..., H, Lq, Lk)``.
+    ``causal`` masks key positions ``j > i`` (top-left aligned, torch semantics).
+    """
+    if impl == "auto":
+        impl = "flash" if _flash_eligible(q, k, v) else "xla"
+    if impl == "flash":
+        from .flash_attention import flash_sdpa
+
+        return flash_sdpa(q, k, v, attn_bias=attn_bias, causal=causal)
+    return _sdpa_xla(q, k, v, attn_bias, causal)
+
+
+def _flash_eligible(q, k, v) -> bool:
+    if not _on_tpu():
+        return False
+    from .flash_attention import flash_eligible
+
+    return flash_eligible(q, k, v)
+
+
+def _sdpa_xla(q, k, v, attn_bias, causal):
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("...qd,...kd->...qk", q, k).astype(jnp.float32) * scale
+    if attn_bias is not None:
+        logits = logits + attn_bias.astype(jnp.float32)
+    if causal:
+        lq, lk = logits.shape[-2], logits.shape[-1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
+        logits = jnp.where(col <= row, logits, jnp.float32(-jnp.inf))
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("...qk,...kd->...qd", probs, v)

@@ -1,0 +1,137 @@
+"""Elementary functional layers over param pytrees.
+
+Conventions (JAX/TPU-native, converters transpose from torch):
+- Linear: ``{"w": (in, out), "b": (out,)}``; ``y = x @ w + b``.
+- LayerNorm: ``{"scale": (d,), "bias": (d,)}``; eps inside sqrt like torch.
+- Conv2d: HWIO kernel, NHWC data. Conv1d: (k, in, out) kernel, NLC data.
+
+Activations mirror the reference's MLP table (transformer.py:60-65):
+"gelu" is exact (erf) GELU like ``nn.GELU()``; "approximate_gelu" is tanh GELU.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+ACT_FNS = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "approximate_gelu": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+    "identity": lambda x: x,
+}
+
+
+def linear_init(key, in_dim: int, out_dim: int, bias: bool = True) -> dict:
+    """torch-style default init: U(-1/sqrt(in), 1/sqrt(in)) for weight and bias."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    p = {"w": jax.random.uniform(kw, (in_dim, out_dim), jnp.float32, -bound, bound)}
+    if bias:
+        p["b"] = jax.random.uniform(kb, (out_dim,), jnp.float32, -bound, bound)
+    return p
+
+
+def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.matmul(x, p["w"].astype(x.dtype))
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def ln_init(dim: int) -> dict:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layer_norm(p: dict | None, x: jnp.ndarray, eps: float = 1e-5, axis: int = -1) -> jnp.ndarray:
+    """LayerNorm over ``axis`` in fp32 (torch semantics: biased variance, eps in sqrt)."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=axis, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=axis, keepdims=True)
+    y = (x32 - mean) * lax.rsqrt(var + eps)
+    if p is not None:
+        shape = [1] * y.ndim
+        shape[axis] = y.shape[axis]
+        y = y * p["scale"].astype(jnp.float32).reshape(shape) + p["bias"].astype(jnp.float32).reshape(shape)
+    return y.astype(dtype)
+
+
+def conv2d_init(key, kh: int, kw_: int, in_ch: int, out_ch: int, bias: bool = True, groups: int = 1) -> dict:
+    kw1, kb = jax.random.split(key)
+    fan_in = kh * kw_ * in_ch // groups
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {"w": jax.random.uniform(kw1, (kh, kw_, in_ch // groups, out_ch), jnp.float32, -bound, bound)}
+    if bias:
+        p["b"] = jax.random.uniform(kb, (out_ch,), jnp.float32, -bound, bound)
+    return p
+
+
+def conv2d(
+    p: dict,
+    x: jnp.ndarray,
+    stride: int | tuple[int, int] = 1,
+    padding: str | int | tuple = 0,
+    groups: int = 1,
+    dilation: int | tuple[int, int] = 1,
+) -> jnp.ndarray:
+    """NHWC conv with an HWIO kernel; ``padding`` is an int/pair like torch, or 'SAME'."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    elif isinstance(padding, tuple) and isinstance(padding[0], int):
+        padding = ((padding[0], padding[0]), (padding[1], padding[1]))
+    y = lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def conv1d_init(key, k: int, in_ch: int, out_ch: int, bias: bool = True, groups: int = 1) -> dict:
+    kw1, kb = jax.random.split(key)
+    fan_in = k * in_ch // groups
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {"w": jax.random.uniform(kw1, (k, in_ch // groups, out_ch), jnp.float32, -bound, bound)}
+    if bias:
+        p["b"] = jax.random.uniform(kb, (out_ch,), jnp.float32, -bound, bound)
+    return p
+
+
+def conv1d(
+    p: dict,
+    x: jnp.ndarray,
+    stride: int = 1,
+    padding: int | tuple[int, int] = 0,
+    groups: int = 1,
+    dilation: int = 1,
+) -> jnp.ndarray:
+    """NLC conv with a (k, in, out) kernel; torch-style int padding or explicit pair."""
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    y = lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(stride,),
+        padding=(padding,),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y

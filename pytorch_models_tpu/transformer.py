@@ -1,0 +1,303 @@
+"""Shared transformer core: MHA, MLP, encoder/decoder layers and stacks.
+
+Functional re-design of the reference's shared blocks (reference
+transformer.py:9-176): params are pytrees, layer stacks are ``lax.scan`` over
+stacked per-layer params (one compiled layer body instead of n_layers inlined
+copies), and attention goes through :func:`pytorch_models_tpu.ops.sdpa`.
+
+Beyond the reference, decoder layers support a preallocated KV cache
+(``(B, H, L_max, D)`` per layer, updated with ``lax.dynamic_update_slice``),
+eliminating the reference's O(L²)-per-token full re-forward decode loops
+(reference text/generator.py:23-24, text/t5.py:220-223).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .ops import ACT_FNS, layer_norm, linear, linear_init, ln_init, sdpa
+from .utils import stack_layers
+
+
+def resolve_heads(d_model: int, n_heads: int | None = None, head_dim: int | None = None) -> tuple[int, int]:
+    """Head-count/dim inference exactly as the reference (transformer.py:20-26)."""
+    if head_dim is None and n_heads is None:
+        head_dim = 64
+        n_heads = d_model // head_dim
+    elif head_dim is None:
+        head_dim = d_model // n_heads
+    elif n_heads is None:
+        n_heads = d_model // head_dim
+    return n_heads, head_dim
+
+
+@dataclass(frozen=True)
+class LayerConfig:
+    """Static hyperparameters of one encoder/decoder layer (ref transformer.py:70-121)."""
+
+    d_model: int
+    n_heads: int
+    head_dim: int
+    cross_attn: bool = False
+    bias: bool = True
+    mlp_ratio: float = 4.0
+    act: str = "gelu"
+    pre_norm: bool = True
+    norm_eps: float = 1e-5
+    attn_impl: str = "auto"
+
+    @staticmethod
+    def make(d_model, n_heads=None, head_dim=None, **kw) -> "LayerConfig":
+        n_heads, head_dim = resolve_heads(d_model, n_heads, head_dim)
+        return LayerConfig(d_model, n_heads, head_dim, **kw)
+
+    def with_(self, **kw) -> "LayerConfig":
+        return replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Multi-head attention (ref transformer.py:9-53)
+# ---------------------------------------------------------------------------
+
+
+def mha_init(key, cfg: LayerConfig) -> dict:
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    inner = cfg.n_heads * cfg.head_dim
+    return {
+        "q": linear_init(kq, cfg.d_model, inner, cfg.bias),
+        "k": linear_init(kk, cfg.d_model, inner, cfg.bias),
+        "v": linear_init(kv, cfg.d_model, inner, cfg.bias),
+        "o": linear_init(ko, inner, cfg.d_model, cfg.bias),
+    }
+
+
+def split_heads(x: jnp.ndarray, n_heads: int, head_dim: int) -> jnp.ndarray:
+    """(..., L, H*D) -> (..., H, L, D)"""
+    x = x.reshape(*x.shape[:-1], n_heads, head_dim)
+    return jnp.swapaxes(x, -2, -3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, L, D) -> (..., L, H*D)"""
+    x = jnp.swapaxes(x, -2, -3)
+    return x.reshape(*x.shape[:-2], -1)
+
+
+def mha_project_kv(p: dict, cfg: LayerConfig, kv: jnp.ndarray) -> dict:
+    """Project ``kv`` into a cross-attention cache ``{"k","v"}`` of (..., H, L, D)."""
+    return {
+        "k": split_heads(linear(p["k"], kv), cfg.n_heads, cfg.head_dim),
+        "v": split_heads(linear(p["v"], kv), cfg.n_heads, cfg.head_dim),
+    }
+
+
+def mha_apply(
+    p: dict,
+    cfg: LayerConfig,
+    q: jnp.ndarray,
+    k: jnp.ndarray | None = None,
+    v: jnp.ndarray | None = None,
+    attn_bias: jnp.ndarray | None = None,
+    causal: bool = False,
+    cache: dict | None = None,
+    cache_pos=None,
+):
+    """Self- or cross-attention with optional additive bias / causal mask / KV cache.
+
+    Defaulting mirrors the reference (k defaults to q, v to k;
+    transformer.py:44-45). With ``cache`` and ``cache_pos`` given, new K/V for
+    the query chunk are written at positions ``[pos, pos+S)`` and attention is
+    masked to ``key_pos <= pos + i``; returns ``(out, new_cache)``. With
+    ``cache`` but no ``cache_pos`` (cross-attention), the cache is used as-is.
+    """
+    k = q if k is None else k
+    v = k if v is None else v
+    qh = split_heads(linear(p["q"], q), cfg.n_heads, cfg.head_dim)
+
+    if cache is not None and cache_pos is not None:
+        kh_new = split_heads(linear(p["k"], k), cfg.n_heads, cfg.head_dim)
+        vh_new = split_heads(linear(p["v"], v), cfg.n_heads, cfg.head_dim)
+        start = (0,) * (cache["k"].ndim - 2) + (cache_pos, 0)
+        new_cache = {
+            "k": lax.dynamic_update_slice(cache["k"], kh_new.astype(cache["k"].dtype), start),
+            "v": lax.dynamic_update_slice(cache["v"], vh_new.astype(cache["v"].dtype), start),
+        }
+        s, l_max = qh.shape[-2], new_cache["k"].shape[-2]
+        row = lax.broadcasted_iota(jnp.int32, (s, l_max), 0)
+        col = lax.broadcasted_iota(jnp.int32, (s, l_max), 1)
+        mask_bias = jnp.where(col <= cache_pos + row, 0.0, -jnp.inf).astype(jnp.float32)
+        bias = mask_bias if attn_bias is None else attn_bias + mask_bias
+        out = sdpa(qh, new_cache["k"].astype(qh.dtype), new_cache["v"].astype(qh.dtype), bias, False, cfg.attn_impl)
+        return linear(p["o"], merge_heads(out)), new_cache
+
+    if cache is not None:  # precomputed cross-attention K/V
+        kh, vh = cache["k"].astype(qh.dtype), cache["v"].astype(qh.dtype)
+    else:
+        kh = split_heads(linear(p["k"], k), cfg.n_heads, cfg.head_dim)
+        vh = split_heads(linear(p["v"], v), cfg.n_heads, cfg.head_dim)
+    out = sdpa(qh, kh, vh, attn_bias, causal, cfg.attn_impl)
+    return linear(p["o"], merge_heads(out))
+
+
+# ---------------------------------------------------------------------------
+# MLP (ref transformer.py:56-67)
+# ---------------------------------------------------------------------------
+
+
+def mlp_init(key, in_dim: int, hidden_dim: int) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {"fc1": linear_init(k1, in_dim, hidden_dim), "fc2": linear_init(k2, hidden_dim, in_dim)}
+
+
+def mlp_apply(p: dict, x: jnp.ndarray, act: str = "gelu") -> jnp.ndarray:
+    return linear(p["fc2"], ACT_FNS[act](linear(p["fc1"], x)))
+
+
+# ---------------------------------------------------------------------------
+# Encoder / decoder layers (ref transformer.py:70-130)
+# ---------------------------------------------------------------------------
+
+
+def layer_init(key, cfg: LayerConfig) -> dict:
+    ks = jax.random.split(key, 3)
+    p = {
+        "sa_norm": ln_init(cfg.d_model),
+        "sa": mha_init(ks[0], cfg),
+        "mlp_norm": ln_init(cfg.d_model),
+        "mlp": mlp_init(ks[1], cfg.d_model, int(cfg.d_model * cfg.mlp_ratio)),
+    }
+    if cfg.cross_attn:
+        p["ca_norm"] = ln_init(cfg.d_model)
+        p["ca"] = mha_init(ks[2], cfg)
+    return p
+
+
+def encoder_layer_apply(p: dict, cfg: LayerConfig, x: jnp.ndarray, attn_bias=None) -> jnp.ndarray:
+    """Bidirectional layer, pre- or post-norm (ref transformer.py:123-130)."""
+    eps = cfg.norm_eps
+    if cfg.pre_norm:
+        x = x + mha_apply(p["sa"], cfg, layer_norm(p["sa_norm"], x, eps), attn_bias=attn_bias)
+        x = x + mlp_apply(p["mlp"], layer_norm(p["mlp_norm"], x, eps), cfg.act)
+    else:
+        x = layer_norm(p["sa_norm"], x + mha_apply(p["sa"], cfg, x, attn_bias=attn_bias), eps)
+        x = layer_norm(p["mlp_norm"], x + mlp_apply(p["mlp"], x, cfg.act), eps)
+    return x
+
+
+def decoder_layer_apply(
+    p: dict,
+    cfg: LayerConfig,
+    x: jnp.ndarray,
+    memory: jnp.ndarray | None = None,
+    self_cache: dict | None = None,
+    cross_cache: dict | None = None,
+    pos=None,
+):
+    """Causal self-attn [+ cross-attn] + MLP (ref transformer.py:96-105).
+
+    Returns ``x`` (and the updated self-cache when one is given).
+    """
+    eps = cfg.norm_eps
+    cached = self_cache is not None
+
+    def sa(h):
+        if cached:
+            return mha_apply(p["sa"], cfg, h, cache=self_cache, cache_pos=pos)
+        return mha_apply(p["sa"], cfg, h, causal=True), None
+
+    def ca(h):
+        if cross_cache is not None:
+            return mha_apply(p["ca"], cfg, h, cache=cross_cache)
+        return mha_apply(p["ca"], cfg, h, memory)
+
+    if cfg.pre_norm:
+        out, new_cache = sa(layer_norm(p["sa_norm"], x, eps))
+        x = x + out
+        if cfg.cross_attn:
+            x = x + ca(layer_norm(p["ca_norm"], x, eps))
+        x = x + mlp_apply(p["mlp"], layer_norm(p["mlp_norm"], x, eps), cfg.act)
+    else:
+        out, new_cache = sa(x)
+        x = layer_norm(p["sa_norm"], x + out, eps)
+        if cfg.cross_attn:
+            x = layer_norm(p["ca_norm"], x + ca(x), eps)
+        x = layer_norm(p["mlp_norm"], x + mlp_apply(p["mlp"], x, cfg.act), eps)
+    return (x, new_cache) if cached else x
+
+
+# ---------------------------------------------------------------------------
+# Stacks (ref transformer.py:133-176) — lax.scan over stacked layer params
+# ---------------------------------------------------------------------------
+
+
+def encoder_init(key, n_layers: int, cfg: LayerConfig) -> dict:
+    keys = jax.random.split(key, n_layers)
+    return {"layers": stack_layers([layer_init(k, cfg) for k in keys])}
+
+
+def encoder_apply(p: dict, cfg: LayerConfig, x: jnp.ndarray, attn_bias=None) -> jnp.ndarray:
+    def body(h, lp):
+        return encoder_layer_apply(lp, cfg, h, attn_bias), None
+
+    x, _ = lax.scan(body, x, p["layers"])
+    return x
+
+
+def decoder_init(key, n_layers: int, cfg: LayerConfig) -> dict:
+    keys = jax.random.split(key, n_layers)
+    return {"layers": stack_layers([layer_init(k, cfg) for k in keys])}
+
+
+def decoder_apply(
+    p: dict,
+    cfg: LayerConfig,
+    x: jnp.ndarray,
+    memory: jnp.ndarray | None = None,
+    self_caches: dict | None = None,
+    cross_caches: dict | None = None,
+    pos=None,
+):
+    """Threaded decoder stack (ref transformer.py:173-176), optionally KV-cached.
+
+    ``self_caches``/``cross_caches`` hold per-layer caches stacked along a
+    leading layer axis; returns ``(x, new_self_caches)`` when caching.
+    """
+    if self_caches is None:
+        def body(h, lp):
+            return decoder_layer_apply(lp, cfg, h, memory), None
+
+        x, _ = lax.scan(body, x, p["layers"])
+        return x
+
+    xs = (p["layers"], self_caches) if cross_caches is None else (p["layers"], self_caches, cross_caches)
+
+    def body(h, inp):
+        if cross_caches is None:
+            lp, sc = inp
+            cc = None
+        else:
+            lp, sc, cc = inp
+        h, new_sc = decoder_layer_apply(lp, cfg, h, memory, self_cache=sc, cross_cache=cc, pos=pos)
+        return h, new_sc
+
+    x, new_caches = lax.scan(body, x, xs)
+    return x, new_caches
+
+
+def make_kv_cache(n_layers: int, batch_shape: tuple, n_heads: int, max_len: int, head_dim: int, dtype=jnp.float32):
+    """Preallocate a zeroed per-layer KV cache stacked along the layer axis."""
+    shape = (n_layers, *batch_shape, n_heads, max_len, head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def precompute_cross_caches(p: dict, cfg: LayerConfig, memory: jnp.ndarray) -> dict:
+    """Project encoder ``memory`` into every decoder layer's cross-attn K/V once."""
+    def body(carry, lp):
+        return carry, mha_project_kv(lp["ca"], cfg, memory)
+
+    _, caches = lax.scan(body, 0, p["layers"])
+    return caches

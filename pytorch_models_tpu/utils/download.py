@@ -1,0 +1,37 @@
+"""Cached HTTP download of pretrained checkpoints.
+
+TPU-native equivalent of the reference's ``torch_hub_download`` (utils.py:6-16),
+without a torch dependency: files are cached under
+``$PYTORCH_MODELS_TPU_CACHE`` (default ``~/.cache/pytorch_models_tpu``) and the
+download is skipped when the file already exists.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+
+def cache_dir(subdir: str = "") -> Path:
+    root = Path(os.environ.get("PYTORCH_MODELS_TPU_CACHE", Path.home() / ".cache" / "pytorch_models_tpu"))
+    d = root / subdir if subdir else root
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def hub_download(url: str, subdir: str = "") -> str:
+    """Download ``url`` into the local cache (skipping if present); return the path."""
+    save_path = cache_dir(subdir) / url.rstrip("/").split("/")[-1]
+    if save_path.exists():
+        return str(save_path)
+
+    import requests  # local import: only needed on a cache miss
+
+    tmp = save_path.with_suffix(save_path.suffix + ".part")
+    with requests.get(url, stream=True, timeout=60) as r:
+        r.raise_for_status()
+        with open(tmp, "wb") as f:
+            for chunk in r.iter_content(chunk_size=1 << 20):
+                f.write(chunk)
+    os.replace(tmp, save_path)
+    return str(save_path)
