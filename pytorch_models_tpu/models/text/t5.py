@@ -1,0 +1,406 @@
+"""T5 v1.1 / Flan-T5 / mT5 (reference pytorch_models/text/t5.py).
+
+T5 has its own block stack, distinct from the shared core (ref t5.py:15-131):
+- RMSNorm without mean subtraction, computed in fp32 (ref t5.py:15-25),
+- GEGLU gated MLP with tanh GELU (ref t5.py:29-37),
+- log-bucketed relative position bias, 32 buckets / max distance 128, shared
+  across layers per stack (ref t5.py:40-71, 99-131),
+- bias-free projections; q/k kernels are pre-scaled by ``64**0.25`` at load so
+  the standard 1/sqrt(d) attention matches T5X's unscaled attention
+  (ref t5.py:176-177).
+
+``T5Generator`` here decodes with a KV cache + ``lax.while_loop`` instead of
+the reference's full re-decode per token (ref t5.py:220-223).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ... import transformer as tfm
+from ...ops import ACT_FNS, linear
+from ...utils import StateDict, stack_layers
+
+_F32_EPS = float(np.finfo(np.float32).eps)
+NEG_INF = -1e10  # ref t5.py:126
+
+# ref t5.py:157-163
+SIZES = dict(
+    small=(512, 6, 8, 1024),
+    base=(768, 12, 12, 2048),
+    large=(1024, 16, 24, 2816),
+    xl=(2048, 32, 24, 5120),
+    xxl=(4096, 64, 24, 10240),
+)
+
+
+@dataclass(frozen=True)
+class T5Config:
+    vocab_size: int
+    dim: int
+    n_heads: int
+    n_layers: int
+    mlp_dim: int
+    n_buckets: int = 32
+    max_distance: int = 128
+    norm_eps: float = 1e-5
+
+    @property
+    def layer(self) -> tfm.LayerConfig:
+        return tfm.LayerConfig(self.dim, self.n_heads, 64, bias=False)
+
+
+def rms_norm(p: dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """T5 LayerNorm: no mean subtraction, fp32 compute (ref t5.py:22-25)."""
+    x32 = x.astype(jnp.float32)
+    y = x32 * lax.rsqrt(jnp.mean(jnp.square(x32), axis=-1, keepdims=True) + eps)
+    return y.astype(x.dtype) * p["scale"].astype(x.dtype)
+
+
+def relative_position_buckets(rel_pos: jnp.ndarray, bidirectional: bool, n_buckets: int, max_distance: int):
+    """Log-bucketed relative positions (ref t5.py:47-70). ``rel_pos`` = key - query."""
+    if bidirectional:
+        nb = n_buckets // 2
+        offset = jnp.where(rel_pos > 0, nb, 0)
+        pos = jnp.abs(rel_pos)
+    else:
+        nb = n_buckets
+        offset = jnp.zeros_like(rel_pos)
+        pos = jnp.clip(-rel_pos, 0, None)
+    max_exact = nb // 2
+    scale = (nb - max_exact) / math.log(max_distance / max_exact)
+    val_large = max_exact + (jnp.log(pos.astype(jnp.float32) / max_exact + _F32_EPS) * scale).astype(jnp.int32)
+    val_large = jnp.minimum(val_large, nb - 1)
+    return jnp.where(pos < max_exact, pos, val_large) + offset
+
+
+def relative_position_bias(bias: jnp.ndarray, q_pos: jnp.ndarray, k_pos: jnp.ndarray, bidirectional: bool, cfg: T5Config):
+    """Bias lookup -> (H, Lq, Lk). ``bias``: (H, n_buckets) param."""
+    rel = k_pos[None, :] - q_pos[:, None]
+    idx = relative_position_buckets(rel, bidirectional, cfg.n_buckets, cfg.max_distance)
+    return jnp.take(bias, idx, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Blocks (ref t5.py:74-96)
+# ---------------------------------------------------------------------------
+
+
+def _t5_mlp_init(key, dim: int, mlp_dim: int) -> dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "w": tfm.linear_init(k1, dim, mlp_dim, bias=False),
+        "v": tfm.linear_init(k2, dim, mlp_dim, bias=False),
+        "wo": tfm.linear_init(k3, mlp_dim, dim, bias=False),
+    }
+
+
+def _t5_mlp_apply(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return linear(p["wo"], ACT_FNS["approximate_gelu"](linear(p["w"], x)) * linear(p["v"], x))
+
+
+def t5_block_init(key, cfg: T5Config, cross_attn: bool) -> dict:
+    ks = jax.random.split(key, 3)
+    p = {
+        "sa_norm": {"scale": jnp.ones((cfg.dim,), jnp.float32)},
+        "sa": tfm.mha_init(ks[0], cfg.layer),
+        "mlp_norm": {"scale": jnp.ones((cfg.dim,), jnp.float32)},
+        "mlp": _t5_mlp_init(ks[1], cfg.dim, cfg.mlp_dim),
+    }
+    if cross_attn:
+        p["ca_norm"] = {"scale": jnp.ones((cfg.dim,), jnp.float32)}
+        p["ca"] = tfm.mha_init(ks[2], cfg.layer)
+    return p
+
+
+def t5_block_apply(
+    p: dict,
+    cfg: T5Config,
+    x: jnp.ndarray,
+    memory: jnp.ndarray | None = None,
+    attn_bias: jnp.ndarray | None = None,
+    ca_bias: jnp.ndarray | None = None,
+    self_cache: dict | None = None,
+    cross_cache: dict | None = None,
+    pos=None,
+):
+    lc = cfg.layer
+    if self_cache is not None:
+        out, new_cache = tfm.mha_apply(p["sa"], lc, rms_norm(p["sa_norm"], x), attn_bias=attn_bias,
+                                       cache=self_cache, cache_pos=pos)
+        x = x + out
+    else:
+        new_cache = None
+        x = x + tfm.mha_apply(p["sa"], lc, rms_norm(p["sa_norm"], x), attn_bias=attn_bias)
+    if "ca" in p:
+        h = rms_norm(p["ca_norm"], x)
+        if cross_cache is not None:
+            x = x + tfm.mha_apply(p["ca"], lc, h, attn_bias=ca_bias, cache=cross_cache)
+        else:
+            x = x + tfm.mha_apply(p["ca"], lc, h, memory, attn_bias=ca_bias)
+    x = x + _t5_mlp_apply(p["mlp"], rms_norm(p["mlp_norm"], x))
+    return (x, new_cache) if self_cache is not None else x
+
+
+# ---------------------------------------------------------------------------
+# Encoder / decoder stacks (ref t5.py:99-131)
+# ---------------------------------------------------------------------------
+
+
+def t5_stack_init(key, cfg: T5Config, cross_attn: bool) -> dict:
+    keys = jax.random.split(key, cfg.n_layers)
+    return {
+        "attn_bias": jnp.zeros((cfg.n_heads, cfg.n_buckets), jnp.float32),
+        "layers": stack_layers([t5_block_init(k, cfg, cross_attn) for k in keys]),
+        "norm": {"scale": jnp.ones((cfg.dim,), jnp.float32)},
+    }
+
+
+def t5_encoder_apply(p: dict, cfg: T5Config, x: jnp.ndarray, pad_bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    length = x.shape[-2]
+    positions = jnp.arange(length)
+    bias = relative_position_bias(p["attn_bias"], positions, positions, True, cfg)
+    if pad_bias is not None:
+        bias = bias + pad_bias
+
+    def body(h, lp):
+        return t5_block_apply(lp, cfg, h, attn_bias=bias), None
+
+    x, _ = lax.scan(body, x, p["layers"])
+    return rms_norm(p["norm"], x)
+
+
+def t5_decoder_apply(p: dict, cfg: T5Config, x: jnp.ndarray, memory: jnp.ndarray) -> jnp.ndarray:
+    length = x.shape[-2]
+    positions = jnp.arange(length)
+    bias = relative_position_bias(p["attn_bias"], positions, positions, False, cfg)
+    causal = jnp.triu(jnp.full((length, length), NEG_INF, jnp.float32), k=1)
+    bias = bias + causal
+
+    def body(h, lp):
+        return t5_block_apply(lp, cfg, h, memory=memory, attn_bias=bias), None
+
+    x, _ = lax.scan(body, x, p["layers"])
+    return rms_norm(p["norm"], x)
+
+
+def t5_init(key, cfg: T5Config) -> dict:
+    ks = jax.random.split(key, 4)
+    return {
+        "token_embs": jax.random.normal(ks[0], (cfg.vocab_size, cfg.dim), jnp.float32),
+        "encoder": t5_stack_init(ks[1], cfg, False),
+        "decoder": t5_stack_init(ks[2], cfg, True),
+        "classifier": tfm.linear_init(ks[3], cfg.dim, cfg.vocab_size, bias=False),
+    }
+
+
+@partial(jax.jit, static_argnums=1)
+def t5_encode(params, cfg: T5Config, tokens):
+    return t5_encoder_apply(params["encoder"], cfg, jnp.take(params["token_embs"], tokens, axis=0))
+
+
+@partial(jax.jit, static_argnums=1)
+def t5_decode(params, cfg: T5Config, tokens, memory):
+    x = t5_decoder_apply(params["decoder"], cfg, jnp.take(params["token_embs"], tokens, axis=0), memory)
+    return linear(params["classifier"], x)
+
+
+# ---------------------------------------------------------------------------
+# KV-cached greedy generation (new capability; replaces ref t5.py:211-227 loop)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(1, 4))
+def _t5_generate(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int, pad_id, eos_id):
+    """Greedy encoder-decoder generation, fully on device.
+
+    ``enc_tokens``: (P,) bucket-padded prompt; positions >= n_enc are masked
+    out of encoder self-attention and cross-attention.
+    """
+    p_len = enc_tokens.shape[0]
+    enc_valid = jnp.arange(p_len) < n_enc
+    pad_bias = jnp.where(enc_valid, 0.0, NEG_INF).astype(jnp.float32)[None, None, :]
+
+    x = jnp.take(params["token_embs"], enc_tokens, axis=0)
+    memory = t5_encoder_apply(params["encoder"], cfg, x, pad_bias=pad_bias)
+
+    dec = params["decoder"]
+    lc = cfg.layer
+    self_caches = tfm.make_kv_cache(cfg.n_layers, (), lc.n_heads, max_tokens, lc.head_dim)
+    cross_caches = tfm.precompute_cross_caches(dec, lc, memory)
+    ca_bias = pad_bias  # mask padded memory keys
+
+    out_buf = jnp.zeros((max_tokens,), jnp.int32).at[0].set(pad_id)
+
+    def step(carry):
+        buf, pos, caches, done = carry
+        tok = lax.dynamic_slice(buf, (pos,), (1,))
+        h = jnp.take(params["token_embs"], tok, axis=0)
+        q_pos = jnp.array([0]) + pos
+        k_pos = jnp.arange(max_tokens)
+        bias = relative_position_bias(dec["attn_bias"], q_pos, k_pos, False, cfg)
+
+        def body(h, inp):
+            lp, sc, cc = inp
+            h, new_sc = t5_block_apply(lp, cfg, h, attn_bias=bias, ca_bias=ca_bias,
+                                       self_cache=sc, cross_cache=cc, pos=pos)
+            return h, new_sc
+
+        h, caches = lax.scan(body, h, (dec["layers"], caches, cross_caches))
+        h = rms_norm(dec["norm"], h)
+        logits = linear(params["classifier"], h)[0]
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        buf = lax.dynamic_update_slice(buf, nxt[None], (pos + 1,))
+        return buf, pos + 1, caches, nxt == eos_id
+
+    def cond(carry):
+        _, pos, _, done = carry
+        return jnp.logical_and(jnp.logical_not(done), pos < max_tokens - 1)
+
+    buf, length, _, _ = lax.while_loop(cond, step, (out_buf, jnp.int32(0), self_caches, jnp.bool_(False)))
+    return buf, length + 1
+
+
+class T5Model:
+    """Public surface mirrors the reference T5Model (t5.py:134-201)."""
+
+    def __init__(self, vocab_size: int, dim: int, n_heads: int, n_layers: int, mlp_dim: int,
+                 dropout: float = 0.0, rng: int = 0) -> None:
+        self.cfg = T5Config(vocab_size, dim, n_heads, n_layers, mlp_dim)
+        self.params = t5_init(jax.random.PRNGKey(rng), self.cfg)
+
+    def encode(self, tokens) -> jnp.ndarray:
+        return t5_encode(self.params, self.cfg, jnp.asarray(tokens))
+
+    def decode(self, tokens, memory) -> jnp.ndarray:
+        return t5_decode(self.params, self.cfg, jnp.asarray(tokens), memory)
+
+    def __call__(self, x, targets) -> jnp.ndarray:
+        return self.decode(targets, self.encode(x))
+
+    forward = __call__
+
+    @staticmethod
+    def from_t5x(model_tag: str, *, pretrained: bool = False, **kwargs) -> "T5Model":
+        variant, _, size = model_tag.rpartition("-")
+        dim, n_heads, n_layers, mlp_dim = SIZES[size]
+        vocab_size = 250112 if variant.startswith("mt5") else 32128  # ref t5.py:164
+        m = T5Model(vocab_size, dim, n_heads, n_layers, mlp_dim, **kwargs)
+        if pretrained:
+            from .t5x_loader import get_checkpoint_location, load_t5x_checkpoint
+
+            m.load_t5x_state_dict(load_t5x_checkpoint(get_checkpoint_location(variant, size)))
+        return m
+
+    def load_t5x_state_dict(self, flat: dict) -> None:
+        """Map flattened t5x keys to our pytree (rename table per ref t5.py:230-252).
+
+        t5x kernels are stored (in, out) — already our layout (the reference
+        transposes to torch layout, t5.py:174-175); q/k kernels are scaled by
+        ``64**0.25`` to fold T5X's unscaled attention into SDPA (t5.py:176-177).
+        """
+        sd = StateDict(flat)
+        qk_scale = 64**0.25
+        cfg = self.cfg
+
+        def lin(key, scale=1.0):
+            return {"w": sd.pop(key) * scale}
+
+        def stack(prefix: str, cross: bool) -> dict:
+            layers = []
+            for i in range(cfg.n_layers):
+                b = f"{prefix}.layers_{i}"
+                sa = f"{b}.self_attention" if cross else f"{b}.attention"
+                lp = {
+                    "sa_norm": {"scale": sd.pop(f"{b}.pre_self_attention_layer_norm.scale" if cross
+                                                else f"{b}.pre_attention_layer_norm.scale")},
+                    "sa": {
+                        "q": lin(f"{sa}.query.kernel", qk_scale),
+                        "k": lin(f"{sa}.key.kernel", qk_scale),
+                        "v": lin(f"{sa}.value.kernel"),
+                        "o": lin(f"{sa}.out.kernel"),
+                    },
+                    "mlp_norm": {"scale": sd.pop(f"{b}.pre_mlp_layer_norm.scale")},
+                    "mlp": {
+                        "w": lin(f"{b}.mlp.wi_0.kernel"),
+                        "v": lin(f"{b}.mlp.wi_1.kernel"),
+                        "wo": lin(f"{b}.mlp.wo.kernel"),
+                    },
+                }
+                if cross:
+                    ca = f"{b}.encoder_decoder_attention"
+                    lp["ca_norm"] = {"scale": sd.pop(f"{b}.pre_cross_attention_layer_norm.scale")}
+                    lp["ca"] = {
+                        "q": lin(f"{ca}.query.kernel", qk_scale),
+                        "k": lin(f"{ca}.key.kernel", qk_scale),
+                        "v": lin(f"{ca}.value.kernel"),
+                        "o": lin(f"{ca}.out.kernel"),
+                    }
+                layers.append(lp)
+            return {
+                "attn_bias": sd.pop(f"{prefix}.relpos_bias.rel_embedding"),
+                "layers": stack_layers([jax.tree.map(jnp.asarray, l) for l in layers]),
+                "norm": {"scale": sd.pop(f"{prefix}.encoder_norm.scale" if prefix == "encoder"
+                                         else f"{prefix}.decoder_norm.scale")},
+            }
+
+        p = {
+            "token_embs": jnp.asarray(sd.pop("token_embedder.embedding")),
+            "encoder": stack("encoder", False),
+            "decoder": stack("decoder", True),
+            "classifier": {"w": jnp.asarray(sd.pop("decoder.logits_dense.kernel"))},
+        }
+        sd.finalize()
+        self.params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), p)
+
+    @staticmethod
+    def get_tokenizer(model_tag: str, cache: str = "tokenizers"):
+        """Download + cache the sentencepiece model (ref t5.py:184-201)."""
+        from pathlib import Path
+
+        import sentencepiece as spm
+
+        location = "mc4.250000.100extra" if model_tag.startswith("mt5") else "cc_all.32000.100extra"
+        cache_path = Path(cache) / location
+        if not cache_path.exists():
+            import requests
+
+            base = "https://storage.googleapis.com/t5-data/vocabs"
+            cache_path.mkdir(parents=True)
+            for filename in ("sentencepiece.model", "sentencepiece.vocab"):
+                resp = requests.get(f"{base}/{location}/{filename}", timeout=60)
+                with open(cache_path / filename, "wb") as f:
+                    f.write(resp.content)
+        return spm.SentencePieceProcessor(str(cache_path / "sentencepiece.model"))
+
+
+ENC_BUCKET = 64
+
+
+class T5Generator:
+    """Greedy encoder-decoder generation (reference T5Generator, t5.py:205-227),
+    with KV-cached on-device decode instead of per-token full re-decode."""
+
+    def __init__(self, model_tag: str | None = None, model: T5Model | None = None, tokenizer=None) -> None:
+        self.model = model if model is not None else T5Model.from_t5x(model_tag, pretrained=True)
+        self.tokenizer = tokenizer if tokenizer is not None else T5Model.get_tokenizer(model_tag)
+
+    def generate(self, prompt: str, max_tokens: int = 100) -> str:
+        token_ids = self.tokenizer.Encode(prompt, add_eos=True)
+        out = self.generate_tokens(token_ids, max_tokens, self.tokenizer.pad_id(), self.tokenizer.eos_id())
+        return self.tokenizer.Decode(out)
+
+    def generate_tokens(self, token_ids: list[int], max_tokens: int, pad_id: int, eos_id: int) -> list[int]:
+        n = len(token_ids)
+        pad = -(-n // ENC_BUCKET) * ENC_BUCKET
+        buf = np.zeros((pad,), np.int32)
+        buf[:n] = token_ids
+        out, length = _t5_generate(self.model.params, self.model.cfg, jnp.asarray(buf), n, max_tokens, pad_id, eos_id)
+        return np.asarray(out)[: int(length)].tolist()
