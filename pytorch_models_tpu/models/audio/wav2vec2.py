@@ -96,7 +96,7 @@ def pe_conv_init(key, cfg: Wav2Vec2Config) -> list[dict]:
 def pe_conv_apply(layers: list[dict], cfg: Wav2Vec2Config, x: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
     """Grouped relative-PE conv; even kernels use asymmetric same-pad (ref wav2vec2.py:70)."""
     k = cfg.pe_kernel
-    pad = (k // 2, k // 2 - 1 + k % 2) if k % 2 == 0 else (k // 2, k // 2 - 1)
+    pad = (k // 2, k // 2 - 1)  # ConstantPad1d((k//2, k//2-1)) per ref wav2vec2.py:70
     if cfg.pe_layers > 1:  # Data2VecAudio-style stacked blocks (data2vec_audio.py:23-30)
         for lp in layers:
             x = conv1d(lp["conv"], x, padding=k // 2, groups=cfg.pe_groups)
@@ -247,7 +247,7 @@ class Wav2Vec2:
         p["proj_norm"] = sd.pop_ln("feature_projection.layer_norm")
         if "feature_projection.projection.weight" in sd:
             p["proj"] = sd.pop_linear("feature_projection.projection")
-        p["pe_conv"] = [_pop_weight_norm_conv(sd, "encoder.pos_conv_embed.conv")]
+        p["pe_conv"] = [{"conv": _pop_weight_norm_conv(sd, "encoder.pos_conv_embed.conv")}]
         p["norm"] = sd.pop_ln("encoder.layer_norm")
         p["encoder"] = self._pop_encoder(sd)
         self._drop_extra(sd)
