@@ -1,0 +1,270 @@
+"""Whisper speech recognition (reference pytorch_models/audio2text/whisper.py).
+
+Encoder: Conv1d stem (s1 then s2) + GELU, position embeddings stored as a
+loaded buffer (OpenAI's sinusoids don't bit-match, ref whisper.py:22-25),
+pre-norm Encoder, final LN (ref whisper.py:11-34). Decoder: token + learned
+PE, pre-norm Decoder with cross-attention, weight-tied logits (ref
+whisper.py:37-53).
+
+Beyond the reference (which ships no decode loop — README TODO), this module
+adds ``WhisperGenerator``: KV-cached greedy transcription with precomputed
+cross-attention K/V and a ``lax.while_loop`` (SURVEY §3.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ... import transformer as tfm
+from ...ops import ACT_FNS, layer_norm
+from ...ops.layers import conv1d, conv1d_init
+from ...utils import StateDict, hub_download, stack_layers
+from ..audio.spectrogram import MelSpectrogram
+
+ENC_MAX_LEN = 3000  # mel frames (ref whisper.py:12)
+DEC_MAX_LEN = 448  # ref whisper.py:38
+
+# ref whisper.py:67-79
+VARIANTS = {
+    "tiny": (4, 384, "65147644a518d12f04e32d6f3b26facc3f8dd46e5390956a9424a650c0ce22b9"),
+    "tiny.en": (4, 384, "d3dd57d32accea0b295c96e26691aa14d8822fac7d9d27d5dc00b4ca2826dd03"),
+    "base": (8, 512, "ed3a0b6b1c0edf879ad9b11b1af5a0e6ab5db9205f891f668f8b0e6c6326e34e"),
+    "base.en": (8, 512, "25a8566e1d0c1e2231d1c762132cd20e0f96a85d16145c3a00adf5d1ac670ead"),
+    "small": (12, 768, "9ecf779972d90ba49c06d968637d720dd632c55bbf19d441fb42bf17a411e794"),
+    "small.en": (12, 768, "f953ad0fd29cacd07d5a9eda5624af0f6bcf2258be67c92b79389873d91e0872"),
+    "medium": (24, 1024, "345ae4da62f9b3d59415adc60127b97c714f32e89e936602e85993674d08dcb1"),
+    "medium.en": (24, 1024, "d7440d1dc186f76616474e0ff0b3b6b879abc9d1a4926b7adfa41db2d497ab4f"),
+    "large-v1": (32, 1280, "e4b87e7e0bf463eb8e6956e646f1e277e901512310def2c24bf0e11bd3c28e9a"),
+    "large-v2": (32, 1280, "81f7c96c852ee8fc832187b0132e569d6c3065a3252ed18e56effd0b6a73e524"),
+    "large-v3": (32, 1280, "e5b1a55b89c1367dacf97e3e19bfd829a01529dbfdeefa8caeb59b3f1b81dadb"),
+}
+
+
+@dataclass(frozen=True)
+class WhisperConfig:
+    vocab_size: int
+    n_layers: int
+    d_model: int
+    n_mels: int = 80
+
+    @property
+    def enc_layer(self) -> tfm.LayerConfig:
+        return tfm.LayerConfig.make(self.d_model)
+
+    @property
+    def dec_layer(self) -> tfm.LayerConfig:
+        return tfm.LayerConfig.make(self.d_model, cross_attn=True)
+
+
+def whisper_init(key, cfg: WhisperConfig) -> dict:
+    ks = jax.random.split(key, 5)
+    d = cfg.d_model
+    return {
+        "encoder": {
+            "conv1": conv1d_init(ks[0], 3, cfg.n_mels, d),
+            "conv2": conv1d_init(ks[1], 3, d, d),
+            "pos_embs": jnp.zeros((ENC_MAX_LEN // 2, d), jnp.float32),
+            **tfm.encoder_init(ks[2], cfg.n_layers, cfg.enc_layer),
+            "norm": tfm.ln_init(d),
+        },
+        "decoder": {
+            "token_embs": jax.random.normal(ks[3], (cfg.vocab_size, d), jnp.float32),
+            "pos_embs": jnp.zeros((DEC_MAX_LEN, d), jnp.float32),
+            **tfm.decoder_init(ks[4], cfg.n_layers, cfg.dec_layer),
+            "norm": tfm.ln_init(d),
+        },
+    }
+
+
+@partial(jax.jit, static_argnums=1)
+def whisper_encode(params, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
+    """(B, n_mels, T) mel -> (B, T//2, d) memory (ref whisper.py:29-34)."""
+    p = params["encoder"]
+    x = jnp.swapaxes(mel, 1, 2)  # NLC
+    x = ACT_FNS["gelu"](conv1d(p["conv1"], x, stride=1, padding=1))
+    x = ACT_FNS["gelu"](conv1d(p["conv2"], x, stride=2, padding=1))
+    x = x + p["pos_embs"][: x.shape[1]].astype(x.dtype)
+    x = tfm.encoder_apply(p, cfg.enc_layer, x)
+    return layer_norm(p["norm"], x)
+
+
+def _decoder_head(p, x):
+    x = layer_norm(p["norm"], x)
+    return jnp.matmul(x, p["token_embs"].astype(x.dtype).T)
+
+
+@partial(jax.jit, static_argnums=1)
+def whisper_decode(params, cfg: WhisperConfig, tokens: jnp.ndarray, memory: jnp.ndarray) -> jnp.ndarray:
+    """Teacher-forced decode (ref whisper.py:47-53). tokens: (B, L) int."""
+    p = params["decoder"]
+    x = jnp.take(p["token_embs"], tokens, axis=0)
+    x = x + p["pos_embs"][: tokens.shape[-1]].astype(x.dtype)
+    x = tfm.decoder_apply(p, cfg.dec_layer, x, memory=memory)
+    return _decoder_head(p, x)
+
+
+@partial(jax.jit, static_argnums=(1, 4))
+def _whisper_generate(params, cfg: WhisperConfig, memory, initial_tokens, max_tokens: int, eot_id):
+    """KV-cached greedy transcription over one encoded segment (unbatched)."""
+    p = params["decoder"]
+    lc = cfg.dec_layer
+    n_init = initial_tokens.shape[0]
+
+    self_caches = tfm.make_kv_cache(cfg.n_layers, (), lc.n_heads, max_tokens, lc.head_dim)
+    cross_caches = tfm.precompute_cross_caches(p, lc, memory)
+
+    def forward_chunk(tokens, caches, pos, s):
+        x = jnp.take(p["token_embs"], tokens, axis=0)
+        x = x + lax.dynamic_slice(p["pos_embs"], (pos, 0), (s, cfg.d_model)).astype(x.dtype)
+        x, caches = tfm.decoder_apply(p, lc, x, self_caches=caches, cross_caches=cross_caches, pos=pos)
+        return _decoder_head(p, x), caches
+
+    buf = jnp.zeros((max_tokens,), jnp.int32)
+    buf = lax.dynamic_update_slice(buf, initial_tokens.astype(jnp.int32), (0,))
+    logits, self_caches = forward_chunk(initial_tokens, self_caches, 0, n_init)
+    first = jnp.argmax(logits[n_init - 1], axis=-1).astype(jnp.int32)
+    buf = buf.at[n_init].set(first)
+    state = (buf, jnp.int32(n_init + 1), self_caches, first == eot_id)
+
+    def cond(s):
+        _, pos, _, done = s
+        return jnp.logical_and(jnp.logical_not(done), pos < max_tokens)
+
+    def body(s):
+        buf, pos, caches, _ = s
+        tok = lax.dynamic_slice(buf, (pos - 1,), (1,))
+        logits, caches = forward_chunk(tok, caches, pos - 1, 1)
+        nxt = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+        buf = lax.dynamic_update_slice(buf, nxt[None], (pos,))
+        return buf, pos + 1, caches, nxt == eot_id
+
+    buf, length, _, _ = lax.while_loop(cond, body, state)
+    return buf, length
+
+
+class Whisper:
+    def __init__(self, vocab_size: int, n_layers: int, d_model: int, n_mels: int = 80,
+                 dropout: float = 0.0, rng: int = 0) -> None:
+        self.cfg = WhisperConfig(vocab_size, n_layers, d_model, n_mels)
+        self.params = whisper_init(jax.random.PRNGKey(rng), self.cfg)
+
+    def encode(self, mel) -> jnp.ndarray:
+        return whisper_encode(self.params, self.cfg, jnp.asarray(mel))
+
+    def __call__(self, mel, targets) -> jnp.ndarray:
+        return whisper_decode(self.params, self.cfg, jnp.asarray(targets), self.encode(mel))
+
+    forward = __call__
+
+    @staticmethod
+    def from_openai(model_tag: str, *, pretrained: bool = False, **kwargs) -> "Whisper":
+        n_layers, d_model, ckpt_hash = VARIANTS[model_tag]
+        if model_tag == "large-v3":
+            n_mels, vocab_size = 128, 51866
+        else:
+            n_mels, vocab_size = 80, 51864 if model_tag.endswith(".en") else 51865
+        m = Whisper(vocab_size, n_layers, d_model, n_mels, **kwargs)
+        if pretrained:
+            from ...utils.torch_ckpt import load_torch_checkpoint
+
+            url = f"https://openaipublic.azureedge.net/main/whisper/models/{ckpt_hash}/{model_tag}.pt"
+            m.load_openai_state_dict(load_torch_checkpoint(hub_download(url))["model_state_dict"])
+        return m
+
+    def load_openai_state_dict(self, state_dict: dict) -> None:
+        """OpenAI checkpoint keys (ref whisper.py:96-135; k_proj has no bias)."""
+        sd = StateDict(state_dict)
+        cfg = self.cfg
+
+        def attn(pfx: str) -> dict:
+            return {
+                "q": sd.pop_linear(f"{pfx}.query"),
+                "k": {"w": sd.pop(f"{pfx}.key.weight").T,
+                      "b": sd.pop(f"{pfx}.key.bias", np.zeros(cfg.d_model, np.float32))},
+                "v": sd.pop_linear(f"{pfx}.value"),
+                "o": sd.pop_linear(f"{pfx}.out"),
+            }
+
+        def block(pfx: str, cross: bool) -> dict:
+            lp = {
+                "sa": attn(f"{pfx}.attn"),
+                "sa_norm": sd.pop_ln(f"{pfx}.attn_ln"),
+                "mlp": {"fc1": sd.pop_linear(f"{pfx}.mlp.0"), "fc2": sd.pop_linear(f"{pfx}.mlp.2")},
+                "mlp_norm": sd.pop_ln(f"{pfx}.mlp_ln"),
+            }
+            if cross:
+                lp["ca"] = attn(f"{pfx}.cross_attn")
+                lp["ca_norm"] = sd.pop_ln(f"{pfx}.cross_attn_ln")
+            return lp
+
+        enc = {
+            "conv1": sd.pop_conv1d("encoder.conv1"),
+            "conv2": sd.pop_conv1d("encoder.conv2"),
+            "pos_embs": sd.pop("encoder.positional_embedding"),
+            "layers": stack_layers(
+                [jax.tree.map(jnp.asarray, block(f"encoder.blocks.{i}", False)) for i in range(cfg.n_layers)]
+            ),
+            "norm": sd.pop_ln("encoder.ln_post"),
+        }
+        dec = {
+            "token_embs": sd.pop("decoder.token_embedding.weight"),
+            "pos_embs": sd.pop("decoder.positional_embedding"),
+            "layers": stack_layers(
+                [jax.tree.map(jnp.asarray, block(f"decoder.blocks.{i}", True)) for i in range(cfg.n_layers)]
+            ),
+            "norm": sd.pop_ln("decoder.ln"),
+        }
+        if "decoder.positional_embedding_mask" in sd:  # not modeled
+            sd.pop("decoder.positional_embedding_mask")
+        sd.finalize()
+        self.params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), {"encoder": enc, "decoder": dec})
+
+
+class WhisperPreprocessor(MelSpectrogram):
+    """Log-mel frontend matching ``whisper.log_mel_spectrogram`` (ref whisper.py:138-148)."""
+
+    def __init__(self, variant: str = "tiny") -> None:
+        n_mels = 128 if variant == "large-v3" else 80
+        super().__init__(400, 160, n_mels, 16_000)
+
+    def __call__(self, x) -> jnp.ndarray:
+        x = super().__call__(x)[..., :-1]
+        x = jnp.log10(jnp.clip(x, 0, None))
+        global_max = jnp.max(x.reshape(*x.shape[:-2], -1), axis=-1)[..., None, None]
+        x = jnp.maximum(x, global_max - 8)
+        return (x + 4) / 4
+
+
+class WhisperGenerator:
+    """Greedy KV-cached transcription (new vs reference; decode API modeled on
+    T5Generator, ref t5.py:211-227)."""
+
+    SAMPLE_RATE = 16_000
+    N_SAMPLES = 30 * 16_000  # 30-second segments
+
+    def __init__(self, model: Whisper, tokenizer=None) -> None:
+        self.model = model
+        self.tokenizer = tokenizer
+        variant = "large-v3" if model.cfg.n_mels == 128 else "tiny"
+        self.preprocessor = WhisperPreprocessor(variant)
+
+    def transcribe_tokens(self, audio, initial_tokens: list[int], eot_id: int, max_tokens: int = DEC_MAX_LEN):
+        """Waveform (n,) -> transcribed token ids (greedy, single 30 s segment)."""
+        audio = np.asarray(audio, np.float32)[: self.N_SAMPLES]
+        audio = np.pad(audio, (0, self.N_SAMPLES - len(audio)))
+        mel = self.preprocessor(audio[None])  # (1, n_mels, 3000)
+        memory = self.model.encode(mel)[0]
+        buf, length = _whisper_generate(
+            self.model.params, self.model.cfg, memory, jnp.asarray(initial_tokens, jnp.int32), max_tokens, eot_id
+        )
+        return np.asarray(buf)[: int(length)].tolist()
+
+    def transcribe(self, audio, initial_tokens: list[int], eot_id: int, max_tokens: int = DEC_MAX_LEN) -> str:
+        tokens = self.transcribe_tokens(audio, initial_tokens, eot_id, max_tokens)
+        return self.tokenizer.decode(tokens) if self.tokenizer is not None else " ".join(map(str, tokens))
