@@ -102,6 +102,35 @@ def conv2d(
     return y
 
 
+def bn_init(dim: int) -> dict:
+    return {
+        "scale": jnp.ones((dim,), jnp.float32),
+        "bias": jnp.zeros((dim,), jnp.float32),
+        "mean": jnp.zeros((dim,), jnp.float32),
+        "var": jnp.ones((dim,), jnp.float32),
+    }
+
+
+def batch_norm(p: dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Inference BatchNorm over the channel-last axis using running stats."""
+    scale = (p["scale"] * lax.rsqrt(p["var"] + eps)).astype(x.dtype)
+    bias = (p["bias"] - p["mean"] * p["scale"] * lax.rsqrt(p["var"] + eps)).astype(x.dtype)
+    return x * scale + bias
+
+
+def max_pool2d(x: jnp.ndarray, window: int, stride: int, padding: int = 0) -> jnp.ndarray:
+    """torch MaxPool2d on NHWC data (pads with -inf)."""
+    pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+    return lax.reduce_window(x, -jnp.inf, lax.max, (1, window, window, 1), (1, stride, stride, 1), pads)
+
+
+def avg_pool2d(x: jnp.ndarray, window: int, stride: int | None = None) -> jnp.ndarray:
+    """torch AvgPool2d (no padding) on NHWC data."""
+    stride = stride or window
+    summed = lax.reduce_window(x, 0.0, lax.add, (1, window, window, 1), (1, stride, stride, 1), "VALID")
+    return summed / (window * window)
+
+
 def conv1d_init(key, k: int, in_ch: int, out_ch: int, bias: bool = True, groups: int = 1) -> dict:
     kw1, kb = jax.random.split(key)
     fan_in = k * in_ch // groups

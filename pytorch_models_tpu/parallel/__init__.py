@@ -1,0 +1,4 @@
+from .mesh import make_mesh
+from .sharding import shard_decoder_lm_params
+
+__all__ = ["make_mesh", "shard_decoder_lm_params"]

@@ -40,7 +40,10 @@ def require_reference():
 def t(x: np.ndarray):
     import torch
 
-    return torch.from_numpy(np.ascontiguousarray(x))
+    x = np.asarray(x)
+    if x.ndim:  # ascontiguousarray promotes 0-d to 1-d — keep scalars 0-d
+        x = np.ascontiguousarray(x)
+    return torch.from_numpy(x)
 
 
 def rng(seed: int = 0) -> np.random.Generator:
