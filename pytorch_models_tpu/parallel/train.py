@@ -1,0 +1,168 @@
+"""Multi-parallel training step demo: dp + pp + tp + sp + ep on one mesh.
+
+The reference is inference-only with no distributed layer; this module is the
+TPU-native scaling story (SURVEY.md §2.7 N3) exercised by the driver's
+``dryrun_multichip``: a tiny MoE transformer LM trained with cross-entropy,
+jitted over a ("dp", "pp", "tp") mesh with
+
+- dp: batch sharding,
+- pp: GPipe pipeline over stacked stage params (parallel/pipeline.py),
+- tp: Megatron head/hidden sharding inside each block,
+- sp: sequence-sharded activations at the norms (constraints on the "tp" axis),
+- ep: MoE expert weights sharded over the "dp" axis (dense dispatch; XLA
+  inserts the gather/reduce collectives).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import transformer as tfm
+from ..ops import layer_norm
+from ..utils import stack_layers
+from .pipeline import gpipe_apply
+
+
+@dataclass(frozen=True)
+class MoELMConfig:
+    vocab_size: int = 256
+    d_model: int = 128
+    n_heads: int = 4
+    n_stages: int = 2
+    layers_per_stage: int = 2
+    n_experts: int = 4
+    expert_hidden: int = 256
+    max_seq_len: int = 64
+
+    @property
+    def layer(self) -> tfm.LayerConfig:
+        return tfm.LayerConfig.make(self.d_model, n_heads=self.n_heads)
+
+
+def moe_lm_init(key, cfg: MoELMConfig) -> dict:
+    def block_init(k):
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        return {
+            "sa_norm": tfm.ln_init(cfg.d_model),
+            "sa": tfm.mha_init(k1, cfg.layer),
+            "mlp_norm": tfm.ln_init(cfg.d_model),
+            "router": tfm.linear_init(k2, cfg.d_model, cfg.n_experts),
+            "w1": jax.random.normal(k3, (cfg.n_experts, cfg.d_model, cfg.expert_hidden)) * 0.02,
+            "w2": jax.random.normal(k4, (cfg.n_experts, cfg.expert_hidden, cfg.d_model)) * 0.02,
+        }
+
+    keys = jax.random.split(key, cfg.n_stages * cfg.layers_per_stage + 2)
+    stages = []
+    for s in range(cfg.n_stages):
+        layers = [block_init(keys[s * cfg.layers_per_stage + i]) for i in range(cfg.layers_per_stage)]
+        stages.append(stack_layers(layers))
+    return {
+        "token_embs": jax.random.normal(keys[-2], (cfg.vocab_size, cfg.d_model)) * 0.02,
+        "pos_embs": jax.random.normal(keys[-1], (cfg.max_seq_len, cfg.d_model)) * 0.02,
+        "stages": stack_layers(stages),  # leading stage axis -> sharded over "pp"
+        "norm": tfm.ln_init(cfg.d_model),
+    }
+
+
+def _moe_mlp(p, cfg: MoELMConfig, x):
+    """Dense-dispatch top-1 MoE; expert weights carry the "ep" (=dp) sharding."""
+    gates = jax.nn.softmax(tfm.linear(p["router"], x), axis=-1)  # (mb, L, E)
+    h = jnp.einsum("bld,edh->eblh", x, p["w1"].astype(x.dtype))
+    h = jax.nn.gelu(h, approximate=False)
+    out = jnp.einsum("eblh,ehd->ebld", h, p["w2"].astype(x.dtype))
+    top1 = jnp.argmax(gates, axis=-1)  # (mb, L)
+    onehot = jax.nn.one_hot(top1, cfg.n_experts, dtype=x.dtype)  # (mb, L, E)
+    gate_val = jnp.sum(gates * onehot, axis=-1, keepdims=True)
+    return jnp.einsum("ebld,ble->bld", out, onehot) * gate_val
+
+
+def _block(p, cfg: MoELMConfig, x, mesh: Mesh):
+    # sequence parallelism: activations sequence-sharded over "tp" at the norms.
+    # Use the context (abstract) mesh so the spec is valid both inside the
+    # manual-pp shard_map region and outside it.
+    am = jax.sharding.get_abstract_mesh()
+    sp = NamedSharding(mesh if am.empty else am, P("dp", "tp", None))
+    x = lax.with_sharding_constraint(x, sp)
+    h = layer_norm(p["sa_norm"], x)
+    x = x + tfm.mha_apply(p["sa"], cfg.layer, h, causal=True)
+    x = lax.with_sharding_constraint(x, sp)
+    x = x + _moe_mlp(p, cfg, layer_norm(p["mlp_norm"], x))
+    return x
+
+
+def _stage_fn(cfg: MoELMConfig, mesh: Mesh):
+    def fn(stage_params, x):
+        def body(h, lp):
+            return _block(lp, cfg, h, mesh), None
+
+        x, _ = lax.scan(body, x, stage_params)
+        return x
+
+    return fn
+
+
+def moe_lm_forward(params, cfg: MoELMConfig, tokens, mesh: Mesh, n_micro: int):
+    """(B, L) tokens -> (B, L, V) logits through the pipelined stage stack."""
+    b, l = tokens.shape
+    x = jnp.take(params["token_embs"], tokens, axis=0) + params["pos_embs"][:l]
+    x = x.reshape(n_micro, b // n_micro, l, cfg.d_model)
+    x = gpipe_apply(_stage_fn(cfg, mesh), params["stages"], x, mesh, cfg.n_stages)
+    x = x.reshape(b, l, cfg.d_model)
+    x = layer_norm(params["norm"], x)
+    return jnp.matmul(x, params["token_embs"].astype(x.dtype).T)
+
+
+def param_pspecs(cfg: MoELMConfig) -> dict:
+    """PartitionSpecs: pp on the stage axis, tp on head/hidden dims, ep on experts."""
+    block = {
+        "sa_norm": {"scale": P(), "bias": P()},
+        "sa": {
+            "q": {"w": P("pp", None, None, "tp"), "b": P("pp", None, "tp")},
+            "k": {"w": P("pp", None, None, "tp"), "b": P("pp", None, "tp")},
+            "v": {"w": P("pp", None, None, "tp"), "b": P("pp", None, "tp")},
+            "o": {"w": P("pp", None, "tp", None), "b": P()},
+        },
+        "mlp_norm": {"scale": P(), "bias": P()},
+        "router": {"w": P(), "b": P()},
+        "w1": P("pp", None, "dp", None, None),  # expert parallelism over "dp"
+        "w2": P("pp", None, "dp", None, None),
+    }
+    # norms/stage-stacked small leaves: prepend pp for the stage axis
+    block["sa_norm"] = {"scale": P("pp"), "bias": P("pp")}
+    block["mlp_norm"] = {"scale": P("pp"), "bias": P("pp")}
+    block["router"] = {"w": P("pp"), "b": P("pp")}
+    return {
+        "token_embs": P(),
+        "pos_embs": P(),
+        "stages": block,
+        "norm": {"scale": P(), "bias": P()},
+    }
+
+
+def make_train_step(cfg: MoELMConfig, mesh: Mesh, n_micro: int, lr: float = 1e-2):
+    """Jitted SGD step over the mesh: (params, tokens) -> (params, loss)."""
+    pspecs = param_pspecs(cfg)
+    param_shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                                   is_leaf=lambda x: isinstance(x, P))
+    data_sharding = NamedSharding(mesh, P("dp", None))
+
+    def loss_fn(params, tokens):
+        logits = moe_lm_forward(params, cfg, tokens[:, :-1], mesh, n_micro)
+        labels = tokens[:, 1:]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)
+        return jnp.mean(nll)
+
+    def step(params, tokens):
+        loss, grads = jax.value_and_grad(loss_fn)(params, tokens)
+        params = jax.tree.map(lambda p, g: p - lr * g.astype(p.dtype), params, grads)
+        return params, loss
+
+    return jax.jit(step, in_shardings=(param_shardings, data_sharding),
+                   out_shardings=(param_shardings, NamedSharding(mesh, P()))), param_shardings

@@ -1,0 +1,70 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh (conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_models_tpu.parallel import make_mesh, shard_decoder_lm_params
+from pytorch_models_tpu.parallel.train import MoELMConfig, make_train_step, moe_lm_init, param_pspecs
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def test_make_mesh():
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("dp", "pp", "tp")
+
+
+def test_train_step_compiles_and_runs():
+    mesh = make_mesh(8)
+    cfg = MoELMConfig()
+    params = moe_lm_init(jax.random.PRNGKey(0), cfg)
+    step, param_shardings = make_train_step(cfg, mesh, n_micro=2)
+    params = jax.tree.map(lambda x, s: jax.device_put(x, s), params, param_shardings)
+
+    tokens = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size, (8, cfg.max_seq_len)))
+    params, loss0 = step(params, tokens)
+    params, loss1 = step(params, tokens)
+    assert jnp.isfinite(loss0) and jnp.isfinite(loss1)
+    assert float(loss1) < float(loss0)  # one SGD step on the same batch reduces loss
+
+
+def test_pipeline_matches_single_device():
+    """GPipe over pp must equal running all stages sequentially."""
+    from pytorch_models_tpu.parallel.train import _stage_fn, moe_lm_forward
+
+    mesh = make_mesh(8)
+    cfg = MoELMConfig()
+    params = moe_lm_init(jax.random.PRNGKey(1), cfg)
+    tokens = jnp.asarray(np.random.default_rng(1).integers(0, cfg.vocab_size, (4, 16)))
+
+    fwd = jax.jit(lambda p, t: moe_lm_forward(p, cfg, t, mesh, n_micro=2))
+    logits_pp = fwd(params, tokens)
+
+    # sequential oracle: apply stages one after another, no pipeline
+    x = jnp.take(params["token_embs"], tokens, axis=0) + params["pos_embs"][:16]
+    fn = _stage_fn(cfg, mesh)
+    for s in range(cfg.n_stages):
+        x = fn(jax.tree.map(lambda a: a[s], params["stages"]), x)
+    from pytorch_models_tpu.ops import layer_norm
+
+    x = layer_norm(params["norm"], x)
+    logits_seq = jnp.matmul(x, params["token_embs"].T)
+    np.testing.assert_allclose(np.asarray(logits_pp), np.asarray(logits_seq), rtol=2e-5, atol=2e-5)
+
+
+def test_tp_sharded_gpt2_forward_matches():
+    """TP-sharded decoder-LM forward == replicated forward."""
+    from pytorch_models_tpu.models.text import GPT2
+
+    mesh = make_mesh(8)
+    m = GPT2(2, 128)
+    tokens = np.random.default_rng(2).integers(0, 1000, (16,))
+    expected = np.asarray(m(tokens))
+
+    sharded = shard_decoder_lm_params(m.params, mesh)
+    m.params = sharded
+    actual = np.asarray(m(tokens))
+    np.testing.assert_allclose(actual, expected, rtol=1e-4, atol=1e-4)
