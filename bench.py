@@ -1,0 +1,86 @@
+"""Benchmark harness: ViT-B/16 images/sec/chip on the real TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no throughput numbers (BASELINE.md), so
+``vs_baseline`` is the fraction of the chip's analytic bf16 roofline
+(peak_flops / model_flops_per_image) — the BASELINE.json north star asks for
+>= 0.9. Sweep details go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# bf16 peak FLOP/s per chip by device kind (first match wins)
+PEAK_FLOPS = [
+    ("v5 lite", 197e12),  # TPU v5e
+    ("v5e", 197e12),
+    ("v5p", 459e12),
+    ("v4", 275e12),
+    ("v6", 918e12),  # trillium
+    ("cpu", 1e12),  # arbitrary; CI smoke only
+]
+
+
+def vit_flops_per_image(n_layers=12, d=768, patch=16, img=224, mlp_ratio=4) -> float:
+    """Analytic forward FLOPs (2 * MACs) for ViT with cls token."""
+    n_tok = (img // patch) ** 2 + 1
+    patch_macs = (img // patch) ** 2 * (patch * patch * 3) * d
+    qkvo = 4 * n_tok * d * d
+    attn = 2 * n_tok * n_tok * d
+    mlp = 2 * n_tok * d * (d * mlp_ratio)
+    return 2.0 * (patch_macs + n_layers * (qkvo + attn + mlp))
+
+
+def main():
+    dev = jax.devices()[0]
+    kind = dev.device_kind.lower()
+    peak = next((f for k, f in PEAK_FLOPS if k in kind), 100e12)
+    print(f"device: {dev.device_kind}, peak bf16 {peak/1e12:.0f} TFLOP/s", file=sys.stderr)
+
+    from pytorch_models_tpu.models.image.vit import ViT, vit_apply
+    from pytorch_models_tpu.utils.params import cast_tree
+
+    model = ViT.from_google("B/16_augreg")
+    params = cast_tree(model.params, jnp.bfloat16)
+    cfg = model.cfg
+    flops = vit_flops_per_image()
+
+    n_iters = 20
+    best = 0.0
+    for batch in (64, 128, 256):
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, 3, 224, 224)), jnp.bfloat16)
+
+        # run the whole iteration loop on device: block_until_ready does not
+        # reliably fence through the remote-TPU tunnel, and per-iter host
+        # round-trips would dominate. One jit, one host pull.
+        @jax.jit
+        def loop(p, v):
+            def body(_, acc):
+                return acc + vit_apply(p, cfg, v).astype(jnp.float32).sum()
+            return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
+
+        float(loop(params, x))  # compile + warm
+        t0 = time.perf_counter()
+        float(loop(params, x))
+        dt = time.perf_counter() - t0
+        ips = batch * n_iters / dt
+        mfu = ips * flops / peak
+        print(f"batch {batch}: {ips:,.0f} img/s  (MFU {mfu:.1%})", file=sys.stderr)
+        best = max(best, ips)
+
+    roofline = peak / flops
+    print(json.dumps({
+        "metric": "vit_b16_images_per_sec_per_chip",
+        "value": round(best, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(best / roofline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

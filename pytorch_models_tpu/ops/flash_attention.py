@@ -1,17 +1,171 @@
-"""Pallas TPU flash-attention kernel (placeholder — XLA path used until implemented).
+"""Pallas TPU flash attention — blockwise streaming SDPA with online softmax.
 
-Will replace the einsum path of ops/attention.py on TPU with a blockwise
-streaming kernel covering (causal, additive-bias, cross) modes — the TPU-native
-analogue of the reference's ``F.scaled_dot_product_attention``
-(reference transformer.py:52). See SURVEY.md §2.7 N1.
+The single hot kernel replacing ``F.scaled_dot_product_attention``
+(reference transformer.py:52) for encoder-sized problems, parameterized by
+(causal, additive-bias, cross) so one kernel serves every model family
+(SURVEY.md §2.7 N1). Decode-with-KV-cache stays on the XLA path (S=1 matmuls
+are bandwidth-bound; a fused kernel buys nothing there).
+
+Layout: inputs are flattened to (BH, L, D); D is zero-padded to a lane
+multiple (padding contributes 0 to q·k and 0 columns to p·v); L is padded to
+block multiples and masked. Grid is (BH, q_blocks, k_blocks) — the TPU grid
+is sequential in the minor dimension, so the online-softmax state (m, l, acc)
+lives in VMEM scratch across the k_blocks sweep. All accumulation is fp32.
 """
 
 from __future__ import annotations
 
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+LANE = 128
+
+
+def _pad_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_s, l_s, acc_s, *,
+                  scale: float, causal: bool, lq: int, lk: int, bq: int, bk: int):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_s[:] = jnp.full_like(m_s, NEG_INF)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    # fp32 inputs get full-precision MXU passes (parity); bf16 is the fast path
+    prec = jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    q = q_ref[0].astype(jnp.float32)  # (bq, Dp)
+    k = k_ref[0].astype(jnp.float32)  # (bk, Dp)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32, precision=prec) * scale  # (bq, bk)
+    if bias_ref is not None:
+        s = s + bias_ref[0].astype(jnp.float32)
+
+    q_idx = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    k_idx = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    mask = k_idx < lk
+    if causal:
+        mask = jnp.logical_and(mask, k_idx <= q_idx)
+    s = jnp.where(mask, s, NEG_INF)
+
+    m_prev = m_s[:, :1]  # (bq, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    m_safe = jnp.where(m_new <= NEG_INF, 0.0, m_new)
+
+    p = jnp.exp(s - m_safe)  # masked entries: exp(NEG_INF - finite) == 0
+    alpha = jnp.exp(jnp.where(m_prev <= NEG_INF, NEG_INF, m_prev) - m_safe)
+
+    l_new = alpha * l_s[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_s[:] = acc_s[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    m_s[:] = jnp.broadcast_to(m_new, m_s.shape)
+    l_s[:] = jnp.broadcast_to(l_new, l_s.shape)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        l = l_s[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_s[:] / l).astype(o_ref.dtype)
+
 
 def flash_eligible(q, k, v) -> bool:
-    return False
+    """Use the kernel for encoder-sized problems; decode (short q) stays XLA."""
+    return (
+        q.ndim >= 3
+        and q.dtype in (jnp.float32, jnp.bfloat16)
+        and q.shape[-2] >= 64
+        and k.shape[-2] >= 64
+        and q.shape[-1] <= 256
+    )
 
 
-def flash_sdpa(q, k, v, attn_bias=None, causal=False):
-    raise NotImplementedError("Pallas flash attention not yet wired in")
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k"))
+def flash_sdpa(q, k, v, attn_bias=None, causal: bool = False, block_q: int = 256, block_k: int = 512):
+    """Drop-in SDPA over (..., H, Lq, D) / (..., H, Lk, D) with optional bias.
+
+    ``attn_bias`` must broadcast to (..., H, Lq, Lk); it is materialized only
+    per (1, bq, bk) block via index mapping, never as a full (BH, Lq, Lk)
+    array when its batch/head dims are 1.
+    """
+    orig_dtype = q.dtype
+    *batch, lq, d = q.shape
+    lk = k.shape[-2]
+    bh = math.prod(batch) if batch else 1
+    scale = 1.0 / math.sqrt(d)
+
+    bq = min(block_q, _pad_to(lq, LANE))
+    bk = min(block_k, _pad_to(lk, LANE))
+    lq_p, lk_p, d_p = _pad_to(lq, bq), _pad_to(lk, bk), _pad_to(d, LANE)
+
+    def prep(x, length, length_p):
+        x = x.reshape(bh, length, d)
+        return jnp.pad(x, ((0, 0), (0, length_p - length), (0, d_p - d)))
+
+    qp, kp, vp = prep(q, lq, lq_p), prep(k, lk, lk_p), prep(v, lk, lk_p)
+
+    grid = (bh, lq_p // bq, lk_p // bk)
+    in_specs = [
+        pl.BlockSpec((1, bq, d_p), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, bk, d_p), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, bk, d_p), lambda b, i, j: (b, j, 0)),
+    ]
+    args = [qp, kp, vp]
+
+    if attn_bias is not None:
+        # broadcast over batch/head at the index-map level where possible —
+        # never materialize a full (BH, Lq, Lk) bias for shared tables
+        lead = attn_bias.shape[:-2]
+        lead_prod = math.prod(lead) if lead else 1
+        if lead_prod == 1:
+            bias_map = lambda b, i, j: (0, i, j)
+        elif lead == tuple(batch):
+            bias_map = lambda b, i, j: (b, i, j)
+        elif batch and lead_prod == batch[-1]:  # per-head table shared across batch
+            h = lead_prod
+            bias_map = lambda b, i, j: (b % h, i, j)
+        else:
+            attn_bias = jnp.broadcast_to(attn_bias, (*batch, lq, lk))
+            lead_prod = bh
+            bias_map = lambda b, i, j: (b, i, j)
+        bias = attn_bias.reshape(lead_prod, *attn_bias.shape[-2:])
+        bias = jnp.pad(bias, ((0, 0), (0, lq_p - lq), (0, lk_p - lk)))
+        in_specs.append(pl.BlockSpec((1, bq, bk), bias_map))
+        args.append(bias)
+
+    kernel = functools.partial(
+        _flash_kernel if attn_bias is not None else _flash_kernel_nobias_wrapper,
+        scale=scale, causal=causal, lq=lq, lk=lk, bq=bq, bk=bk,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, d_p), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, lq_p, d_p), orig_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANE), jnp.float32),
+            pltpu.VMEM((bq, LANE), jnp.float32),
+            pltpu.VMEM((bq, d_p), jnp.float32),
+        ],
+    )(*args)
+
+    return out[:, :lq, :d].reshape(*batch, lq, d)
+
+
+def _flash_kernel_nobias_wrapper(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, **kw):
+    _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, m_s, l_s, acc_s, **kw)

@@ -23,7 +23,7 @@ def _factor3(n: int) -> tuple[int, int, int]:
             d *= 2
         return d
 
-    tp = largest_pow2_divisor(n, 4)
+    tp = largest_pow2_divisor(n, 2)
     rem = n // tp
     pp = largest_pow2_divisor(rem, 2)
     dp = rem // pp

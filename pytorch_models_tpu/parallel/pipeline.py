@@ -26,6 +26,12 @@ def gpipe_apply(stage_fn, stage_params, microbatches, mesh: Mesh, n_stages: int)
     """
     n_micro = microbatches.shape[0]
 
+    if n_stages == 1:  # degenerate pipeline: run the single stage directly
+        params0 = jax.tree.map(lambda x: x[0], stage_params)
+        m, mb = microbatches.shape[:2]
+        flat = microbatches.reshape(m * mb, *microbatches.shape[2:])
+        return stage_fn(params0, flat).reshape(microbatches.shape)
+
     def per_rank(params, mbs):
         # re-anchor incoming shardings on the context (manual-pp) mesh; outer
         # shardings reference the all-Auto mesh and conflict inside this region
@@ -48,16 +54,18 @@ def gpipe_apply(stage_fn, stage_params, microbatches, mesh: Mesh, n_stages: int)
                 outputs = outputs.at[m].set(jnp.where(rank == n_stages - 1, out, outputs[m]))
             if t < n_micro + n_stages - 2:
                 buf_in = lax.ppermute(out, "pp", [(i, (i + 1) % n_stages) for i in range(n_stages)])
-        # broadcast final outputs from the last rank to all pp ranks
-        outputs = jnp.where(rank == n_stages - 1, outputs, jnp.zeros_like(outputs))
-        return lax.psum(outputs, "pp")
+        # every rank returns its buffer; only the last rank's slice is real.
+        # Collect it OUTSIDE the manual region (slicing a pp-stacked output),
+        # which avoids a masked psum that trips XLA's partitioner on 3-axis meshes.
+        return outputs
 
     fn = jax.shard_map(
         per_rank,
         mesh=mesh,
         in_specs=(P("pp"), P()),
-        out_specs=P(),
+        out_specs=P("pp"),
         axis_names={"pp"},
         check_vma=False,
     )
-    return fn(stage_params, microbatches)
+    stacked = fn(stage_params, microbatches)  # (n_stages * M, mb, ...)
+    return stacked[(n_stages - 1) * n_micro :]

@@ -130,8 +130,8 @@ def param_pspecs(cfg: MoELMConfig) -> dict:
         },
         "mlp_norm": {"scale": P(), "bias": P()},
         "router": {"w": P(), "b": P()},
-        "w1": P("pp", None, "dp", None, None),  # expert parallelism over "dp"
-        "w2": P("pp", None, "dp", None, None),
+        "w1": P("pp", None, "tp", None, None),  # expert parallelism (shares the "tp" axis)
+        "w2": P("pp", None, "tp", None, None),
     }
     # norms/stage-stacked small leaves: prepend pp for the stage axis
     block["sa_norm"] = {"scale": P("pp"), "bias": P("pp")}
