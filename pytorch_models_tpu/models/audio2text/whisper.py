@@ -227,15 +227,29 @@ class Whisper:
 
 
 class WhisperPreprocessor(MelSpectrogram):
-    """Log-mel frontend matching ``whisper.log_mel_spectrogram`` (ref whisper.py:138-148)."""
+    """Log-mel frontend matching ``whisper.log_mel_spectrogram`` (ref whisper.py:138-148).
 
-    def __init__(self, variant: str = "tiny") -> None:
+    On TPU the framing+DFT+mel+log pipeline runs as one fused Pallas kernel
+    (ops/mel.py, SURVEY §2.7 N2); elsewhere it uses the XLA spectrogram path.
+    """
+
+    def __init__(self, variant: str = "tiny", fused: bool | None = None) -> None:
         n_mels = 128 if variant == "large-v3" else 80
         super().__init__(400, 160, n_mels, 16_000)
+        self.n_mels = n_mels
+        if fused is None:
+            fused = jax.devices()[0].platform == "tpu"
+        self.fused = fused
 
     def __call__(self, x) -> jnp.ndarray:
-        x = super().__call__(x)[..., :-1]
-        x = jnp.log10(jnp.clip(x, 0, None))
+        x = jnp.asarray(x)
+        if self.fused:
+            from ...ops.mel import log_mel_spectrogram
+
+            x = log_mel_spectrogram(x, self.n_fft, self.hop_length, self.n_mels)[..., :-1]
+        else:
+            x = super().__call__(x)[..., :-1]
+            x = jnp.log10(jnp.clip(x, 0, None))
         global_max = jnp.max(x.reshape(*x.shape[:-2], -1), axis=-1)[..., None, None]
         x = jnp.maximum(x, global_max - 8)
         return (x + 4) / 4
