@@ -83,12 +83,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_s, l_s, acc_s, *,
 
 
 def flash_eligible(q, k, v) -> bool:
-    """Use the kernel for encoder-sized problems; decode (short q) stays XLA."""
+    """Engage the kernel only where blockwise streaming wins: long sequences,
+    where XLA would materialize large (Lq, Lk) score tensors in HBM. At short
+    encoder lengths (ViT's 197, MaxViT's 49) XLA's fused attention is faster —
+    measured on v5e: ViT-B/16 42% MFU (XLA) vs 29% (kernel, from pad waste)."""
     return (
         q.ndim >= 3
         and q.dtype in (jnp.float32, jnp.bfloat16)
-        and q.shape[-2] >= 64
-        and k.shape[-2] >= 64
+        and q.shape[-2] >= 1024
+        and k.shape[-2] >= 1024
         and q.shape[-1] <= 256
     )
 
