@@ -5,9 +5,14 @@ The reference publishes no throughput numbers (BASELINE.md), so
 ``vs_baseline`` is the fraction of the chip's analytic bf16 roofline
 (peak_flops / model_flops_per_image) — the BASELINE.json north star asks for
 >= 0.9. Sweep details go to stderr.
+
+``BENCH_MODEL=whisper python bench.py`` instead reports Whisper-base
+real-time factor (seconds of audio transcribed per second of wall clock,
+greedy KV-cached decode, single 30 s segment).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -36,7 +41,33 @@ def vit_flops_per_image(n_layers=12, d=768, patch=16, img=224, mlp_ratio=4) -> f
     return 2.0 * (patch_macs + n_layers * (qkvo + attn + mlp))
 
 
+def bench_whisper():
+    """Whisper-base RTF: 30 s of audio -> mel -> encoder -> 64 greedy tokens."""
+    from pytorch_models_tpu.models.audio2text.whisper import Whisper, WhisperGenerator
+
+    model = Whisper.from_openai("base")  # random weights: timing-only (zero egress)
+    gen = WhisperGenerator(model)
+    audio = np.random.default_rng(0).standard_normal(30 * 16_000).astype(np.float32) * 0.1
+    init = [50258, 50259, 50359, 50363]
+    n_tok = 64
+    gen.transcribe_tokens(audio, init, eot_id=-1, max_tokens=n_tok)  # compile
+    t0 = time.perf_counter()
+    gen.transcribe_tokens(audio, init, eot_id=-1, max_tokens=n_tok)
+    dt = time.perf_counter() - t0
+    rtf = 30.0 / dt
+    print(f"whisper-base: {dt*1e3:.0f} ms for 30 s audio + {n_tok} tokens -> RTF {rtf:.1f}x", file=sys.stderr)
+    print(json.dumps({
+        "metric": "whisper_base_rtf",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 100.0, 4),  # 100x realtime as the roofline-ish target
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_MODEL", "vit") == "whisper":
+        bench_whisper()
+        return
     dev = jax.devices()[0]
     kind = dev.device_kind.lower()
     peak = next((f for k, f in PEAK_FLOPS if k in kind), 100e12)

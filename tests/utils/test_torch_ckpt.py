@@ -1,0 +1,42 @@
+"""Pure-Python torch.save zip reader vs torch.load."""
+
+import numpy as np
+import pytest
+
+from pytorch_models_tpu.utils.torch_ckpt import load_torch_checkpoint
+from tests.oracle import HAS_TORCH
+
+
+@pytest.mark.skipif(not HAS_TORCH, reason="torch unavailable")
+def test_zip_checkpoint_roundtrip(tmp_path):
+    import torch
+
+    sd = {
+        "a.weight": torch.randn(4, 3),
+        "b.bias": torch.arange(6, dtype=torch.int64),
+        "c.half": torch.randn(2, 2).half(),
+        "nested": {"d": torch.randn(5)},
+        "scalar": torch.tensor(3.5),
+        "noncontig": torch.randn(4, 6).t(),  # non-trivial strides
+    }
+    path = tmp_path / "ckpt.pth"
+    torch.save(sd, path)
+
+    out = load_torch_checkpoint(str(path))
+    np.testing.assert_array_equal(out["a.weight"], sd["a.weight"].numpy())
+    np.testing.assert_array_equal(out["b.bias"], sd["b.bias"].numpy())
+    np.testing.assert_array_equal(out["c.half"], sd["c.half"].numpy())
+    np.testing.assert_array_equal(out["nested"]["d"], sd["nested"]["d"].numpy())
+    assert float(out["scalar"]) == 3.5
+    np.testing.assert_array_equal(out["noncontig"], sd["noncontig"].numpy())
+
+
+@pytest.mark.skipif(not HAS_TORCH, reason="torch unavailable")
+def test_bf16_checkpoint(tmp_path):
+    import torch
+
+    sd = {"w": torch.randn(8, 8, dtype=torch.bfloat16)}
+    path = tmp_path / "bf16.pth"
+    torch.save(sd, path)
+    out = load_torch_checkpoint(str(path))
+    np.testing.assert_array_equal(out["w"], sd["w"].float().numpy())
