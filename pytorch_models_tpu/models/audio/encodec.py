@@ -26,6 +26,7 @@ from jax import lax
 
 from ...ops.layers import conv1d
 from ...utils import StateDict, hub_download
+from pytorch_models_tpu.utils.module import InferenceModel
 
 ELU = jax.nn.elu
 
@@ -215,7 +216,7 @@ def encodec_decode(params, cfg: EnCodecConfig, codes, scale=None):
     return y
 
 
-class EnCodec:
+class EnCodec(InferenceModel):
     def __init__(self, audio_channels: int, norm_type: str, causal: bool, n_quantizers: int, normalize: bool,
                  rng: int = 0) -> None:
         self.cfg = EnCodecConfig(audio_channels, norm_type, causal, n_quantizers, normalize)

@@ -24,6 +24,7 @@ from ... import transformer as tfm
 from ...ops import ACT_FNS, layer_norm
 from ...ops.layers import conv1d, conv1d_init
 from ...utils import StateDict, hub_download, stack_layers
+from pytorch_models_tpu.utils.module import InferenceModel
 
 
 @dataclass(frozen=True)
@@ -150,7 +151,7 @@ def _pop_weight_norm_conv(sd: StateDict, prefix: str) -> dict:
     return {"w": np.transpose(w, (2, 1, 0)), "b": sd.pop(f"{prefix}.bias")}
 
 
-class Wav2Vec2:
+class Wav2Vec2(InferenceModel):
     STEM_DIMS = (512,) * 7
     STEM_KERNELS = (10,) + (3,) * 4 + (2,) * 2
     STEM_STRIDES = (5,) + (2,) * 6

@@ -25,6 +25,7 @@ from ... import transformer as tfm
 from ...ops import ACT_FNS, layer_norm
 from ...ops.layers import conv1d, conv1d_init
 from ...utils import StateDict, hub_download, stack_layers
+from pytorch_models_tpu.utils.module import InferenceModel
 from ..audio.spectrogram import MelSpectrogram
 
 ENC_MAX_LEN = 3000  # mel frames (ref whisper.py:12)
@@ -148,7 +149,7 @@ def _whisper_generate(params, cfg: WhisperConfig, memory, initial_tokens, max_to
     return buf, length
 
 
-class Whisper:
+class Whisper(InferenceModel):
     def __init__(self, vocab_size: int, n_layers: int, d_model: int, n_mels: int = 80,
                  dropout: float = 0.0, rng: int = 0) -> None:
         self.cfg = WhisperConfig(vocab_size, n_layers, d_model, n_mels)

@@ -19,6 +19,7 @@ from ... import transformer as tfm
 from ...ops import ACT_FNS, layer_norm, linear
 from ...ops.layers import conv2d, conv2d_init
 from ...utils import StateDict, hub_download, stack_layers
+from pytorch_models_tpu.utils.module import InferenceModel
 
 NORM_EPS = 1e-6
 EXPANSION = 4  # ref convnext.py:18
@@ -99,7 +100,7 @@ def convnext_apply(params: dict, cfg: ConvNeXtConfig, imgs: jnp.ndarray) -> jnp.
     return layer_norm(params["norm"], x, NORM_EPS)
 
 
-class ConvNeXt:
+class ConvNeXt(InferenceModel):
     def __init__(self, d_model: int, depths: tuple[int, ...], norm_eps: float = 1e-6, v2: bool = False, rng: int = 0):
         assert not v2, "ConvNeXt-V2 GRN is not supported (matches reference behavior)"
         self.cfg = ConvNeXtConfig(d_model, tuple(depths))

@@ -23,6 +23,7 @@ from ... import transformer as tfm
 from ...ops import ACT_FNS, layer_norm
 from ...ops.layers import batch_norm, bn_init, conv2d, conv2d_init, max_pool2d
 from ...utils import StateDict, hub_download, stack_layers
+from pytorch_models_tpu.utils.module import InferenceModel
 
 RELU = jax.nn.relu
 
@@ -178,7 +179,7 @@ def detr_apply(params, cfg: DETRConfig, imgs: jnp.ndarray):
     return logits, jax.nn.sigmoid(boxes)
 
 
-class DETR:
+class DETR(InferenceModel):
     def __init__(self, backbone_layers, d_model: int = 256, n_classes: int = 91, n_queries: int = 100,
                  rng: int = 0) -> None:
         self.cfg = DETRConfig(tuple(backbone_layers), d_model, n_classes, n_queries)

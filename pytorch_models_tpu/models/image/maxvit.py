@@ -20,6 +20,7 @@ from ... import transformer as tfm
 from ...ops import ACT_FNS, layer_norm, sdpa
 from ...ops.layers import avg_pool2d, batch_norm, bn_init, conv2d, conv2d_init
 from ...utils import StateDict, stack_layers
+from pytorch_models_tpu.utils.module import InferenceModel
 
 BN_EPS = 1e-3  # ref maxvit.py:28
 GELU_TANH = ACT_FNS["approximate_gelu"]
@@ -212,7 +213,7 @@ def maxvit_init(key, cfg: MaxViTConfig) -> dict:
     return p
 
 
-class MaxViT:
+class MaxViT(InferenceModel):
     def __init__(self, stem_dim: int, n_blocks, dims, dropout: float = 0.0, rng: int = 0) -> None:
         self.cfg = MaxViTConfig(stem_dim, tuple(n_blocks), tuple(dims))
         self.params = maxvit_init(jax.random.PRNGKey(rng), self.cfg)

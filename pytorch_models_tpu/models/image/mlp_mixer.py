@@ -18,6 +18,7 @@ from ... import transformer as tfm
 from ...ops import layer_norm
 from ...ops.layers import conv2d, conv2d_init
 from ...utils import StateDict, hub_download, stack_layers
+from pytorch_models_tpu.utils.module import InferenceModel
 
 NORM_EPS = 1e-6
 
@@ -78,7 +79,7 @@ def mixer_apply(params: dict, cfg: MLPMixerConfig, imgs: jnp.ndarray) -> jnp.nda
     return x.mean(axis=1)
 
 
-class MLPMixer:
+class MLPMixer(InferenceModel):
     def __init__(
         self,
         n_layers: int,

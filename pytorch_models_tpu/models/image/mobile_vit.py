@@ -20,6 +20,7 @@ from ... import transformer as tfm
 from ...ops import layer_norm
 from ...ops.layers import batch_norm, bn_init, conv2d, conv2d_init
 from ...utils import StateDict, hub_download, stack_layers
+from pytorch_models_tpu.utils.module import InferenceModel
 
 SILU = jax.nn.silu
 
@@ -151,7 +152,7 @@ def mobilevit_apply(params, cfg: MobileViTConfig, imgs: jnp.ndarray) -> jnp.ndar
     return x.mean(axis=(1, 2))
 
 
-class MobileViT:
+class MobileViT(InferenceModel):
     def __init__(self, channels, d_models, out_dim: int, expansion: int, rng: int = 0) -> None:
         self.cfg = MobileViTConfig(tuple(channels), tuple(d_models), out_dim, expansion)
         self.params = mobilevit_init(jax.random.PRNGKey(rng), self.cfg)

@@ -23,6 +23,7 @@ from ...ops import layer_norm, linear
 from ...ops.layers import conv2d, conv2d_init
 from ...utils import StateDict, hub_download, stack_layers
 from ...utils.params import to_np
+from pytorch_models_tpu.utils.module import InferenceModel
 
 NORM_EPS = 1e-6  # ref vit.py:49
 
@@ -102,7 +103,7 @@ def vit_apply(params: dict, cfg: ViTConfig, imgs: jnp.ndarray) -> jnp.ndarray:
     return _pool(params, cfg, x)
 
 
-class ViT:
+class ViT(InferenceModel):
     """Thin stateful wrapper keeping the reference's public surface (vit.py:48-94)."""
 
     def __init__(

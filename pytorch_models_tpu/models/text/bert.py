@@ -20,6 +20,7 @@ import numpy as np
 from ... import transformer as tfm
 from ...ops import layer_norm
 from ...utils import StateDict, hub_download, stack_layers
+from pytorch_models_tpu.utils.module import InferenceModel
 
 
 @dataclass(frozen=True)
@@ -54,7 +55,7 @@ def bert_apply(params: dict, cfg: BERTConfig, tokens: jnp.ndarray) -> jnp.ndarra
     return tfm.encoder_apply(params["encoder"], cfg.layer, x)
 
 
-class BERT:
+class BERT(InferenceModel):
     def __init__(
         self,
         vocab_size: int,

@@ -15,10 +15,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...utils import hub_download, stack_layers
+from pytorch_models_tpu.utils.module import InferenceModel
 from ._decoder_lm import DecoderLMConfig, decoder_lm_apply, decoder_lm_init
 
 
-class GPT:
+class GPT(InferenceModel):
     vocab_size = 40478
     max_seq_len = 512
 

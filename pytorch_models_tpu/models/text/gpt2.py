@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...utils import StateDict, hub_download, stack_layers
+from pytorch_models_tpu.utils.module import InferenceModel
 from ._decoder_lm import DecoderLMConfig, decoder_lm_apply, decoder_lm_init
 
 # ref gpt2.py:31-36
@@ -25,7 +26,7 @@ VARIANTS = {
 }
 
 
-class GPT2:
+class GPT2(InferenceModel):
     vocab_size = 50257
     max_seq_len = 1024
 

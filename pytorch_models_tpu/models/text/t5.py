@@ -27,6 +27,7 @@ from jax import lax
 from ... import transformer as tfm
 from ...ops import ACT_FNS, linear
 from ...utils import StateDict, stack_layers
+from pytorch_models_tpu.utils.module import InferenceModel
 
 _F32_EPS = float(np.finfo(np.float32).eps)
 NEG_INF = -1e10  # ref t5.py:126
@@ -268,7 +269,7 @@ def _t5_generate(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int, pad_
     return buf, length + 1
 
 
-class T5Model:
+class T5Model(InferenceModel):
     """Public surface mirrors the reference T5Model (t5.py:134-201)."""
 
     def __init__(self, vocab_size: int, dim: int, n_heads: int, n_layers: int, mlp_dim: int,
