@@ -172,6 +172,88 @@ def test_flax_parity():
     assert max_abs_diff(expected, actual) < 2e-5
 
 
+def _make_flax_bigvision_dict(r, n_layers, d, n_heads, p, n_patches):
+    """Synthetic big_vision/SigLIP .npz layout (ref vit.py:152-159,174,192-197)."""
+    s, hd = 0.02, d // n_heads
+    w = {
+        "pos_embedding": randn(r, 1, n_patches, d, scale=s),
+        "embedding/kernel": randn(r, p, p, 3, d, scale=s),
+        "embedding/bias": randn(r, d, scale=s),
+        "Transformer/encoder_norm/scale": 1 + randn(r, d, scale=s),
+        "Transformer/encoder_norm/bias": randn(r, d, scale=s),
+        "MAPHead_0/probe": randn(r, 1, 1, d, scale=s),
+        "MAPHead_0/LayerNorm_0/scale": 1 + randn(r, d, scale=s),
+        "MAPHead_0/LayerNorm_0/bias": randn(r, d, scale=s),
+    }
+
+    def mha(pfx):
+        for proj in ("query", "key", "value"):
+            w[f"{pfx}/{proj}/kernel"] = randn(r, d, n_heads, hd, scale=s)
+            w[f"{pfx}/{proj}/bias"] = randn(r, n_heads, hd, scale=s)
+        w[f"{pfx}/out/kernel"] = randn(r, n_heads, hd, d, scale=s)
+        w[f"{pfx}/out/bias"] = randn(r, d, scale=s)
+
+    mha("MAPHead_0/MultiHeadDotProductAttention_0")
+    w["MAPHead_0/MlpBlock_0/Dense_0/kernel"] = randn(r, d, 4 * d, scale=s)
+    w["MAPHead_0/MlpBlock_0/Dense_0/bias"] = randn(r, 4 * d, scale=s)
+    w["MAPHead_0/MlpBlock_0/Dense_1/kernel"] = randn(r, 4 * d, d, scale=s)
+    w["MAPHead_0/MlpBlock_0/Dense_1/bias"] = randn(r, d, scale=s)
+    for i in range(n_layers):
+        blk = f"Transformer/encoderblock_{i}"
+        for ln in ("LayerNorm_0", "LayerNorm_1"):
+            w[f"{blk}/{ln}/scale"] = 1 + randn(r, d, scale=s)
+            w[f"{blk}/{ln}/bias"] = randn(r, d, scale=s)
+        mha(f"{blk}/MultiHeadDotProductAttention_0")
+        w[f"{blk}/MlpBlock_0/Dense_0/kernel"] = randn(r, d, 4 * d, scale=s)
+        w[f"{blk}/MlpBlock_0/Dense_0/bias"] = randn(r, 4 * d, scale=s)
+        w[f"{blk}/MlpBlock_0/Dense_1/kernel"] = randn(r, 4 * d, d, scale=s)
+        w[f"{blk}/MlpBlock_0/Dense_1/bias"] = randn(r, d, scale=s)
+    return w
+
+
+def test_siglip_bigvision_parity():
+    """big_vision layout + MHAPooling head (SigLIP) vs the torch reference."""
+    pm = require_reference()
+    import torch
+
+    from pytorch_models.image.vit import MHAPooling, load_flax_conv2d, load_flax_ln, load_flax_linear, load_flax_mha
+
+    r = rng(9)
+    n_layers, d, n_heads, p, img = 2, 64, 2, 16, 64
+    n_patches = (img // p) ** 2
+    w = _make_flax_bigvision_dict(r, n_layers, d, n_heads, p, n_patches)
+
+    ref = pm.image.ViT(n_layers, d, n_heads, p, img_size=img, cls_token=False, pool_type="mha")
+    tw = {k: t(v) for k, v in w.items()}
+    with torch.no_grad():
+        ref.pe.copy_(tw.pop("pos_embedding"))
+        load_flax_conv2d(ref.patch_embed, tw, "embedding")
+        load_flax_ln(ref.norm, tw, "Transformer/encoder_norm")
+        for i, layer in enumerate(ref.layers):
+            blk = f"Transformer/encoderblock_{i}"
+            load_flax_ln(layer.sa_norm, tw, f"{blk}/LayerNorm_0")
+            load_flax_mha(layer.sa, tw, f"{blk}/MultiHeadDotProductAttention_0")
+            load_flax_ln(layer.mlp_norm, tw, f"{blk}/LayerNorm_1")
+            load_flax_linear(layer.mlp.linear1, tw, f"{blk}/MlpBlock_0/Dense_0")
+            load_flax_linear(layer.mlp.linear2, tw, f"{blk}/MlpBlock_0/Dense_1")
+        assert isinstance(ref.pooler, MHAPooling)
+        ref.pooler.probe.copy_(tw.pop("MAPHead_0/probe"))
+        load_flax_mha(ref.pooler.attn, tw, "MAPHead_0/MultiHeadDotProductAttention_0")
+        load_flax_ln(ref.pooler.norm, tw, "MAPHead_0/LayerNorm_0")
+        load_flax_linear(ref.pooler.mlp.linear1, tw, "MAPHead_0/MlpBlock_0/Dense_0")
+        load_flax_linear(ref.pooler.mlp.linear2, tw, "MAPHead_0/MlpBlock_0/Dense_1")
+    assert not tw
+    ref.eval()
+
+    ours = ViT(n_layers, d, n_heads, p, img_size=img, cls_token=False, pool_type="mha")
+    ours.load_flax_ckpt(w, big_vision=True)
+
+    x = randn(r, 1, 3, img, img)
+    with torch.no_grad():
+        expected = ref(t(x)).numpy()
+    assert max_abs_diff(expected, np.asarray(ours(x))) < 2e-5
+
+
 def test_strict_consumption():
     r = rng(5)
     sd = _make_timm_state_dict(r, 2, 64, 16, 16)
