@@ -65,6 +65,20 @@ def bench_whisper():
 
 
 def main():
+    # BENCH_PROFILE=/path captures a jax.profiler device trace around the
+    # timed region (the reference has no tracing subsystem; SURVEY.md §5)
+    trace_dir = os.environ.get("BENCH_PROFILE")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
+    try:
+        _main()
+    finally:
+        if trace_dir:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {trace_dir}", file=sys.stderr)
+
+
+def _main():
     if os.environ.get("BENCH_MODEL", "vit") == "whisper":
         bench_whisper()
         return
@@ -81,9 +95,11 @@ def main():
     cfg = model.cfg
     flops = vit_flops_per_image()
 
-    n_iters = 20
+    n_iters = 10
     best = 0.0
-    for batch in (64, 128, 256):
+    # batch 128 measured best on v5e (42% MFU); keep the bench lean — remote
+    # tunnel compiles are slow and the driver runs this every round
+    for batch in (128,):
         x = jnp.asarray(np.random.default_rng(0).standard_normal((batch, 3, 224, 224)), jnp.bfloat16)
 
         # run the whole iteration loop on device: block_until_ready does not
