@@ -75,6 +75,20 @@ def decoder_lm_forward_cached(params: dict, cfg: DecoderLMConfig, tokens: jnp.nd
     return _head(params, cfg, x), caches
 
 
-def decoder_lm_make_cache(cfg: DecoderLMConfig, dtype=jnp.float32) -> dict:
+def decoder_lm_make_cache(cfg: DecoderLMConfig, batch_shape: tuple = (), dtype=jnp.float32) -> dict:
     lc = cfg.layer
-    return tfm.make_kv_cache(cfg.n_layers, (), lc.n_heads, cfg.max_seq_len, lc.head_dim, dtype)
+    return tfm.make_kv_cache(cfg.n_layers, batch_shape, lc.n_heads, cfg.max_seq_len, lc.head_dim, dtype)
+
+
+def decoder_lm_forward_cached_batch(params, cfg: DecoderLMConfig, tokens, pos_ids, caches, pos, pad_bias):
+    """Batched cached forward with per-row position ids (left-padded decode).
+
+    ``tokens``: (B, S) placed at cache slots ``[pos, pos+S)``; ``pos_ids``:
+    (B, S) per-row position-embedding indices; ``pad_bias``: (B, 1, 1, L_max)
+    additive mask hiding each row's left padding. Returns ``(logits, caches)``.
+    """
+    x = jnp.take(params["token_embs"], tokens, axis=0)
+    x = x + jnp.take(params["pos_embs"], pos_ids, axis=0).astype(x.dtype)
+    x, caches = tfm.decoder_apply(params["decoder"], cfg.layer, x, self_caches=caches, pos=pos,
+                                  attn_bias=pad_bias)
+    return _head(params, cfg, x), caches

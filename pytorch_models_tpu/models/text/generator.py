@@ -17,9 +17,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ._decoder_lm import decoder_lm_forward_cached, decoder_lm_make_cache
+from ._decoder_lm import decoder_lm_forward_cached, decoder_lm_forward_cached_batch, decoder_lm_make_cache
 
 PROMPT_BUCKET = 64  # prompts are right-padded to a multiple of this to bound recompiles
+NEG_INF = -1e30
 
 
 def _sample(logits: jnp.ndarray, key, topk: int) -> jnp.ndarray:
@@ -68,6 +69,73 @@ def _generate(params, cfg, prompt_buf, n_prompt, limit, topk, eos_id, key):
     return tokens_buf, length
 
 
+@partial(jax.jit, static_argnums=(1, 5))
+def _generate_batch(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id, key):
+    """Batched greedy/top-k generation over LEFT-padded prompts.
+
+    Beyond the reference (single-prompt only, text/generator.py:17-37):
+    all rows share cache slots because prompts are left-aligned to the same
+    end position; per-row position ids and a pad-mask bias keep each row's
+    math identical to its unpadded equivalent.
+
+    ``prompt_buf``: (B, P) with each row's tokens right-aligned;
+    ``pad_lens``: (B,) number of left-pad slots per row. Returns
+    ``(tokens (B, max_seq_len), lengths (B,))`` where row i's output occupies
+    slots ``[pad_i, len_i)``.
+    """
+    b, p_len = prompt_buf.shape
+    l_max = cfg.max_seq_len
+    pos_ids = jnp.clip(jnp.arange(p_len)[None, :] - pad_lens[:, None], 0, None)
+    pad_bias = jnp.where(jnp.arange(l_max)[None, :] >= pad_lens[:, None], 0.0, NEG_INF)
+    pad_bias = pad_bias.astype(jnp.float32)[:, None, None, :]  # (B,1,1,Lmax)
+
+    caches = decoder_lm_make_cache(cfg, (b,))
+    logits, caches = decoder_lm_forward_cached_batch(params, cfg, prompt_buf, pos_ids, caches, 0, pad_bias)
+    last = logits[:, -1]  # rows are right-aligned: slot P-1 is each row's last prompt token
+
+    buf = jnp.zeros((b, l_max), jnp.int32)
+    buf = lax.dynamic_update_slice(buf, prompt_buf.astype(jnp.int32), (0, 0))
+
+    def sample_rows(lg, key):
+        if topk == 1:
+            return jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        vals, idx = lax.top_k(lg, topk)
+        choice = jax.random.categorical(key, vals, axis=-1)
+        return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0].astype(jnp.int32)
+
+    key, sub = jax.random.split(key)
+    nxt = sample_rows(last, sub)
+    buf = buf.at[:, p_len].set(nxt)
+    done = nxt == eos_id
+    state = (buf, jnp.int32(p_len + 1), caches, key, done)
+
+    def cond(s):
+        _, pos, _, _, done = s
+        return jnp.logical_and(jnp.logical_not(jnp.all(done)), pos < limit)
+
+    def body(s):
+        buf, pos, caches, key, done = s
+        tok = lax.dynamic_slice(buf, (0, pos - 1), (b, 1))
+        p_ids = (pos - 1 - pad_lens)[:, None]
+        logits, caches = decoder_lm_forward_cached_batch(params, cfg, tok, p_ids, caches, pos - 1, pad_bias)
+        key, sub = jax.random.split(key)
+        nxt = sample_rows(logits[:, 0], sub)
+        nxt = jnp.where(done, jnp.int32(eos_id), nxt)  # finished rows stay parked on EOS
+        buf = lax.dynamic_update_slice(buf, nxt[:, None], (0, pos))
+        return buf, pos + 1, caches, key, jnp.logical_or(done, nxt == eos_id)
+
+    buf, length, _, _, done = lax.while_loop(cond, body, state)
+    # per-row length: first EOS among actually-generated slots, else `length`
+    # (untouched buffer zeros beyond `length` must not read as EOS)
+    gen = buf[:, p_len:]
+    generated = jnp.arange(gen.shape[1])[None, :] < (length - p_len)
+    is_eos = jnp.logical_and(gen == eos_id, generated)
+    first_eos = jnp.argmax(is_eos, axis=1)
+    has_eos = jnp.any(is_eos, axis=1)
+    lengths = jnp.where(has_eos, p_len + first_eos + 1, length)
+    return buf, lengths
+
+
 class DecoderGenerator:
     """Drop-in equivalent of the reference DecoderGenerator (generator.py:11-37)."""
 
@@ -100,3 +168,35 @@ class DecoderGenerator:
         )
         length = int(length)
         return np.asarray(buf)[:length].tolist()
+
+    def generate_batch(self, prompts: list[str], max_tokens: int = 100, topk: int = 1, seed: int = 0) -> list[str]:
+        """Batched generation over multiple prompts (new vs the reference)."""
+        token_lists = [self.tokenizer.encode(p) for p in prompts]
+        outs = self.generate_tokens_batch(token_lists, max_tokens=max_tokens, topk=topk, seed=seed)
+        return [self.tokenizer.decode(o) for o in outs]
+
+    def generate_tokens_batch(self, token_lists: list[list[int]], max_tokens: int = 100, topk: int = 1,
+                              seed: int = 0) -> list[list[int]]:
+        cfg = self.model.cfg
+        if max_tokens <= 0:
+            return [list(ts) for ts in token_lists]
+        max_n = max(len(ts) for ts in token_lists)
+        pad = min(-(-max_n // PROMPT_BUCKET) * PROMPT_BUCKET, cfg.max_seq_len)
+        assert max_n <= pad, f"prompt too long for context {cfg.max_seq_len}"
+        b = len(token_lists)
+        buf = np.zeros((b, pad), np.int32)
+        pad_lens = np.zeros((b,), np.int32)
+        for i, ts in enumerate(token_lists):  # LEFT-pad: right-align each row
+            pad_lens[i] = pad - len(ts)
+            buf[i, pad_lens[i]:] = ts
+
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        if eos is None:
+            eos = -1
+        limit = min(pad + max_tokens, cfg.max_seq_len)
+        out, lengths = _generate_batch(
+            self.model.params, cfg, jnp.asarray(buf), jnp.asarray(pad_lens), limit, topk, eos,
+            jax.random.PRNGKey(seed),
+        )
+        out, lengths = np.asarray(out), np.asarray(lengths)
+        return [out[i, pad_lens[i]: lengths[i]].tolist() for i in range(b)]

@@ -196,18 +196,21 @@ def decoder_layer_apply(
     self_cache: dict | None = None,
     cross_cache: dict | None = None,
     pos=None,
+    attn_bias: jnp.ndarray | None = None,
 ):
     """Causal self-attn [+ cross-attn] + MLP (ref transformer.py:96-105).
 
-    Returns ``x`` (and the updated self-cache when one is given).
+    ``attn_bias`` is an extra additive self-attention bias (e.g. a left-pad
+    mask for batched decode). Returns ``x`` (and the updated self-cache when
+    one is given).
     """
     eps = cfg.norm_eps
     cached = self_cache is not None
 
     def sa(h):
         if cached:
-            return mha_apply(p["sa"], cfg, h, cache=self_cache, cache_pos=pos)
-        return mha_apply(p["sa"], cfg, h, causal=True), None
+            return mha_apply(p["sa"], cfg, h, attn_bias=attn_bias, cache=self_cache, cache_pos=pos)
+        return mha_apply(p["sa"], cfg, h, attn_bias=attn_bias, causal=True), None
 
     def ca(h):
         if cross_cache is not None:
@@ -260,6 +263,7 @@ def decoder_apply(
     self_caches: dict | None = None,
     cross_caches: dict | None = None,
     pos=None,
+    attn_bias: jnp.ndarray | None = None,
 ):
     """Threaded decoder stack (ref transformer.py:173-176), optionally KV-cached.
 
@@ -268,7 +272,7 @@ def decoder_apply(
     """
     if self_caches is None:
         def body(h, lp):
-            return decoder_layer_apply(lp, cfg, h, memory), None
+            return decoder_layer_apply(lp, cfg, h, memory, attn_bias=attn_bias), None
 
         x, _ = lax.scan(body, x, p["layers"])
         return x
@@ -281,7 +285,8 @@ def decoder_apply(
             cc = None
         else:
             lp, sc, cc = inp
-        h, new_sc = decoder_layer_apply(lp, cfg, h, memory, self_cache=sc, cross_cache=cc, pos=pos)
+        h, new_sc = decoder_layer_apply(lp, cfg, h, memory, self_cache=sc, cross_cache=cc, pos=pos,
+                                        attn_bias=attn_bias)
         return h, new_sc
 
     x, new_caches = lax.scan(body, x, xs)

@@ -111,3 +111,15 @@ def test_topk_sampling_valid(tiny_vocab):
     assert out[:3] == [5, 6, 7]
     assert 3 < len(out) <= 13
     assert all(0 <= t < 128 for t in out)
+
+
+def test_batched_generation_matches_single(tiny_vocab):
+    """Batched left-padded decode == per-prompt single decode, row by row."""
+    r = rng(45)
+    _, ours = _paired_models(r)
+    gen = DecoderGenerator(ours, FakeTokenizer())
+
+    prompts = [[5, 6, 7], [9, 8, 7, 6, 5, 4], [3]]
+    singles = [gen.generate_tokens(p, max_tokens=12) for p in prompts]
+    batched = gen.generate_tokens_batch(prompts, max_tokens=12)
+    assert batched == singles
