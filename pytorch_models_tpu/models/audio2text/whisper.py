@@ -149,6 +149,56 @@ def _whisper_generate(params, cfg: WhisperConfig, memory, initial_tokens, max_to
     return buf, length
 
 
+@partial(jax.jit, static_argnums=(1, 4))
+def _whisper_generate_batch(params, cfg: WhisperConfig, memory, initial_tokens, max_tokens: int, eot_id):
+    """Batched greedy transcription: ``memory`` (B, T, d); shared initial tokens.
+
+    All rows decode in lockstep (same initial prompt), so caches/positions are
+    shared; finished rows park on EOT.
+    """
+    p = params["decoder"]
+    lc = cfg.dec_layer
+    b = memory.shape[0]
+    n_init = initial_tokens.shape[0]
+
+    self_caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, max_tokens, lc.head_dim)
+    cross_caches = tfm.precompute_cross_caches(p, lc, memory)
+
+    def forward_chunk(tokens, caches, pos, s):
+        x = jnp.take(p["token_embs"], tokens, axis=0)
+        x = x + lax.dynamic_slice(p["pos_embs"], (pos, 0), (s, cfg.d_model)).astype(x.dtype)
+        x, caches = tfm.decoder_apply(p, lc, x, self_caches=caches, cross_caches=cross_caches, pos=pos)
+        return _decoder_head(p, x), caches
+
+    buf = jnp.zeros((b, max_tokens), jnp.int32)
+    init_rows = jnp.broadcast_to(initial_tokens.astype(jnp.int32), (b, n_init))
+    buf = lax.dynamic_update_slice(buf, init_rows, (0, 0))
+    logits, self_caches = forward_chunk(init_rows, self_caches, 0, n_init)
+    first = jnp.argmax(logits[:, n_init - 1], axis=-1).astype(jnp.int32)
+    buf = buf.at[:, n_init].set(first)
+    state = (buf, jnp.int32(n_init + 1), self_caches, first == eot_id)
+
+    def cond(s):
+        _, pos, _, done = s
+        return jnp.logical_and(jnp.logical_not(jnp.all(done)), pos < max_tokens)
+
+    def body(s):
+        buf, pos, caches, done = s
+        tok = lax.dynamic_slice(buf, (0, pos - 1), (b, 1))
+        logits, caches = forward_chunk(tok, caches, pos - 1, 1)
+        nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, jnp.int32(eot_id), nxt)
+        buf = lax.dynamic_update_slice(buf, nxt[:, None], (0, pos))
+        return buf, pos + 1, caches, jnp.logical_or(done, nxt == eot_id)
+
+    buf, length, _, _ = lax.while_loop(cond, body, state)
+    gen = buf[:, n_init:]
+    generated = jnp.arange(gen.shape[1])[None, :] < (length - n_init)
+    is_eot = jnp.logical_and(gen == eot_id, generated)
+    lengths = jnp.where(jnp.any(is_eot, axis=1), n_init + jnp.argmax(is_eot, axis=1) + 1, length)
+    return buf, lengths
+
+
 class Whisper(InferenceModel):
     def __init__(self, vocab_size: int, n_layers: int, d_model: int, n_mels: int = 80,
                  dropout: float = 0.0, rng: int = 0) -> None:
@@ -283,3 +333,18 @@ class WhisperGenerator:
     def transcribe(self, audio, initial_tokens: list[int], eot_id: int, max_tokens: int = DEC_MAX_LEN) -> str:
         tokens = self.transcribe_tokens(audio, initial_tokens, eot_id, max_tokens)
         return self.tokenizer.decode(tokens) if self.tokenizer is not None else " ".join(map(str, tokens))
+
+    def transcribe_tokens_batch(self, audios, initial_tokens: list[int], eot_id: int,
+                                max_tokens: int = DEC_MAX_LEN) -> list[list[int]]:
+        """Batched greedy transcription of multiple 30 s segments (new vs reference)."""
+        padded = np.stack([
+            np.pad(np.asarray(a, np.float32)[: self.N_SAMPLES], (0, max(0, self.N_SAMPLES - len(a))))
+            for a in audios
+        ])
+        mel = self.preprocessor(padded)  # (B, n_mels, 3000)
+        memory = self.model.encode(mel)
+        buf, lengths = _whisper_generate_batch(
+            self.model.params, self.model.cfg, memory, jnp.asarray(initial_tokens, jnp.int32), max_tokens, eot_id
+        )
+        buf, lengths = np.asarray(buf), np.asarray(lengths)
+        return [buf[i, : lengths[i]].tolist() for i in range(len(audios))]

@@ -269,6 +269,61 @@ def _t5_generate(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int, pad_
     return buf, length + 1
 
 
+@partial(jax.jit, static_argnums=(1, 4))
+def _t5_generate_batch(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int, pad_id, eos_id):
+    """Batched greedy generation: (B, P) right-padded prompts with per-row
+    lengths ``n_enc`` (B,). Decoder rows are naturally aligned (all start at
+    the pad token), so only encoder/cross masks are per-row."""
+    b, p_len = enc_tokens.shape
+    enc_valid = jnp.arange(p_len)[None, :] < n_enc[:, None]
+    pad_bias = jnp.where(enc_valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, None, :]
+
+    x = jnp.take(params["token_embs"], enc_tokens, axis=0)
+    memory = t5_encoder_apply(params["encoder"], cfg, x, pad_bias=pad_bias)
+
+    dec = params["decoder"]
+    lc = cfg.layer
+    self_caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, max_tokens, lc.head_dim)
+    cross_caches = tfm.precompute_cross_caches(dec, lc, memory)
+    ca_bias = pad_bias
+
+    out_buf = jnp.zeros((b, max_tokens), jnp.int32).at[:, 0].set(pad_id)
+
+    def step(carry):
+        buf, pos, caches, done = carry
+        tok = lax.dynamic_slice(buf, (0, pos), (b, 1))
+        h = jnp.take(params["token_embs"], tok, axis=0)
+        q_pos = jnp.array([0]) + pos
+        k_pos = jnp.arange(max_tokens)
+        bias = relative_position_bias(dec["attn_bias"], q_pos, k_pos, False, cfg)
+
+        def body(h, inp):
+            lp, sc, cc = inp
+            h, new_sc = t5_block_apply(lp, cfg, h, attn_bias=bias, ca_bias=ca_bias,
+                                       self_cache=sc, cross_cache=cc, pos=pos)
+            return h, new_sc
+
+        h, caches = lax.scan(body, h, (dec["layers"], caches, cross_caches))
+        h = rms_norm(dec["norm"], h)
+        logits = linear(params["classifier"], h)[:, 0]
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+        buf = lax.dynamic_update_slice(buf, nxt[:, None], (0, pos + 1))
+        return buf, pos + 1, caches, jnp.logical_or(done, nxt == eos_id)
+
+    def cond(carry):
+        _, pos, _, done = carry
+        return jnp.logical_and(jnp.logical_not(jnp.all(done)), pos < max_tokens - 1)
+
+    buf, length, _, _ = lax.while_loop(cond, step, (out_buf, jnp.int32(0), self_caches,
+                                                    jnp.zeros((b,), jnp.bool_)))
+    gen = buf[:, 1:]
+    generated = jnp.arange(gen.shape[1])[None, :] < length
+    is_eos = jnp.logical_and(gen == eos_id, generated)
+    lengths = jnp.where(jnp.any(is_eos, axis=1), jnp.argmax(is_eos, axis=1) + 2, length + 1)
+    return buf, lengths
+
+
 class T5Model(InferenceModel):
     """Public surface mirrors the reference T5Model (t5.py:134-201)."""
 
@@ -405,3 +460,24 @@ class T5Generator:
         buf[:n] = token_ids
         out, length = _t5_generate(self.model.params, self.model.cfg, jnp.asarray(buf), n, max_tokens, pad_id, eos_id)
         return np.asarray(out)[: int(length)].tolist()
+
+    def generate_batch(self, prompts: list[str], max_tokens: int = 100) -> list[str]:
+        """Batched greedy generation (new vs the reference's single-prompt loop)."""
+        token_lists = [self.tokenizer.Encode(p, add_eos=True) for p in prompts]
+        outs = self.generate_tokens_batch(token_lists, max_tokens, self.tokenizer.pad_id(), self.tokenizer.eos_id())
+        return [self.tokenizer.Decode(o) for o in outs]
+
+    def generate_tokens_batch(self, token_lists: list[list[int]], max_tokens: int, pad_id: int,
+                              eos_id: int) -> list[list[int]]:
+        b = len(token_lists)
+        max_n = max(len(ts) for ts in token_lists)
+        pad = -(-max_n // ENC_BUCKET) * ENC_BUCKET
+        buf = np.zeros((b, pad), np.int32)
+        n_enc = np.zeros((b,), np.int32)
+        for i, ts in enumerate(token_lists):
+            buf[i, : len(ts)] = ts
+            n_enc[i] = len(ts)
+        out, lengths = _t5_generate_batch(self.model.params, self.model.cfg, jnp.asarray(buf),
+                                          jnp.asarray(n_enc), max_tokens, pad_id, eos_id)
+        out, lengths = np.asarray(out), np.asarray(lengths)
+        return [out[i, : lengths[i]].tolist() for i in range(b)]

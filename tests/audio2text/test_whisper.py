@@ -145,3 +145,12 @@ def test_preprocessor_fused_matches_xla():
         fused = np.asarray(WhisperPreprocessor(fused=True)(x))
     assert fused.shape == plain.shape
     np.testing.assert_allclose(fused, plain, rtol=1e-4, atol=1e-4)
+
+
+def test_batched_transcription_matches_single(paired):
+    pm, ref, ours, r = paired
+    gen = WhisperGenerator(ours)
+    audios = [randn(r, 16000, scale=0.1), randn(r, 24000, scale=0.1)]
+    singles = [gen.transcribe_tokens(a, [1, 2], eot_id=7, max_tokens=12) for a in audios]
+    batched = gen.transcribe_tokens_batch(audios, [1, 2], eot_id=7, max_tokens=12)
+    assert batched == singles

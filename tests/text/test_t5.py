@@ -137,3 +137,12 @@ def test_generate_matches_reference(paired):
     gen = T5Generator(model=ours, tokenizer=object())
     actual = gen.generate_tokens(prompt_ids, max_tokens, pad_id, eos_id)
     assert actual == output_ids
+
+
+def test_batched_generation_matches_single(paired):
+    pm, ref, ours, r = paired
+    gen = T5Generator(model=ours, tokenizer=object())
+    prompts = [r.integers(1, 100, (n,)).tolist() for n in (5, 9, 3)]
+    singles = [gen.generate_tokens(p, 12, 0, 1) for p in prompts]
+    batched = gen.generate_tokens_batch(prompts, 12, 0, 1)
+    assert batched == singles
