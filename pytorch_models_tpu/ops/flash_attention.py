@@ -32,7 +32,9 @@ def _pad_to(x: int, m: int) -> int:
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_s, l_s, acc_s, *,
-                  scale: float, causal: bool, lq: int, lk: int, bq: int, bk: int):
+                  scale: float, causal: bool, lq: int, lk: int, bq: int, bk: int, bb: int):
+    """One grid step processes ``bb`` batch·head slices (statically unrolled) —
+    amortizes per-step scheduling/DMA overhead at short sequence lengths."""
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -45,41 +47,43 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_s, l_s, acc_s, *,
 
     # fp32 inputs get full-precision MXU passes (parity); bf16 is the fast path
     prec = jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
-    q = q_ref[0].astype(jnp.float32)  # (bq, Dp)
-    k = k_ref[0].astype(jnp.float32)  # (bk, Dp)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32, precision=prec) * scale  # (bq, bk)
-    if bias_ref is not None:
-        s = s + bias_ref[0].astype(jnp.float32)
 
     q_idx = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
     k_idx = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     mask = k_idx < lk
     if causal:
         mask = jnp.logical_and(mask, k_idx <= q_idx)
-    s = jnp.where(mask, s, NEG_INF)
 
-    m_prev = m_s[:, :1]  # (bq, 1)
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    m_safe = jnp.where(m_new <= NEG_INF, 0.0, m_new)
+    for b in range(bb):
+        q = q_ref[b].astype(jnp.float32)  # (bq, Dp)
+        k = k_ref[b].astype(jnp.float32)  # (bk, Dp)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32, precision=prec) * scale  # (bq, bk)
+        if bias_ref is not None:
+            s = s + bias_ref[b if bias_ref.shape[0] > 1 else 0].astype(jnp.float32)
+        s = jnp.where(mask, s, NEG_INF)
 
-    p = jnp.exp(s - m_safe)  # masked entries: exp(NEG_INF - finite) == 0
-    alpha = jnp.exp(jnp.where(m_prev <= NEG_INF, NEG_INF, m_prev) - m_safe)
+        m_prev = m_s[b, :, :1]  # (bq, 1)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        m_safe = jnp.where(m_new <= NEG_INF, 0.0, m_new)
 
-    l_new = alpha * l_s[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-    acc_s[:] = acc_s[:] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    m_s[:] = jnp.broadcast_to(m_new, m_s.shape)
-    l_s[:] = jnp.broadcast_to(l_new, l_s.shape)
+        p = jnp.exp(s - m_safe)  # masked entries: exp(NEG_INF - finite) == 0
+        alpha = jnp.exp(jnp.where(m_prev <= NEG_INF, NEG_INF, m_prev) - m_safe)
+
+        l_new = alpha * l_s[b, :, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_s[b] = acc_s[b] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[b], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        m_s[b] = jnp.broadcast_to(m_new, m_s.shape[1:])
+        l_s[b] = jnp.broadcast_to(l_new, l_s.shape[1:])
 
     @pl.when(ki == nk - 1)
     def _():
-        l = l_s[:, :1]
+        l = l_s[:, :, :1]
         l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_s[:] / l).astype(o_ref.dtype)
+        o_ref[:] = (acc_s[:] / l).astype(o_ref.dtype)
 
 
 def flash_eligible(q, k, v) -> bool:
@@ -114,17 +118,26 @@ def flash_sdpa(q, k, v, attn_bias=None, causal: bool = False, block_q: int = 256
     bk = min(block_k, _pad_to(lk, LANE))
     lq_p, lk_p, d_p = _pad_to(lq, bq), _pad_to(lk, bk), _pad_to(d, LANE)
 
+    # batch several batch·head slices per grid step at short sequences
+    bb = 1
+    if attn_bias is None or (attn_bias.ndim > 2 and math.prod(attn_bias.shape[:-2]) in (1, bh)):
+        budget = max(1, (1 << 20) // (bq * d_p * 4))  # keep blocks+scratch within ~6MB VMEM
+        for cand in (8, 4, 2):
+            if bh % cand == 0 and cand <= budget:
+                bb = cand
+                break
+
     def prep(x, length, length_p):
         x = x.reshape(bh, length, d)
         return jnp.pad(x, ((0, 0), (0, length_p - length), (0, d_p - d)))
 
     qp, kp, vp = prep(q, lq, lq_p), prep(k, lk, lk_p), prep(v, lk, lk_p)
 
-    grid = (bh, lq_p // bq, lk_p // bk)
+    grid = (bh // bb, lq_p // bq, lk_p // bk)
     in_specs = [
-        pl.BlockSpec((1, bq, d_p), lambda b, i, j: (b, i, 0)),
-        pl.BlockSpec((1, bk, d_p), lambda b, i, j: (b, j, 0)),
-        pl.BlockSpec((1, bk, d_p), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((bb, bq, d_p), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((bb, bk, d_p), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((bb, bk, d_p), lambda b, i, j: (b, j, 0)),
     ]
     args = [qp, kp, vp]
 
@@ -134,36 +147,37 @@ def flash_sdpa(q, k, v, attn_bias=None, causal: bool = False, block_q: int = 256
         lead = attn_bias.shape[:-2]
         lead_prod = math.prod(lead) if lead else 1
         if lead_prod == 1:
-            bias_map = lambda b, i, j: (0, i, j)
-        elif lead == tuple(batch):
-            bias_map = lambda b, i, j: (b, i, j)
+            bias_block, bias_map = 1, (lambda b, i, j: (0, i, j))
+        elif lead == tuple(batch) or lead_prod == bh:
+            bias_block, bias_map = bb, (lambda b, i, j: (b, i, j))
         elif batch and lead_prod == batch[-1]:  # per-head table shared across batch
+            assert bb == 1
             h = lead_prod
-            bias_map = lambda b, i, j: (b % h, i, j)
+            bias_block, bias_map = 1, (lambda b, i, j: (b % h, i, j))
         else:
             attn_bias = jnp.broadcast_to(attn_bias, (*batch, lq, lk))
             lead_prod = bh
-            bias_map = lambda b, i, j: (b, i, j)
+            bias_block, bias_map = bb, (lambda b, i, j: (b, i, j))
         bias = attn_bias.reshape(lead_prod, *attn_bias.shape[-2:])
         bias = jnp.pad(bias, ((0, 0), (0, lq_p - lq), (0, lk_p - lk)))
-        in_specs.append(pl.BlockSpec((1, bq, bk), bias_map))
+        in_specs.append(pl.BlockSpec((bias_block, bq, bk), bias_map))
         args.append(bias)
 
     kernel = functools.partial(
         _flash_kernel if attn_bias is not None else _flash_kernel_nobias_wrapper,
-        scale=scale, causal=causal, lq=lq, lk=lk, bq=bq, bk=bk,
+        scale=scale, causal=causal, lq=lq, lk=lk, bq=bq, bk=bk, bb=bb,
     )
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, bq, d_p), lambda b, i, j: (b, i, 0)),
+        out_specs=pl.BlockSpec((bb, bq, d_p), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, lq_p, d_p), orig_dtype),
         scratch_shapes=[
-            pltpu.VMEM((bq, LANE), jnp.float32),
-            pltpu.VMEM((bq, LANE), jnp.float32),
-            pltpu.VMEM((bq, d_p), jnp.float32),
+            pltpu.VMEM((bb, bq, LANE), jnp.float32),
+            pltpu.VMEM((bb, bq, LANE), jnp.float32),
+            pltpu.VMEM((bb, bq, d_p), jnp.float32),
         ],
     )(*args)
 
