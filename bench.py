@@ -64,6 +64,38 @@ def bench_whisper():
     }))
 
 
+def bench_gpt2_decode():
+    """GPT-2-small batched greedy decode throughput (tokens/sec/chip)."""
+    from pytorch_models_tpu.models.text import GPT2, DecoderGenerator
+
+    model = GPT2(12, 768)  # random weights: timing-only (zero egress)
+
+    class Tok:
+        eos_token_id = -1  # never stop early
+
+        def encode(self, s):
+            return [1] * 32
+
+        def decode(self, ts):
+            return ""
+
+    gen = DecoderGenerator(model, Tok())
+    batch, new_tokens = 32, 128
+    prompts = [[1] * 32] * batch
+    gen.generate_tokens_batch(prompts, max_tokens=new_tokens)  # compile
+    t0 = time.perf_counter()
+    gen.generate_tokens_batch(prompts, max_tokens=new_tokens)
+    dt = time.perf_counter() - t0
+    tps = batch * new_tokens / dt
+    print(f"gpt2 batched decode: {tps:,.0f} tok/s (batch {batch}, {new_tokens} new)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "gpt2_small_decode_tokens_per_sec",
+        "value": round(tps, 1),
+        "unit": "tokens/sec",
+        "vs_baseline": round(tps / 50_000.0, 4),  # ~50k tok/s as a serving-grade target
+    }))
+
+
 def main():
     # BENCH_PROFILE=/path captures a jax.profiler device trace around the
     # timed region (the reference has no tracing subsystem; SURVEY.md §5)
@@ -79,8 +111,12 @@ def main():
 
 
 def _main():
-    if os.environ.get("BENCH_MODEL", "vit") == "whisper":
+    which = os.environ.get("BENCH_MODEL", "vit")
+    if which == "whisper":
         bench_whisper()
+        return
+    if which == "gpt2":
+        bench_gpt2_decode()
         return
     dev = jax.devices()[0]
     kind = dev.device_kind.lower()
