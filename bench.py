@@ -6,9 +6,9 @@ The reference publishes no throughput numbers (BASELINE.md), so
 (peak_flops / model_flops_per_image) — the BASELINE.json north star asks for
 >= 0.9. Sweep details go to stderr.
 
-``BENCH_MODEL=whisper python bench.py`` instead reports Whisper-base
-real-time factor (seconds of audio transcribed per second of wall clock,
-greedy KV-cached decode, single 30 s segment).
+``BENCH_MODEL=whisper`` instead reports Whisper-base real-time factor
+(greedy KV-cached decode, single 30 s segment); ``BENCH_MODEL=gpt2`` reports
+GPT-2-small batched decode throughput in tokens/sec.
 """
 
 import json
@@ -70,14 +70,8 @@ def bench_gpt2_decode():
 
     model = GPT2(12, 768)  # random weights: timing-only (zero egress)
 
-    class Tok:
+    class Tok:  # generate_tokens_batch only reads eos_token_id
         eos_token_id = -1  # never stop early
-
-        def encode(self, s):
-            return [1] * 32
-
-        def decode(self, ts):
-            return ""
 
     gen = DecoderGenerator(model, Tok())
     batch, new_tokens = 32, 128
@@ -118,6 +112,8 @@ def _main():
     if which == "gpt2":
         bench_gpt2_decode()
         return
+    if which != "vit":
+        raise SystemExit(f"unknown BENCH_MODEL={which!r}; expected vit, whisper, or gpt2")
     dev = jax.devices()[0]
     kind = dev.device_kind.lower()
     peak = next((f for k, f in PEAK_FLOPS if k in kind), 100e12)
