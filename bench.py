@@ -139,8 +139,11 @@ def _main():
         # round-trips would dominate. One jit, one host pull.
         @jax.jit
         def loop(p, v):
-            def body(_, acc):
-                return acc + vit_apply(p, cfg, v).astype(jnp.float32).sum()
+            def body(i, acc):
+                # iteration-dependent input: without it XLA hoists the whole
+                # forward out of the loop and the bench times ~1 iteration
+                vi = v + i.astype(v.dtype) * v.dtype.type(1e-6)
+                return acc + vit_apply(p, cfg, vi).astype(jnp.float32).sum()
             return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
 
         float(loop(params, x))  # compile + warm

@@ -199,7 +199,7 @@ class Wav2Vec2(InferenceModel):
             from ...utils.torch_ckpt import load_torch_checkpoint
 
             url = f"https://huggingface.co/{model_tag}/resolve/main/pytorch_model.bin"
-            state_dict = load_torch_checkpoint(hub_download(url))
+            state_dict = load_torch_checkpoint(hub_download(url, file_name=model_tag.replace("/", "_") + ".bin"))
             state_dict = {k.replace("wav2vec2.", ""): v for k, v in state_dict.items()}
             m.load_hf_state_dict(state_dict)
         return m

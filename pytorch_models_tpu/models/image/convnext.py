@@ -150,5 +150,8 @@ class ConvNeXt(InferenceModel):
             stages.append(stage)
         p["stages"] = stages
         p["norm"] = sd.pop_ln("norm")
+        # pretrained checkpoints ship a classifier head this model doesn't include
+        sd.pop("head.weight", None)
+        sd.pop("head.bias", None)
         sd.finalize()
         self.params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), p)

@@ -342,10 +342,9 @@ class ViT(InferenceModel):
                 }
             )
         p["encoder"] = {"layers": stack_layers([jax.tree.map(jnp.asarray, l) for l in layers])}
-        # dinov2 ships extra keys we do not model (mask_token); drop silently like the
-        # reference's leftover-print (vit.py:306) but only for known-extra keys
-        for extra in ("mask_token",):
-            if extra in sd:
-                sd.pop(extra)
+        # known-extra keys we do not model: dinov2's mask_token, deit3's
+        # classifier head (the reference leftover-prints these, vit.py:306)
+        for extra in ("mask_token", "head.weight", "head.bias"):
+            sd.pop(extra, None)
         sd.finalize()
         self.params = jax.tree.map(lambda x: jnp.asarray(to_np(x), jnp.float32), p)

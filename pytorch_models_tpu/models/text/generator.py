@@ -183,6 +183,8 @@ class DecoderGenerator:
         max_n = max(len(ts) for ts in token_lists)
         pad = min(-(-max_n // PROMPT_BUCKET) * PROMPT_BUCKET, cfg.max_seq_len)
         assert max_n <= pad, f"prompt too long for context {cfg.max_seq_len}"
+        if pad >= cfg.max_seq_len:  # no room left to generate (mirrors the single-path guard)
+            return [list(ts) for ts in token_lists]
         b = len(token_lists)
         buf = np.zeros((b, pad), np.int32)
         pad_lens = np.zeros((b,), np.int32)

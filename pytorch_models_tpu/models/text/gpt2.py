@@ -53,7 +53,7 @@ class GPT2(InferenceModel):
             from ...utils.torch_ckpt import load_torch_checkpoint
 
             url = f"https://huggingface.co/{model_tag}/resolve/main/pytorch_model.bin"
-            m.load_hf_state_dict(load_torch_checkpoint(hub_download(url)))
+            m.load_hf_state_dict(load_torch_checkpoint(hub_download(url, file_name=model_tag.replace("/", "_") + ".bin")))
         return m
 
     def load_hf_state_dict(self, state_dict: dict) -> None:

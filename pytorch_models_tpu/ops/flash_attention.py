@@ -118,9 +118,24 @@ def flash_sdpa(q, k, v, attn_bias=None, causal: bool = False, block_q: int = 256
     bk = min(block_k, _pad_to(lk, LANE))
     lq_p, lk_p, d_p = _pad_to(lq, bq), _pad_to(lk, bk), _pad_to(d, LANE)
 
+    # classify the bias's broadcast structure once (structural, not by product:
+    # a (B,1,·,·) pad mask must not be mistaken for a per-head (H,·,·) table
+    # when B happens to equal H)
+    bias_lead = attn_bias.shape[:-2] if attn_bias is not None else None
+    bias_shared = attn_bias is None or all(x == 1 for x in bias_lead)
+    bias_full = attn_bias is not None and bias_lead == tuple(batch)
+    bias_per_head = (
+        attn_bias is not None
+        and not bias_full
+        and bool(batch)
+        and len(bias_lead) <= len(batch)
+        and bias_lead[-1:] == (batch[-1],)
+        and all(x == 1 for x in bias_lead[:-1])
+    )
+
     # batch several batch·head slices per grid step at short sequences
     bb = 1
-    if attn_bias is None or (attn_bias.ndim > 2 and math.prod(attn_bias.shape[:-2]) in (1, bh)):
+    if bias_shared or bias_full or (attn_bias is not None and not bias_per_head):
         budget = max(1, (1 << 20) // (bq * d_p * 4))  # keep blocks+scratch within ~6MB VMEM
         for cand in (8, 4, 2):
             if bh % cand == 0 and cand <= budget:
@@ -144,15 +159,14 @@ def flash_sdpa(q, k, v, attn_bias=None, causal: bool = False, block_q: int = 256
     if attn_bias is not None:
         # broadcast over batch/head at the index-map level where possible —
         # never materialize a full (BH, Lq, Lk) bias for shared tables
-        lead = attn_bias.shape[:-2]
-        lead_prod = math.prod(lead) if lead else 1
-        if lead_prod == 1:
+        lead_prod = math.prod(bias_lead) if bias_lead else 1
+        if bias_shared:
             bias_block, bias_map = 1, (lambda b, i, j: (0, i, j))
-        elif lead == tuple(batch) or lead_prod == bh:
+        elif bias_full:
             bias_block, bias_map = bb, (lambda b, i, j: (b, i, j))
-        elif batch and lead_prod == batch[-1]:  # per-head table shared across batch
+        elif bias_per_head:  # per-head table shared across batch
             assert bb == 1
-            h = lead_prod
+            h = batch[-1]
             bias_block, bias_map = 1, (lambda b, i, j: (b % h, i, j))
         else:
             attn_bias = jnp.broadcast_to(attn_bias, (*batch, lq, lk))

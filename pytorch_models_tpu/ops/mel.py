@@ -20,7 +20,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.audio.spectrogram import get_mel_filters, hann_window
+from ..models.audio.spectrogram import frame_signal, get_mel_filters, hann_window
 
 LANE = 128
 
@@ -73,11 +73,8 @@ def log_mel_spectrogram(x, n_fft: int = 400, hop_length: int = 160, n_mels: int 
 
     *batch, length = x.shape
     x = x.reshape(-1, length).astype(jnp.float32)
-    pad = n_fft // 2
-    xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    n_frames = (xp.shape[-1] - n_fft) // hop_length + 1
-    idx = jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
-    frames = xp[:, idx]  # (B, F, n_fft)
+    frames = frame_signal(x, n_fft, hop_length)  # (B, F, n_fft)
+    n_frames = frames.shape[1]
 
     b = frames.shape[0]
     flat = frames.reshape(b * n_frames, n_fft)

@@ -3,8 +3,8 @@
 The reference is single-process with no distributed layer (SURVEY.md §2.7 N3);
 this is the TPU-native equivalent: a named ``jax.sharding.Mesh`` whose axes
 carry data ("dp"), pipeline ("pp"), and tensor ("tp") parallelism. Sequence
-parallelism reuses the "tp" axis (Megatron-style), expert parallelism reuses
-"dp" (experts sharded over the data axis, tokens exchanged by XLA collectives).
+parallelism reuses the "tp" axis (Megatron-style), expert parallelism
+shards the expert dim over "tp" as well (see parallel/train.py).
 """
 
 from __future__ import annotations
@@ -15,8 +15,8 @@ from jax.sharding import Mesh
 
 
 def _factor3(n: int) -> tuple[int, int, int]:
-    """Split n devices into (dp, pp, tp), preferring tp ≤ 4 on the innermost
-    (fastest-ICI) axis, then pp, then dp."""
+    """Split n devices into (dp, pp, tp): tp ≤ 2 on the innermost (fastest-ICI)
+    axis, then pp ≤ 2, remainder to dp — so 8 devices exercise all three axes."""
     def largest_pow2_divisor(x: int, cap: int) -> int:
         d = 1
         while d * 2 <= cap and x % (d * 2) == 0:

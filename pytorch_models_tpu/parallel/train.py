@@ -9,8 +9,9 @@ jitted over a ("dp", "pp", "tp") mesh with
 - pp: GPipe pipeline over stacked stage params (parallel/pipeline.py),
 - tp: Megatron head/hidden sharding inside each block,
 - sp: sequence-sharded activations at the norms (constraints on the "tp" axis),
-- ep: MoE expert weights sharded over the "dp" axis (dense dispatch; XLA
-  inserts the gather/reduce collectives).
+- ep: MoE expert weights sharded along the expert dim over "tp" (dense
+  dispatch; XLA inserts the gather/reduce collectives — sharing the axis with
+  attention TP is fine because the two uses are sequential within a block).
 """
 
 from __future__ import annotations
@@ -121,22 +122,18 @@ def moe_lm_forward(params, cfg: MoELMConfig, tokens, mesh: Mesh, n_micro: int):
 def param_pspecs(cfg: MoELMConfig) -> dict:
     """PartitionSpecs: pp on the stage axis, tp on head/hidden dims, ep on experts."""
     block = {
-        "sa_norm": {"scale": P(), "bias": P()},
+        "sa_norm": {"scale": P("pp"), "bias": P("pp")},  # stage-stacked small leaves
         "sa": {
             "q": {"w": P("pp", None, None, "tp"), "b": P("pp", None, "tp")},
             "k": {"w": P("pp", None, None, "tp"), "b": P("pp", None, "tp")},
             "v": {"w": P("pp", None, None, "tp"), "b": P("pp", None, "tp")},
             "o": {"w": P("pp", None, "tp", None), "b": P()},
         },
-        "mlp_norm": {"scale": P(), "bias": P()},
-        "router": {"w": P(), "b": P()},
+        "mlp_norm": {"scale": P("pp"), "bias": P("pp")},
+        "router": {"w": P("pp"), "b": P("pp")},
         "w1": P("pp", None, "tp", None, None),  # expert parallelism (shares the "tp" axis)
         "w2": P("pp", None, "tp", None, None),
     }
-    # norms/stage-stacked small leaves: prepend pp for the stage axis
-    block["sa_norm"] = {"scale": P("pp"), "bias": P("pp")}
-    block["mlp_norm"] = {"scale": P("pp"), "bias": P("pp")}
-    block["router"] = {"w": P("pp"), "b": P("pp")}
     return {
         "token_embs": P(),
         "pos_embs": P(),

@@ -19,9 +19,14 @@ def cache_dir(subdir: str = "") -> Path:
     return d
 
 
-def hub_download(url: str, subdir: str = "") -> str:
-    """Download ``url`` into the local cache (skipping if present); return the path."""
-    save_path = cache_dir(subdir) / url.rstrip("/").split("/")[-1]
+def hub_download(url: str, subdir: str = "", file_name: str | None = None) -> str:
+    """Download ``url`` into the local cache (skipping if present); return the path.
+
+    ``file_name`` overrides the cached name — required for HF checkpoints,
+    which are all served as ``pytorch_model.bin`` and would otherwise collide
+    (the reference passes file_name=model_tag for the same reason, bert.py:69).
+    """
+    save_path = cache_dir(subdir) / (file_name or url.rstrip("/").split("/")[-1])
     if save_path.exists():
         return str(save_path)
 
