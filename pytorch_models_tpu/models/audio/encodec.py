@@ -115,7 +115,8 @@ def lstm_apply(layers: list[dict], x: jnp.ndarray) -> jnp.ndarray:
 
         def cell(carry, xt):
             h, c = carry
-            gates = xt @ w_ih + h @ w_hh + b
+            prec = jax.lax.Precision.HIGHEST if xt.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+            gates = jnp.matmul(xt, w_ih, precision=prec) + jnp.matmul(h, w_hh, precision=prec) + b
             i, f, g, o = jnp.split(gates, 4, axis=-1)
             c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
             h = jax.nn.sigmoid(o) * jnp.tanh(c)
@@ -169,7 +170,7 @@ def rvq_quantize(embed: jnp.ndarray, x: jnp.ndarray, n_quantizers: int) -> jnp.n
     def body(residual, codebook):
         d = (
             jnp.sum(jnp.square(residual), axis=-1, keepdims=True)
-            - 2 * residual @ codebook.T
+            - 2 * jnp.matmul(residual, codebook.T, precision=jax.lax.Precision.HIGHEST)
             + jnp.sum(jnp.square(codebook), axis=-1)
         )
         idx = jnp.argmin(d, axis=-1)

@@ -75,4 +75,5 @@ class MelSpectrogram(Spectrogram):
         self.filters = jnp.asarray(get_mel_filters(n_mels, n_fft, sample_rate))
 
     def __call__(self, x) -> jnp.ndarray:
-        return jnp.matmul(self.filters, super().__call__(x))
+        spec = super().__call__(x)
+        return jnp.matmul(self.filters, spec, precision=jax.lax.Precision.HIGHEST)

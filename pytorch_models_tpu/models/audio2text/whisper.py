@@ -97,7 +97,9 @@ def whisper_encode(params, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
 
 def _decoder_head(p, x):
     x = layer_norm(p["norm"], x)
-    return jnp.matmul(x, p["token_embs"].astype(x.dtype).T)
+    from ...ops.layers import dot_precision
+
+    return jnp.matmul(x, p["token_embs"].astype(x.dtype).T, precision=dot_precision(x))
 
 
 @partial(jax.jit, static_argnums=1)

@@ -52,7 +52,9 @@ def decoder_lm_init(key, cfg: DecoderLMConfig) -> dict:
 def _head(params: dict, cfg: DecoderLMConfig, x: jnp.ndarray) -> jnp.ndarray:
     if cfg.final_norm:
         x = layer_norm(params["norm"], x, cfg.norm_eps)
-    return jnp.matmul(x, params["token_embs"].astype(x.dtype).T)
+    from ...ops.layers import dot_precision
+
+    return jnp.matmul(x, params["token_embs"].astype(x.dtype).T, precision=dot_precision(x))
 
 
 def decoder_lm_apply(params: dict, cfg: DecoderLMConfig, tokens: jnp.ndarray) -> jnp.ndarray:

@@ -58,8 +58,11 @@ def _flash_eligible(q, k, v) -> bool:
 
 
 def _sdpa_xla(q, k, v, attn_bias, causal):
+    from .layers import dot_precision
+
+    prec = dot_precision(q)
     scale = 1.0 / math.sqrt(q.shape[-1])
-    logits = jnp.einsum("...qd,...kd->...qk", q, k).astype(jnp.float32) * scale
+    logits = jnp.einsum("...qd,...kd->...qk", q, k, precision=prec).astype(jnp.float32) * scale
     if attn_bias is not None:
         logits = logits + attn_bias.astype(jnp.float32)
     if causal:
@@ -68,4 +71,4 @@ def _sdpa_xla(q, k, v, attn_bias, causal):
         col = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
         logits = jnp.where(col <= row, logits, jnp.float32(-jnp.inf))
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    return jnp.einsum("...qk,...kd->...qd", probs, v)
+    return jnp.einsum("...qk,...kd->...qd", probs, v, precision=prec)

@@ -26,6 +26,12 @@ ACT_FNS = {
 }
 
 
+def dot_precision(x) -> lax.Precision:
+    """HIGHEST for fp32 inputs (TPU would otherwise run bf16 MXU passes and
+    miss the ≤1e-3 parity target); DEFAULT for bf16 — the fast path."""
+    return lax.Precision.HIGHEST if x.dtype == jnp.float32 else lax.Precision.DEFAULT
+
+
 def linear_init(key, in_dim: int, out_dim: int, bias: bool = True) -> dict:
     """torch-style default init: U(-1/sqrt(in), 1/sqrt(in)) for weight and bias."""
     kw, kb = jax.random.split(key)
@@ -37,7 +43,7 @@ def linear_init(key, in_dim: int, out_dim: int, bias: bool = True) -> dict:
 
 
 def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    y = jnp.matmul(x, p["w"].astype(x.dtype))
+    y = jnp.matmul(x, p["w"].astype(x.dtype), precision=dot_precision(x))
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y
@@ -96,6 +102,7 @@ def conv2d(
         rhs_dilation=dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
+        precision=dot_precision(x),
     )
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
@@ -160,6 +167,7 @@ def conv1d(
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
+        precision=dot_precision(x),
     )
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
