@@ -196,10 +196,9 @@ class Wav2Vec2(InferenceModel):
             _kwargs["pre_norm"] = config["do_stable_layer_norm"]
         m = cls(**_kwargs, **kwargs)
         if pretrained:
-            from ...utils.torch_ckpt import load_torch_checkpoint
+            from ...utils.download import load_hf_checkpoint
 
-            url = f"https://huggingface.co/{model_tag}/resolve/main/pytorch_model.bin"
-            state_dict = load_torch_checkpoint(hub_download(url, file_name=model_tag.replace("/", "_") + ".bin"))
+            state_dict = load_hf_checkpoint(model_tag)
             state_dict = {k.replace("wav2vec2.", ""): v for k, v in state_dict.items()}
             m.load_hf_state_dict(state_dict)
         return m

@@ -101,10 +101,9 @@ class BERT(InferenceModel):
             **kwargs,
         )
         if pretrained:
-            from ...utils.torch_ckpt import load_torch_checkpoint
+            from ...utils.download import load_hf_checkpoint
 
-            url = f"https://huggingface.co/{resolved_tag}/resolve/main/pytorch_model.bin"
-            m.load_hf_state_dict(load_torch_checkpoint(hub_download(url, file_name=resolved_tag.replace("/", "_") + ".bin")))
+            m.load_hf_state_dict(load_hf_checkpoint(resolved_tag))
         return m
 
     def load_hf_state_dict(self, state_dict: dict) -> None:

@@ -50,10 +50,9 @@ class GPT2(InferenceModel):
         n_layers, d_model = VARIANTS[model_tag]
         m = GPT2(n_layers, d_model, **kwargs)
         if pretrained:
-            from ...utils.torch_ckpt import load_torch_checkpoint
+            from ...utils.download import load_hf_checkpoint
 
-            url = f"https://huggingface.co/{model_tag}/resolve/main/pytorch_model.bin"
-            m.load_hf_state_dict(load_torch_checkpoint(hub_download(url, file_name=model_tag.replace("/", "_") + ".bin")))
+            m.load_hf_state_dict(load_hf_checkpoint(model_tag))
         return m
 
     def load_hf_state_dict(self, state_dict: dict) -> None:

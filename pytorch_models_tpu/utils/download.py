@@ -40,3 +40,21 @@ def hub_download(url: str, subdir: str = "", file_name: str | None = None) -> st
                 f.write(chunk)
     os.replace(tmp, save_path)
     return str(save_path)
+
+
+def load_hf_checkpoint(model_tag: str) -> dict:
+    """Fetch + read an HF checkpoint: ``pytorch_model.bin`` first (what the
+    reference reads, bert.py:68), falling back to ``model.safetensors``
+    (modern repos often ship only that)."""
+    base = f"https://huggingface.co/{model_tag}/resolve/main"
+    safe_name = model_tag.replace("/", "_")
+    try:
+        path = hub_download(f"{base}/pytorch_model.bin", file_name=safe_name + ".bin")
+        from .torch_ckpt import load_torch_checkpoint
+
+        return load_torch_checkpoint(path)
+    except Exception:
+        path = hub_download(f"{base}/model.safetensors", file_name=safe_name + ".safetensors")
+        from .safetensors import load_safetensors
+
+        return load_safetensors(path)

@@ -40,3 +40,29 @@ def test_bf16_checkpoint(tmp_path):
     torch.save(sd, path)
     out = load_torch_checkpoint(str(path))
     np.testing.assert_array_equal(out["w"], sd["w"].float().numpy())
+
+
+def test_safetensors_reader(tmp_path):
+    """Hand-write a .safetensors file; our dependency-free reader must parse it."""
+    import json
+    import struct
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((4, 3)).astype(np.float32)
+    b = rng.integers(0, 10, (5,)).astype(np.int64)
+    bufs = a.tobytes() + b.tobytes()
+    header = {
+        "a.weight": {"dtype": "F32", "shape": [4, 3], "data_offsets": [0, a.nbytes]},
+        "b.ids": {"dtype": "I64", "shape": [5], "data_offsets": [a.nbytes, a.nbytes + b.nbytes]},
+        "__metadata__": {"format": "pt"},
+    }
+    hdr = json.dumps(header).encode()
+    path = tmp_path / "m.safetensors"
+    path.write_bytes(struct.pack("<Q", len(hdr)) + hdr + bufs)
+
+    from pytorch_models_tpu.utils.safetensors import load_safetensors
+
+    out = load_safetensors(str(path))
+    np.testing.assert_array_equal(out["a.weight"], a)
+    np.testing.assert_array_equal(out["b.ids"], b)
+    assert "__metadata__" not in out
