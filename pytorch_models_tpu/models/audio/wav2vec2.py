@@ -23,7 +23,7 @@ import numpy as np
 from ... import transformer as tfm
 from ...ops import ACT_FNS, layer_norm
 from ...ops.layers import conv1d, conv1d_init
-from ...utils import StateDict, hub_download, stack_layers
+from ...utils import StateDict, stack_layers
 from pytorch_models_tpu.utils.module import InferenceModel
 
 

@@ -19,7 +19,7 @@ import numpy as np
 
 from ... import transformer as tfm
 from ...ops import layer_norm
-from ...utils import StateDict, hub_download, stack_layers
+from ...utils import StateDict, stack_layers
 from pytorch_models_tpu.utils.module import InferenceModel
 
 

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...utils import StateDict, hub_download, stack_layers
+from ...utils import StateDict, stack_layers
 from pytorch_models_tpu.utils.module import InferenceModel
 from ._decoder_lm import DecoderLMConfig, decoder_lm_apply, decoder_lm_init
 
