@@ -3,10 +3,27 @@
 
 class InferenceModel:
     """Mixin giving the torch-style no-op mode switches (models here are
-    always inference-mode pure functions)."""
+    always inference-mode pure functions) plus serving-dtype casts."""
 
     def eval(self):
         return self
 
     def train(self, mode: bool = True):
         raise NotImplementedError("training is not supported (matches the reference, README.md:9)")
+
+    def to_bf16(self):
+        """Cast floating params to bfloat16 — the TPU serving fast path."""
+        import jax.numpy as jnp
+
+        from .params import cast_tree
+
+        self.params = cast_tree(self.params, jnp.bfloat16)
+        return self
+
+    def to_fp32(self):
+        import jax.numpy as jnp
+
+        from .params import cast_tree
+
+        self.params = cast_tree(self.params, jnp.float32)
+        return self

@@ -261,3 +261,11 @@ def test_strict_consumption():
     m = ViT(2, 64, 2, 16, img_size=64)
     with pytest.raises(ValueError, match="unconsumed"):
         m.load_facebook_state_dict(sd)
+
+
+def test_bf16_serving_mode():
+    m = ViT(**TINY).to_bf16()
+    out = m(randn(rng(6), 1, 3, 64, 64).astype(np.float32))
+    assert bool(jnp.all(jnp.isfinite(out)))
+    m.to_fp32()
+    assert m.params["pe"].dtype == jnp.float32
