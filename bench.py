@@ -45,7 +45,7 @@ def bench_whisper():
     """Whisper-base RTF: 30 s of audio -> mel -> encoder -> 64 greedy tokens."""
     from pytorch_models_tpu.models.audio2text.whisper import Whisper, WhisperGenerator
 
-    model = Whisper.from_openai("base")  # random weights: timing-only (zero egress)
+    model = Whisper.from_openai("base").to_bf16()  # random weights: timing-only (zero egress)
     gen = WhisperGenerator(model)
     audio = np.random.default_rng(0).standard_normal(30 * 16_000).astype(np.float32) * 0.1
     init = [50258, 50259, 50359, 50363]
@@ -68,7 +68,7 @@ def bench_gpt2_decode():
     """GPT-2-small batched greedy decode throughput (tokens/sec/chip)."""
     from pytorch_models_tpu.models.text import GPT2, DecoderGenerator
 
-    model = GPT2(12, 768)  # random weights: timing-only (zero egress)
+    model = GPT2(12, 768).to_bf16()  # random weights: timing-only (zero egress)
 
     class Tok:  # generate_tokens_batch only reads eos_token_id
         eos_token_id = -1  # never stop early

@@ -131,11 +131,12 @@ def t5_block_apply(
     self_cache: dict | None = None,
     cross_cache: dict | None = None,
     pos=None,
+    cache_layer=None,
 ):
     lc = cfg.layer
     if self_cache is not None:
         out, new_cache = tfm.mha_apply(p["sa"], lc, rms_norm(p["sa_norm"], x), attn_bias=attn_bias,
-                                       cache=self_cache, cache_pos=pos)
+                                       cache=self_cache, cache_pos=pos, cache_layer=cache_layer)
         x = x + out
     else:
         new_cache = None
@@ -248,13 +249,14 @@ def _t5_generate(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int, pad_
         k_pos = jnp.arange(max_tokens)
         bias = relative_position_bias(dec["attn_bias"], q_pos, k_pos, False, cfg)
 
-        def body(h, inp):
-            lp, sc, cc = inp
-            h, new_sc = t5_block_apply(lp, cfg, h, attn_bias=bias, ca_bias=ca_bias,
-                                       self_cache=sc, cross_cache=cc, pos=pos)
-            return h, new_sc
+        def body(carry, inp):
+            h, ch = carry
+            lp, idx, cc = inp
+            h, ch = t5_block_apply(lp, cfg, h, attn_bias=bias, ca_bias=ca_bias,
+                                   self_cache=ch, cross_cache=cc, pos=pos, cache_layer=idx)
+            return (h, ch), None
 
-        h, caches = lax.scan(body, h, (dec["layers"], caches, cross_caches))
+        (h, caches), _ = lax.scan(body, (h, caches), (dec["layers"], jnp.arange(cfg.n_layers), cross_caches))
         h = rms_norm(dec["norm"], h)
         logits = linear(params["classifier"], h)[0]
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -297,13 +299,14 @@ def _t5_generate_batch(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int
         k_pos = jnp.arange(max_tokens)
         bias = relative_position_bias(dec["attn_bias"], q_pos, k_pos, False, cfg)
 
-        def body(h, inp):
-            lp, sc, cc = inp
-            h, new_sc = t5_block_apply(lp, cfg, h, attn_bias=bias, ca_bias=ca_bias,
-                                       self_cache=sc, cross_cache=cc, pos=pos)
-            return h, new_sc
+        def body(carry, inp):
+            h, ch = carry
+            lp, idx, cc = inp
+            h, ch = t5_block_apply(lp, cfg, h, attn_bias=bias, ca_bias=ca_bias,
+                                   self_cache=ch, cross_cache=cc, pos=pos, cache_layer=idx)
+            return (h, ch), None
 
-        h, caches = lax.scan(body, h, (dec["layers"], caches, cross_caches))
+        (h, caches), _ = lax.scan(body, (h, caches), (dec["layers"], jnp.arange(cfg.n_layers), cross_caches))
         h = rms_norm(dec["norm"], h)
         logits = linear(params["classifier"], h)[:, 0]
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
