@@ -77,9 +77,11 @@ def decoder_lm_forward_cached(params: dict, cfg: DecoderLMConfig, tokens: jnp.nd
     return _head(params, cfg, x), caches
 
 
-def decoder_lm_make_cache(cfg: DecoderLMConfig, batch_shape: tuple = (), dtype=jnp.float32) -> dict:
+def decoder_lm_make_cache(cfg: DecoderLMConfig, batch_shape: tuple = (), dtype=jnp.float32,
+                          stacked: bool = False):
     lc = cfg.layer
-    return tfm.make_kv_cache(cfg.n_layers, batch_shape, lc.n_heads, cfg.max_seq_len, lc.head_dim, dtype)
+    return tfm.make_kv_cache(cfg.n_layers, batch_shape, lc.n_heads, cfg.max_seq_len, lc.head_dim, dtype,
+                             stacked=stacked)
 
 
 def decoder_lm_forward_cached_batch(params, cfg: DecoderLMConfig, tokens, pos_ids, caches, pos, pad_bias):

@@ -43,7 +43,12 @@ def linear_init(key, in_dim: int, out_dim: int, bias: bool = True) -> dict:
 
 
 def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    y = jnp.matmul(x, p["w"].astype(x.dtype), precision=dot_precision(x))
+    # compute dtype follows the PARAMS (serving mode: bf16 params force bf16
+    # compute even for fp32 inputs; fp32 params keep full precision)
+    w = p["w"]
+    if jnp.issubdtype(x.dtype, jnp.floating) and x.dtype != w.dtype:
+        x = x.astype(w.dtype)
+    y = jnp.matmul(x, w, precision=dot_precision(x))
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y
@@ -94,9 +99,11 @@ def conv2d(
         padding = ((padding, padding), (padding, padding))
     elif isinstance(padding, tuple) and isinstance(padding[0], int):
         padding = ((padding[0], padding[0]), (padding[1], padding[1]))
+    if x.dtype != p["w"].dtype:
+        x = x.astype(p["w"].dtype)
     y = lax.conv_general_dilated(
         x,
-        p["w"].astype(x.dtype),
+        p["w"],
         window_strides=stride,
         padding=padding,
         rhs_dilation=dilation,
@@ -159,9 +166,11 @@ def conv1d(
     """NLC conv with a (k, in, out) kernel; torch-style int padding or explicit pair."""
     if isinstance(padding, int):
         padding = (padding, padding)
+    if x.dtype != p["w"].dtype:
+        x = x.astype(p["w"].dtype)
     y = lax.conv_general_dilated(
         x,
-        p["w"].astype(x.dtype),
+        p["w"],
         window_strides=(stride,),
         padding=(padding,),
         rhs_dilation=(dilation,),

@@ -294,8 +294,23 @@ def decoder_apply(
         x, _ = lax.scan(body, x, p["layers"])
         return x
 
-    # KV caches ride in the scan CARRY and are updated with
-    # dynamic_update_index_in_dim: XLA aliases loop carries in place, whereas
+    # A LIST of per-layer caches selects the unrolled decode path: each layer's
+    # cache is updated in place and read directly by attention — no
+    # dynamic_index copy of the layer slice (the stacked/scan path below pays
+    # one extra cache read+write per step).
+    if isinstance(self_caches, (list, tuple)):
+        n_layers = len(self_caches)
+        new_caches = []
+        for i in range(n_layers):
+            lp = jax.tree.map(lambda a: a[i], p["layers"])
+            cc = None if cross_caches is None else jax.tree.map(lambda a: a[i], cross_caches)
+            x, new_c = decoder_layer_apply(lp, cfg, x, memory, self_cache=self_caches[i], cross_cache=cc,
+                                           pos=pos, attn_bias=attn_bias)
+            new_caches.append(new_c)
+        return x, new_caches
+
+    # Stacked caches ride in the scan CARRY and are updated with a small
+    # dynamic_update_slice: XLA aliases loop carries in place, whereas
     # emitting them as scan ys would copy the ENTIRE cache every decode step
     # (measured 5x decode slowdown at GPT-2's 1024 context).
     n_layers = jax.tree_util.tree_leaves(p["layers"])[0].shape[0]
@@ -317,10 +332,15 @@ def decoder_apply(
     return x, new_caches
 
 
-def make_kv_cache(n_layers: int, batch_shape: tuple, n_heads: int, max_len: int, head_dim: int, dtype=jnp.float32):
-    """Preallocate a zeroed per-layer KV cache stacked along the layer axis."""
-    shape = (n_layers, *batch_shape, n_heads, max_len, head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+def make_kv_cache(n_layers: int, batch_shape: tuple, n_heads: int, max_len: int, head_dim: int, dtype=jnp.float32,
+                  stacked: bool = True):
+    """Preallocate a zeroed KV cache: stacked along the layer axis (scan path)
+    or as a list of per-layer caches (unrolled decode path)."""
+    shape = (*batch_shape, n_heads, max_len, head_dim)
+    if stacked:
+        full = (n_layers, *shape)
+        return {"k": jnp.zeros(full, dtype), "v": jnp.zeros(full, dtype)}
+    return [{"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)} for _ in range(n_layers)]
 
 
 def precompute_cross_caches(p: dict, cfg: LayerConfig, memory: jnp.ndarray) -> dict:
