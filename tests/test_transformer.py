@@ -80,3 +80,19 @@ def test_encoder_parity_vs_reference():
             expected = ref(t(x)).numpy()
         actual = np.asarray(tfm.encoder_apply(params, cfg, jnp.asarray(x)))
         assert max_abs_diff(expected, actual) < 1e-5, f"pre_norm={pre_norm}"
+
+
+def test_unrolled_cache_matches_stacked():
+    """List (unrolled) and stacked (scan) KV-cache layouts must agree."""
+    r = rng(154)
+    cfg = tfm.LayerConfig.make(64, n_heads=2)
+    params = tfm.decoder_init(jax.random.PRNGKey(2), 3, cfg)
+    x = jnp.asarray(randn(r, 6, 64))
+
+    stacked = tfm.make_kv_cache(3, (), cfg.n_heads, 8, cfg.head_dim, stacked=True)
+    unrolled = tfm.make_kv_cache(3, (), cfg.n_heads, 8, cfg.head_dim, stacked=False)
+
+    out_s, _ = tfm.decoder_apply(params, cfg, x, self_caches=stacked, pos=0)
+    out_u, new_u = tfm.decoder_apply(params, cfg, x, self_caches=unrolled, pos=0)
+    assert isinstance(new_u, list) and len(new_u) == 3
+    assert max_abs_diff(np.asarray(out_s), np.asarray(out_u)) < 1e-6
