@@ -219,6 +219,19 @@ def t5_decode(params, cfg: T5Config, tokens, memory):
 # ---------------------------------------------------------------------------
 
 
+def _t5_decode_layers(dec, cfg: T5Config, h, caches, cross_caches, bias, ca_bias, pos):
+    """One decode step through all layers, unrolled with per-layer list caches
+    (avoids the dynamic_index cache-slice copy; see transformer.decoder_apply)."""
+    new_caches = []
+    for i in range(cfg.n_layers):
+        lp = jax.tree.map(lambda a: a[i], dec["layers"])
+        cc = jax.tree.map(lambda a: a[i], cross_caches)
+        h, new_c = t5_block_apply(lp, cfg, h, attn_bias=bias, ca_bias=ca_bias,
+                                  self_cache=caches[i], cross_cache=cc, pos=pos)
+        new_caches.append(new_c)
+    return h, new_caches
+
+
 @partial(jax.jit, static_argnums=(1, 4))
 def _t5_generate(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int, pad_id, eos_id):
     """Greedy encoder-decoder generation, fully on device.
@@ -235,7 +248,7 @@ def _t5_generate(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int, pad_
 
     dec = params["decoder"]
     lc = cfg.layer
-    self_caches = tfm.make_kv_cache(cfg.n_layers, (), lc.n_heads, max_tokens, lc.head_dim)
+    self_caches = tfm.make_kv_cache(cfg.n_layers, (), lc.n_heads, max_tokens, lc.head_dim, stacked=False)
     cross_caches = tfm.precompute_cross_caches(dec, lc, memory)
     ca_bias = pad_bias  # mask padded memory keys
 
@@ -249,14 +262,7 @@ def _t5_generate(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int, pad_
         k_pos = jnp.arange(max_tokens)
         bias = relative_position_bias(dec["attn_bias"], q_pos, k_pos, False, cfg)
 
-        def body(carry, inp):
-            h, ch = carry
-            lp, idx, cc = inp
-            h, ch = t5_block_apply(lp, cfg, h, attn_bias=bias, ca_bias=ca_bias,
-                                   self_cache=ch, cross_cache=cc, pos=pos, cache_layer=idx)
-            return (h, ch), None
-
-        (h, caches), _ = lax.scan(body, (h, caches), (dec["layers"], jnp.arange(cfg.n_layers), cross_caches))
+        h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, ca_bias, pos)
         h = rms_norm(dec["norm"], h)
         logits = linear(params["classifier"], h)[0]
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -285,7 +291,7 @@ def _t5_generate_batch(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int
 
     dec = params["decoder"]
     lc = cfg.layer
-    self_caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, max_tokens, lc.head_dim)
+    self_caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, max_tokens, lc.head_dim, stacked=False)
     cross_caches = tfm.precompute_cross_caches(dec, lc, memory)
     ca_bias = pad_bias
 
@@ -299,14 +305,7 @@ def _t5_generate_batch(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int
         k_pos = jnp.arange(max_tokens)
         bias = relative_position_bias(dec["attn_bias"], q_pos, k_pos, False, cfg)
 
-        def body(carry, inp):
-            h, ch = carry
-            lp, idx, cc = inp
-            h, ch = t5_block_apply(lp, cfg, h, attn_bias=bias, ca_bias=ca_bias,
-                                   self_cache=ch, cross_cache=cc, pos=pos, cache_layer=idx)
-            return (h, ch), None
-
-        (h, caches), _ = lax.scan(body, (h, caches), (dec["layers"], jnp.arange(cfg.n_layers), cross_caches))
+        h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, ca_bias, pos)
         h = rms_norm(dec["norm"], h)
         logits = linear(params["classifier"], h)[:, 0]
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
