@@ -46,6 +46,8 @@ def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     # compute dtype follows the PARAMS (serving mode: bf16 params force bf16
     # compute even for fp32 inputs; fp32 params keep full precision)
     w = p["w"]
+    if isinstance(w, dict):  # weight-only int8 (utils.params.quantize_tree_int8)
+        w = w["w_q"].astype(jnp.bfloat16) * w["w_s"].astype(jnp.bfloat16)
     if jnp.issubdtype(x.dtype, jnp.floating) and x.dtype != w.dtype:
         x = x.astype(w.dtype)
     y = jnp.matmul(x, w, precision=dot_precision(x))

@@ -27,3 +27,13 @@ class InferenceModel:
 
         self.params = cast_tree(self.params, jnp.float32)
         return self
+
+    def quantize_int8(self):
+        """Weight-only int8 serving mode (linear kernels; ~0.3% weight error).
+
+        Halves weight HBM traffic — targets decode, which is weight-bandwidth
+        bound. Embeddings/norms/convs stay in their current dtype."""
+        from .params import quantize_tree_int8
+
+        self.params = quantize_tree_int8(self.params)
+        return self

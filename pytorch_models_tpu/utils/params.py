@@ -108,3 +108,24 @@ def cast_tree(tree: Any, dtype) -> Any:
             return x.astype(dtype)
         return x
     return jax.tree.map(_cast, tree)
+
+
+def quantize_tree_int8(tree: Any) -> Any:
+    """Weight-only int8: replace every linear kernel leaf ``['w']`` (ndim >= 2)
+    with ``{"w_q": int8, "w_s": f32 per-output-channel scales}``.
+
+    Symmetric per-out-channel quantization; ``ops.layers.linear`` dequantizes
+    on the fly (bf16 compute). Halves weight HBM traffic — the decode
+    bottleneck — at ~0.3% weight error. Opt-in via ``model.quantize_int8()``.
+    """
+    def convert(path, leaf):
+        path_str = jax.tree_util.keystr(path)
+        if not path_str.endswith("['w']") or leaf.ndim < 2 or not jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf
+        # reduce only the contraction (in) dim: per-(layer,)out-channel scales
+        scale = jnp.max(jnp.abs(leaf), axis=leaf.ndim - 2, keepdims=True) / 127.0
+        scale = jnp.where(scale == 0, 1.0, scale).astype(jnp.float32)
+        q = jnp.clip(jnp.round(leaf.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+        return {"w_q": q, "w_s": scale}
+
+    return jax.tree_util.tree_map_with_path(convert, tree)

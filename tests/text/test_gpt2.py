@@ -123,3 +123,22 @@ def test_batched_generation_matches_single(tiny_vocab):
     singles = [gen.generate_tokens(p, max_tokens=12) for p in prompts]
     batched = gen.generate_tokens_batch(prompts, max_tokens=12)
     assert batched == singles
+
+
+def test_int8_weight_only_quantization(tiny_vocab):
+    """Weight-only int8 decode stays close to fp32 and runs end to end."""
+    r = rng(46)
+    _, ours = _paired_models(r)
+    tokens = r.integers(0, 128, (16,))
+    ref_logits = np.asarray(ours(tokens))
+
+    ours.quantize_int8()
+    q_logits = np.asarray(ours(tokens))
+    assert q_logits.shape == ref_logits.shape
+    # int8 weights + bf16 compute: small logit drift, same argmax almost everywhere
+    agree = (q_logits.argmax(-1) == ref_logits.argmax(-1)).mean()
+    assert agree >= 0.9, agree
+
+    gen = DecoderGenerator(ours, FakeTokenizer())
+    out = gen.generate_tokens([5, 6, 7], max_tokens=8)
+    assert len(out) >= 4
