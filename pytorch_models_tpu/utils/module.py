@@ -28,6 +28,19 @@ class InferenceModel:
         self.params = cast_tree(self.params, jnp.float32)
         return self
 
+    def save(self, path: str):
+        """Persist the converted param pytree as an orbax checkpoint."""
+        from .serialization import save_params
+
+        save_params(path, self.params)
+        return self
+
+    def load(self, path: str):
+        from .serialization import load_params
+
+        self.params = load_params(path)
+        return self
+
     def quantize_int8(self):
         """Weight-only int8 serving mode (linear kernels; ~0.3% weight error).
 

@@ -66,3 +66,18 @@ def test_safetensors_reader(tmp_path):
     np.testing.assert_array_equal(out["a.weight"], a)
     np.testing.assert_array_equal(out["b.ids"], b)
     assert "__metadata__" not in out
+
+
+def test_orbax_save_load_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from pytorch_models_tpu.models.text import GPT2
+
+    m = GPT2(1, 64)
+    expected = np.asarray(m.params["token_embs"])
+    m.save(str(tmp_path / "ckpt"))
+
+    m2 = GPT2(1, 64, rng=1).load(str(tmp_path / "ckpt"))
+    np.testing.assert_array_equal(np.asarray(m2.params["token_embs"]), expected)
+    tokens = np.arange(8)
+    np.testing.assert_allclose(np.asarray(m2(tokens)), np.asarray(m(tokens)), rtol=1e-6, atol=1e-6)
