@@ -66,13 +66,14 @@ def _sdpa_xla(q, k, v, attn_bias, causal):
     # the fp32 upcast doubles the HBM traffic of the (.., Lq, Lk) score
     # tensor, which dominates encoder attention time at these lengths.
     acc_dtype = jnp.float32 if q.dtype == jnp.float32 else q.dtype
-    logits = jnp.einsum("...qd,...kd->...qk", q, k, precision=prec).astype(acc_dtype) * acc_dtype(scale)
+    logits = jnp.einsum("...qd,...kd->...qk", q, k, precision=prec).astype(acc_dtype)
+    logits = logits * jnp.asarray(scale, acc_dtype)
     if attn_bias is not None:
         logits = logits + attn_bias.astype(acc_dtype)
     if causal:
         lq, lk = logits.shape[-2], logits.shape[-1]
         row = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
-        logits = jnp.where(col <= row, logits, acc_dtype(-jnp.inf))
+        logits = jnp.where(col <= row, logits, jnp.asarray(-jnp.inf, acc_dtype))
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("...qk,...kd->...qd", probs, v, precision=prec)
