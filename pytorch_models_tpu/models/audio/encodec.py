@@ -25,6 +25,7 @@ import numpy as np
 from jax import lax
 
 from ...ops.layers import conv1d
+from ...ops.layers import dot_precision as _dot_precision
 from ...utils import StateDict, hub_download
 from pytorch_models_tpu.utils.module import InferenceModel
 
@@ -115,7 +116,9 @@ def lstm_apply(layers: list[dict], x: jnp.ndarray) -> jnp.ndarray:
 
         def cell(carry, xt):
             h, c = carry
-            prec = jax.lax.Precision.HIGHEST if xt.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+            from ...ops.layers import dot_precision
+
+            prec = dot_precision(xt)
             gates = jnp.matmul(xt, w_ih, precision=prec) + jnp.matmul(h, w_hh, precision=prec) + b
             i, f, g, o = jnp.split(gates, 4, axis=-1)
             c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
@@ -170,7 +173,7 @@ def rvq_quantize(embed: jnp.ndarray, x: jnp.ndarray, n_quantizers: int) -> jnp.n
     def body(residual, codebook):
         d = (
             jnp.sum(jnp.square(residual), axis=-1, keepdims=True)
-            - 2 * jnp.matmul(residual, codebook.T, precision=jax.lax.Precision.HIGHEST)
+            - 2 * jnp.matmul(residual, codebook.T, precision=_dot_precision(residual))
             + jnp.sum(jnp.square(codebook), axis=-1)
         )
         idx = jnp.argmin(d, axis=-1)

@@ -76,4 +76,6 @@ class MelSpectrogram(Spectrogram):
 
     def __call__(self, x) -> jnp.ndarray:
         spec = super().__call__(x)
-        return jnp.matmul(self.filters, spec, precision=jax.lax.Precision.HIGHEST)
+        from pytorch_models_tpu.ops.layers import dot_precision
+
+        return jnp.matmul(self.filters.astype(spec.dtype), spec, precision=dot_precision(spec))

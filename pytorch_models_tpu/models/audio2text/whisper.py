@@ -119,7 +119,8 @@ def _whisper_generate(params, cfg: WhisperConfig, memory, initial_tokens, max_to
     lc = cfg.dec_layer
     n_init = initial_tokens.shape[0]
 
-    self_caches = tfm.make_kv_cache(cfg.n_layers, (), lc.n_heads, max_tokens, lc.head_dim, stacked=False)
+    self_caches = tfm.make_kv_cache(cfg.n_layers, (), lc.n_heads, max_tokens, lc.head_dim,
+                                    dtype=p["token_embs"].dtype, stacked=False)
     cross_caches = tfm.precompute_cross_caches(p, lc, memory)
 
     def forward_chunk(tokens, caches, pos, s):
@@ -163,7 +164,8 @@ def _whisper_generate_batch(params, cfg: WhisperConfig, memory, initial_tokens, 
     b = memory.shape[0]
     n_init = initial_tokens.shape[0]
 
-    self_caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, max_tokens, lc.head_dim, stacked=False)
+    self_caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, max_tokens, lc.head_dim,
+                                    dtype=p["token_embs"].dtype, stacked=False)
     cross_caches = tfm.precompute_cross_caches(p, lc, memory)
 
     def forward_chunk(tokens, caches, pos, s):

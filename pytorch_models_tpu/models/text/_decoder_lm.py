@@ -78,7 +78,7 @@ def decoder_lm_forward_cached(params: dict, cfg: DecoderLMConfig, tokens: jnp.nd
 
 
 def decoder_lm_make_cache(cfg: DecoderLMConfig, batch_shape: tuple = (), dtype=jnp.float32,
-                          stacked: bool = False):
+                          stacked: bool = True):
     lc = cfg.layer
     return tfm.make_kv_cache(cfg.n_layers, batch_shape, lc.n_heads, cfg.max_seq_len, lc.head_dim, dtype,
                              stacked=stacked)

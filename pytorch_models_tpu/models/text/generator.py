@@ -40,7 +40,8 @@ def _generate(params, cfg, prompt_buf, n_prompt, limit, topk, eos_id, key):
     ``limit``: total token budget (prompt + max_tokens, ≤ cfg.max_seq_len).
     Returns ``(tokens_buf (max_seq_len,), length)``.
     """
-    caches = decoder_lm_make_cache(cfg)
+    cache_dtype = params["token_embs"].dtype
+    caches = decoder_lm_make_cache(cfg, dtype=cache_dtype, stacked=False)
     logits, caches = decoder_lm_forward_cached(params, cfg, prompt_buf, caches, 0)
     last_logits = lax.dynamic_index_in_dim(logits, n_prompt - 1, axis=0, keepdims=False)
 
@@ -89,7 +90,8 @@ def _generate_batch(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id, key)
     pad_bias = jnp.where(jnp.arange(l_max)[None, :] >= pad_lens[:, None], 0.0, NEG_INF)
     pad_bias = pad_bias.astype(jnp.float32)[:, None, None, :]  # (B,1,1,Lmax)
 
-    caches = decoder_lm_make_cache(cfg, (b,))
+    cache_dtype = params["token_embs"].dtype
+    caches = decoder_lm_make_cache(cfg, (b,), dtype=cache_dtype, stacked=False)
     logits, caches = decoder_lm_forward_cached_batch(params, cfg, prompt_buf, pos_ids, caches, 0, pad_bias)
     last = logits[:, -1]  # rows are right-aligned: slot P-1 is each row's last prompt token
 

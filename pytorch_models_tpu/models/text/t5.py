@@ -248,7 +248,8 @@ def _t5_generate(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int, pad_
 
     dec = params["decoder"]
     lc = cfg.layer
-    self_caches = tfm.make_kv_cache(cfg.n_layers, (), lc.n_heads, max_tokens, lc.head_dim, stacked=False)
+    self_caches = tfm.make_kv_cache(cfg.n_layers, (), lc.n_heads, max_tokens, lc.head_dim,
+                                    dtype=params["token_embs"].dtype, stacked=False)
     cross_caches = tfm.precompute_cross_caches(dec, lc, memory)
     ca_bias = pad_bias  # mask padded memory keys
 
@@ -291,7 +292,8 @@ def _t5_generate_batch(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int
 
     dec = params["decoder"]
     lc = cfg.layer
-    self_caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, max_tokens, lc.head_dim, stacked=False)
+    self_caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, max_tokens, lc.head_dim,
+                                    dtype=params["token_embs"].dtype, stacked=False)
     cross_caches = tfm.precompute_cross_caches(dec, lc, memory)
     ca_bias = pad_bias
 

@@ -101,11 +101,14 @@ def conv2d(
         padding = ((padding, padding), (padding, padding))
     elif isinstance(padding, tuple) and isinstance(padding[0], int):
         padding = ((padding[0], padding[0]), (padding[1], padding[1]))
-    if x.dtype != p["w"].dtype:
-        x = x.astype(p["w"].dtype)
+    w = p["w"]
+    if isinstance(w, dict):  # weight-only int8
+        w = w["w_q"].astype(jnp.bfloat16) * w["w_s"].astype(jnp.bfloat16)
+    if x.dtype != w.dtype:
+        x = x.astype(w.dtype)
     y = lax.conv_general_dilated(
         x,
-        p["w"],
+        w,
         window_strides=stride,
         padding=padding,
         rhs_dilation=dilation,
@@ -168,11 +171,14 @@ def conv1d(
     """NLC conv with a (k, in, out) kernel; torch-style int padding or explicit pair."""
     if isinstance(padding, int):
         padding = (padding, padding)
-    if x.dtype != p["w"].dtype:
-        x = x.astype(p["w"].dtype)
+    w = p["w"]
+    if isinstance(w, dict):  # weight-only int8
+        w = w["w_q"].astype(jnp.bfloat16) * w["w_s"].astype(jnp.bfloat16)
+    if x.dtype != w.dtype:
+        x = x.astype(w.dtype)
     y = lax.conv_general_dilated(
         x,
-        p["w"],
+        w,
         window_strides=(stride,),
         padding=(padding,),
         rhs_dilation=(dilation,),

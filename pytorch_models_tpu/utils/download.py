@@ -46,15 +46,19 @@ def load_hf_checkpoint(model_tag: str) -> dict:
     """Fetch + read an HF checkpoint: ``pytorch_model.bin`` first (what the
     reference reads, bert.py:68), falling back to ``model.safetensors``
     (modern repos often ship only that)."""
+    import requests
+
     base = f"https://huggingface.co/{model_tag}/resolve/main"
     safe_name = model_tag.replace("/", "_")
     try:
         path = hub_download(f"{base}/pytorch_model.bin", file_name=safe_name + ".bin")
-        from .torch_ckpt import load_torch_checkpoint
-
-        return load_torch_checkpoint(path)
-    except Exception:
+    except requests.HTTPError as e:
+        if e.response is None or e.response.status_code != 404:
+            raise  # real failure: do not mask it with a second download
         path = hub_download(f"{base}/model.safetensors", file_name=safe_name + ".safetensors")
         from .safetensors import load_safetensors
 
         return load_safetensors(path)
+    from .torch_ckpt import load_torch_checkpoint
+
+    return load_torch_checkpoint(path)

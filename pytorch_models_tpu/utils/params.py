@@ -118,9 +118,19 @@ def quantize_tree_int8(tree: Any) -> Any:
     on the fly (bf16 compute). Halves weight HBM traffic — the decode
     bottleneck — at ~0.3% weight error. Opt-in via ``model.quantize_int8()``.
     """
+    _PROJ_KEYS = ("['q']", "['k']", "['v']", "['o']", "['fc1']", "['fc2']", "['wo']", "['mlp']",
+                  "['proj']", "['classifier']", "['upsample']")
+
     def convert(path, leaf):
         path_str = jax.tree_util.keystr(path)
-        if not path_str.endswith("['w']") or leaf.ndim < 2 or not jnp.issubdtype(leaf.dtype, jnp.floating):
+        # only attention/MLP projection kernels: conv kernels keep plain arrays
+        # (model code reads their static shapes for padding/groups)
+        if (
+            not path_str.endswith("['w']")
+            or leaf.ndim < 2
+            or not jnp.issubdtype(leaf.dtype, jnp.floating)
+            or not any(k in path_str for k in _PROJ_KEYS)
+        ):
             return leaf
         # reduce only the contraction (in) dim: per-(layer,)out-channel scales
         scale = jnp.max(jnp.abs(leaf), axis=leaf.ndim - 2, keepdims=True) / 127.0

@@ -50,7 +50,8 @@ def load_safetensors(path: str) -> dict[str, np.ndarray]:
         if dtype is None:
             raise ValueError(f"bf16 tensor {name!r} requires ml_dtypes")
         start, end = meta["data_offsets"]
-        arr = np.frombuffer(data[start:end], dtype=dtype).reshape(meta["shape"])
+        count = (end - start) // dtype.itemsize
+        arr = np.frombuffer(data, dtype=dtype, count=count, offset=start).reshape(meta["shape"])
         if _BF16 is not None and arr.dtype == _BF16:
             arr = arr.astype(np.float32)
         out[name] = arr

@@ -269,3 +269,15 @@ def test_bf16_serving_mode():
     assert bool(jnp.all(jnp.isfinite(out)))
     m.to_fp32()
     assert m.params["pe"].dtype == jnp.float32
+
+
+def test_int8_quantization_conv_model():
+    """int8 mode on a conv-bearing model: projections quantize, convs stay plain."""
+    m = ViT(**TINY)
+    x = randn(rng(8), 1, 3, 64, 64)
+    ref_out = np.asarray(m(x))
+    m.quantize_int8()
+    assert isinstance(m.params["patch_embed"]["w"], jnp.ndarray)  # conv untouched
+    assert isinstance(m.params["encoder"]["layers"]["sa"]["q"]["w"], dict)  # quantized
+    q_out = np.asarray(m(x))
+    assert np.abs(q_out - ref_out).max() < 0.1
