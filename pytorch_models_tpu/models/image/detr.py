@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ... import transformer as tfm
-from ...ops import ACT_FNS, layer_norm
+from ...ops import layer_norm
 from ...ops.layers import batch_norm, bn_init, conv2d, conv2d_init, max_pool2d
 from ...utils import StateDict, hub_download, stack_layers
 from pytorch_models_tpu.utils.module import InferenceModel

@@ -19,7 +19,7 @@ import numpy as np
 from ... import transformer as tfm
 from ...ops import ACT_FNS, layer_norm, sdpa
 from ...ops.layers import avg_pool2d, batch_norm, bn_init, conv2d, conv2d_init
-from ...utils import StateDict, stack_layers
+from ...utils import StateDict  # noqa: F401  (converter helpers)
 from pytorch_models_tpu.utils.module import InferenceModel
 
 BN_EPS = 1e-3  # ref maxvit.py:28

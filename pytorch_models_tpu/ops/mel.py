@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
 
 from ..models.audio.spectrogram import frame_signal, get_mel_filters, hann_window
 

@@ -4,12 +4,12 @@
 tensor/data-parallel collectives inside the stage body). Each pp rank holds
 one stage's parameters; microbatch activations flow rank→rank+1 via
 ``lax.ppermute`` in a classic GPipe schedule of ``n_micro + n_stages - 1``
-ticks; the last rank's results are broadcast back with a masked ``psum``.
+ticks; outputs come back pp-stacked and the last stage's slice is taken
+outside the manual region (a masked psum inside trips XLA on 3-axis meshes).
 """
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

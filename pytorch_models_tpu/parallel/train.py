@@ -17,7 +17,6 @@ jitted over a ("dp", "pp", "tp") mesh with
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -72,7 +71,7 @@ def moe_lm_init(key, cfg: MoELMConfig) -> dict:
 
 
 def _moe_mlp(p, cfg: MoELMConfig, x):
-    """Dense-dispatch top-1 MoE; expert weights carry the "ep" (=dp) sharding."""
+    """Dense-dispatch top-1 MoE; expert weights carry the "ep" (over tp) sharding."""
     gates = jax.nn.softmax(tfm.linear(p["router"], x), axis=-1)  # (mb, L, E)
     h = jnp.einsum("bld,edh->eblh", x, p["w1"].astype(x.dtype))
     h = jax.nn.gelu(h, approximate=False)
