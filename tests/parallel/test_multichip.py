@@ -68,3 +68,22 @@ def test_tp_sharded_gpt2_forward_matches():
     m.params = sharded
     actual = np.asarray(m(tokens))
     np.testing.assert_allclose(actual, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_partition_spec_rules():
+    """TP rules: qkv/fc1 split outputs, o/fc2 split inputs, rest replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    from pytorch_models_tpu.models.text import GPT2
+    from pytorch_models_tpu.parallel.sharding import decoder_lm_pspecs
+
+    m = GPT2(2, 128)
+    specs = decoder_lm_pspecs(m.params)
+    layers = specs["decoder"]["layers"]
+    assert layers["sa"]["q"]["w"] == P(None, None, "tp")
+    assert layers["sa"]["o"]["w"] == P(None, "tp", None)
+    assert layers["mlp"]["fc1"]["w"] == P(None, None, "tp")
+    assert layers["mlp"]["fc2"]["w"] == P(None, "tp", None)
+    assert layers["sa"]["q"]["b"] == P()  # stacked biases replicated
+    assert specs["token_embs"] == P()
+    assert layers["sa_norm"]["scale"] == P()
