@@ -54,30 +54,39 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_s, l_s, acc_s, *,
     if causal:
         mask = jnp.logical_and(mask, k_idx <= q_idx)
 
-    for b in range(bb):
-        q = q_ref[b].astype(jnp.float32)  # (bq, Dp)
-        k = k_ref[b].astype(jnp.float32)  # (bk, Dp)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32, precision=prec) * scale  # (bq, bk)
-        if bias_ref is not None:
-            s = s + bias_ref[b if bias_ref.shape[0] > 1 else 0].astype(jnp.float32)
-        s = jnp.where(mask, s, NEG_INF)
+    def compute():
+        for b in range(bb):
+            q = q_ref[b].astype(jnp.float32)  # (bq, Dp)
+            k = k_ref[b].astype(jnp.float32)  # (bk, Dp)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32, precision=prec) * scale  # (bq, bk)
+            if bias_ref is not None:
+                s = s + bias_ref[b if bias_ref.shape[0] > 1 else 0].astype(jnp.float32)
+            s = jnp.where(mask, s, NEG_INF)
 
-        m_prev = m_s[b, :, :1]  # (bq, 1)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        m_safe = jnp.where(m_new <= NEG_INF, 0.0, m_new)
+            m_prev = m_s[b, :, :1]  # (bq, 1)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            m_safe = jnp.where(m_new <= NEG_INF, 0.0, m_new)
 
-        p = jnp.exp(s - m_safe)  # masked entries: exp(NEG_INF - finite) == 0
-        alpha = jnp.exp(jnp.where(m_prev <= NEG_INF, NEG_INF, m_prev) - m_safe)
+            p = jnp.exp(s - m_safe)  # masked entries: exp(NEG_INF - finite) == 0
+            alpha = jnp.exp(jnp.where(m_prev <= NEG_INF, NEG_INF, m_prev) - m_safe)
 
-        l_new = alpha * l_s[b, :, :1] + jnp.sum(p, axis=-1, keepdims=True)
-        acc_s[b] = acc_s[b] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[b], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-        m_s[b] = jnp.broadcast_to(m_new, m_s.shape[1:])
-        l_s[b] = jnp.broadcast_to(l_new, l_s.shape[1:])
+            l_new = alpha * l_s[b, :, :1] + jnp.sum(p, axis=-1, keepdims=True)
+            acc_s[b] = acc_s[b] * alpha + jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[b], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            m_s[b] = jnp.broadcast_to(m_new, m_s.shape[1:])
+            l_s[b] = jnp.broadcast_to(l_new, l_s.shape[1:])
+
+    if causal:
+        # skip k blocks entirely above the causal diagonal (~2x on prefill)
+        @pl.when(ki * bk <= qi * bq + (bq - 1))
+        def _():
+            compute()
+    else:
+        compute()
 
     @pl.when(ki == nk - 1)
     def _():
