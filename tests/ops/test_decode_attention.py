@@ -1,0 +1,28 @@
+"""Decode-attention kernel parity vs the einsum path (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from pytorch_models_tpu.ops.attention import _sdpa_xla
+from pytorch_models_tpu.ops.decode_attention import decode_attention
+from tests.oracle import rng
+
+
+@pytest.mark.parametrize("pos", [0, 5, 511, 700, 1023])
+def test_decode_attention_parity(pos):
+    r = rng(161)
+    b, h, l_max, d = 2, 3, 1024, 64
+    q = jnp.asarray(r.standard_normal((b, h, 1, d)), jnp.float32)
+    k = jnp.asarray(r.standard_normal((b, h, l_max, d)), jnp.float32)
+    v = jnp.asarray(r.standard_normal((b, h, l_max, d)), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = decode_attention(q, k, v, pos)
+
+    # oracle: mask positions > pos, full einsum
+    col = jnp.arange(l_max)
+    bias = jnp.where(col <= pos, 0.0, -1e30).astype(jnp.float32)[None, None, None, :]
+    expected = _sdpa_xla(q, k, v, bias, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=2e-5, atol=2e-5)
