@@ -15,6 +15,7 @@ import functools
 import math
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -37,18 +38,31 @@ def _decode_kernel(pos_ref, q_ref, k_hbm, v_hbm, o_ref, *, bk: int, scale: float
     n_blocks = (pos + 1 + bk - 1) // bk  # only the valid prefix
 
     def body(k_scratch, v_scratch, sem):
+        # double-buffered: start block i+1's DMA while computing block i
         q = q_ref[0].astype(jnp.float32)  # (1, d_p) block
+
+        def copies(i, slot):
+            return (
+                pltpu.make_async_copy(k_hbm.at[bh, pl.ds(i * bk, bk)], k_scratch.at[slot], sem.at[slot, 0]),
+                pltpu.make_async_copy(v_hbm.at[bh, pl.ds(i * bk, bk)], v_scratch.at[slot], sem.at[slot, 1]),
+            )
+
+        for cp in copies(0, 0):
+            cp.start()
 
         def step(i, carry):
             m_prev, l_prev, acc = carry
-            cp_k = pltpu.make_async_copy(k_hbm.at[bh, pl.ds(i * bk, bk)], k_scratch, sem.at[0])
-            cp_v = pltpu.make_async_copy(v_hbm.at[bh, pl.ds(i * bk, bk)], v_scratch, sem.at[1])
-            cp_k.start()
-            cp_v.start()
-            cp_k.wait()
-            cp_v.wait()
+            slot = lax.rem(i, 2)
 
-            k = k_scratch[:].astype(jnp.float32)  # (bk, d_p)
+            @pl.when(i + 1 < n_blocks)
+            def _():
+                for cp in copies(i + 1, lax.rem(i + 1, 2)):
+                    cp.start()
+
+            for cp in copies(i, slot):
+                cp.wait()
+
+            k = k_scratch[slot].astype(jnp.float32)  # (bk, d_p)
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * scale  # (1, bk)
             k_idx = i * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
@@ -59,7 +73,7 @@ def _decode_kernel(pos_ref, q_ref, k_hbm, v_hbm, o_ref, *, bk: int, scale: float
             alpha = jnp.exp(m_prev - m_new)
             l_new = alpha * l_prev + jnp.sum(p)
             acc = acc * alpha + jax.lax.dot_general(
-                p.astype(v_scratch.dtype), v_scratch[:], (((1,), (0,)), ((), ())),
+                p.astype(v_scratch.dtype), v_scratch[slot], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             return m_new, l_new, acc
@@ -71,9 +85,9 @@ def _decode_kernel(pos_ref, q_ref, k_hbm, v_hbm, o_ref, *, bk: int, scale: float
 
     pl.run_scoped(
         body,
-        k_scratch=pltpu.VMEM((bk, d_p), k_hbm.dtype),
-        v_scratch=pltpu.VMEM((bk, d_p), v_hbm.dtype),
-        sem=pltpu.SemaphoreType.DMA((2,)),
+        k_scratch=pltpu.VMEM((2, bk, d_p), k_hbm.dtype),
+        v_scratch=pltpu.VMEM((2, bk, d_p), v_hbm.dtype),
+        sem=pltpu.SemaphoreType.DMA((2, 2)),
     )
 
 
