@@ -90,6 +90,32 @@ def bench_gpt2_decode():
     }))
 
 
+def bench_encodec():
+    """EnCodec-24khz round-trip (encode+decode) realtime factor on 10 s of audio."""
+    from pytorch_models_tpu.models.audio import EnCodec
+
+    model = EnCodec.from_facebook("24khz")  # random weights: timing-only
+    seconds = 10
+    audio = np.random.default_rng(0).standard_normal((1, 1, seconds * 24_000)).astype(np.float32) * 0.1
+
+    def roundtrip():
+        codes, scale = model.encode(audio)
+        return np.asarray(model.decode(codes, scale))
+
+    roundtrip()  # compile
+    t0 = time.perf_counter()
+    roundtrip()
+    dt = time.perf_counter() - t0
+    rtf = seconds / dt
+    print(f"encodec-24khz round-trip: {dt*1e3:.0f} ms for {seconds}s -> RTF {rtf:.1f}x", file=sys.stderr)
+    print(json.dumps({
+        "metric": "encodec_24khz_roundtrip_rtf",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 100.0, 4),
+    }))
+
+
 def main():
     # BENCH_PROFILE=/path captures a jax.profiler device trace around the
     # timed region (the reference has no tracing subsystem; SURVEY.md §5)
@@ -112,8 +138,11 @@ def _main():
     if which == "gpt2":
         bench_gpt2_decode()
         return
+    if which == "encodec":
+        bench_encodec()
+        return
     if which != "vit":
-        raise SystemExit(f"unknown BENCH_MODEL={which!r}; expected vit, whisper, or gpt2")
+        raise SystemExit(f"unknown BENCH_MODEL={which!r}; expected vit, whisper, gpt2, or encodec")
     dev = jax.devices()[0]
     kind = dev.device_kind.lower()
     peak = next((f for k, f in PEAK_FLOPS if k in kind), 100e12)
