@@ -20,6 +20,11 @@ import jax
 import jax.numpy as jnp
 
 
+# opt-in: single-position decode attention via the Pallas prefix-reading
+# kernel (ops/decode_attention.py). Off by default until TPU-benchmarked.
+USE_DECODE_KERNEL = False
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"

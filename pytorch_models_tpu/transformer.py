@@ -141,6 +141,13 @@ def mha_apply(
             }
             kh, vh = new_cache["k"], new_cache["v"]
         s, l_max = qh.shape[-2], kh.shape[-2]
+        from .ops import attention as _attn
+
+        if s == 1 and attn_bias is None and _attn.USE_DECODE_KERNEL:
+            from .ops.decode_attention import decode_attention
+
+            out = decode_attention(qh, kh.astype(qh.dtype), vh.astype(qh.dtype), cache_pos)
+            return linear(p["o"], merge_heads(out)), new_cache
         row = lax.broadcasted_iota(jnp.int32, (s, l_max), 0)
         col = lax.broadcasted_iota(jnp.int32, (s, l_max), 1)
         mask_bias = jnp.where(col <= cache_pos + row, 0.0, -jnp.inf).astype(jnp.float32)

@@ -26,3 +26,40 @@ def test_decode_attention_parity(pos):
     bias = jnp.where(col <= pos, 0.0, -1e30).astype(jnp.float32)[None, None, None, :]
     expected = _sdpa_xla(q, k, v, bias, False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=2e-5, atol=2e-5)
+
+
+def test_decode_kernel_end_to_end_generation():
+    """GPT-2 generation with the decode kernel == the masked-sdpa path."""
+    import jax
+
+    jax.clear_caches()
+    from pytorch_models_tpu.models.text import GPT2, DecoderGenerator
+    from pytorch_models_tpu.ops import attention as attn_mod
+
+    class Tok:
+        eos_token_id = -1
+
+        def encode(self, s):
+            return [1, 2, 3]
+
+        def decode(self, t):
+            return t
+
+    m = GPT2.__new__(GPT2)
+    GPT2.vocab_size, GPT2.max_seq_len = 128, 128
+    try:
+        m = GPT2(2, 64)
+    finally:
+        GPT2.vocab_size, GPT2.max_seq_len = 50257, 1024
+    gen = DecoderGenerator(m, Tok())
+    baseline = gen.generate_tokens([5, 6, 7], max_tokens=10)
+
+    attn_mod.USE_DECODE_KERNEL = True
+    try:
+        jax.clear_caches()
+        with pltpu.force_tpu_interpret_mode():
+            kernel_out = gen.generate_tokens([5, 6, 7], max_tokens=10)
+    finally:
+        attn_mod.USE_DECODE_KERNEL = False
+        jax.clear_caches()
+    assert kernel_out == baseline
