@@ -26,11 +26,11 @@ def gpipe_apply(stage_fn, stage_params, microbatches, mesh: Mesh, n_stages: int)
     """
     n_micro = microbatches.shape[0]
 
-    if n_stages == 1:  # degenerate pipeline: run the single stage directly
+    if n_stages == 1:  # degenerate pipeline: run the single stage per microbatch
+        # (kept per-microbatch, not flattened: capacity-based MoE layers make
+        # results depend on the token grouping)
         params0 = jax.tree.map(lambda x: x[0], stage_params)
-        m, mb = microbatches.shape[:2]
-        flat = microbatches.reshape(m * mb, *microbatches.shape[2:])
-        return stage_fn(params0, flat).reshape(microbatches.shape)
+        return jax.vmap(lambda mb: stage_fn(params0, mb))(microbatches)
 
     def per_rank(params, mbs):
         # re-anchor incoming shardings on the context (manual-pp) mesh; outer

@@ -39,6 +39,8 @@ class MoELMConfig:
     n_experts: int = 4
     expert_hidden: int = 256
     max_seq_len: int = 64
+    sparse_moe: bool = True  # GShard-style capacity dispatch vs dense all-experts
+    capacity_factor: float = 2.0
 
     @property
     def layer(self) -> tfm.LayerConfig:
@@ -71,7 +73,7 @@ def moe_lm_init(key, cfg: MoELMConfig) -> dict:
 
 
 def _moe_mlp(p, cfg: MoELMConfig, x):
-    """Dense-dispatch top-1 MoE; expert weights carry the "ep" (over tp) sharding."""
+    """Dense-dispatch top-1 MoE: every expert computes every token (E× FLOPs)."""
     gates = jax.nn.softmax(tfm.linear(p["router"], x), axis=-1)  # (mb, L, E)
     h = jnp.einsum("bld,edh->eblh", x, p["w1"].astype(x.dtype))
     h = jax.nn.gelu(h, approximate=False)
@@ -80,6 +82,43 @@ def _moe_mlp(p, cfg: MoELMConfig, x):
     onehot = jax.nn.one_hot(top1, cfg.n_experts, dtype=x.dtype)  # (mb, L, E)
     gate_val = jnp.sum(gates * onehot, axis=-1, keepdims=True)
     return jnp.einsum("ebld,ble->bld", out, onehot) * gate_val
+
+
+def _moe_mlp_sparse(p, cfg: MoELMConfig, x):
+    """GShard-style top-1 sparse dispatch with per-expert capacity.
+
+    Tokens route to their expert through one-hot dispatch/combine einsums;
+    under the "tp"-sharded expert dim XLA partitions these contractions into
+    the all_to_all exchanges of real expert parallelism. Tokens beyond an
+    expert's capacity are dropped (standard GShard semantics; with
+    capacity_factor >= E the result equals the dense dispatch exactly)."""
+    mb, l, d = x.shape
+    e = cfg.n_experts
+    tokens = mb * l
+    capacity = int(cfg.capacity_factor * tokens / e)
+
+    flat = x.reshape(tokens, d)
+    gates = jax.nn.softmax(tfm.linear(p["router"], flat), axis=-1)  # (T, E)
+    top1 = jnp.argmax(gates, axis=-1)  # (T,)
+    gate_val = jnp.take_along_axis(gates, top1[:, None], axis=1)[:, 0]  # (T,)
+
+    expert_onehot = jax.nn.one_hot(top1, e, dtype=jnp.int32)  # (T, E)
+    # position of each token within its expert's queue
+    pos_in_expert = jnp.cumsum(expert_onehot, axis=0) * expert_onehot - 1  # (T, E)
+    slot = jnp.sum(pos_in_expert * expert_onehot, axis=1)  # (T,)
+    keep = slot < capacity
+
+    dispatch = (
+        expert_onehot.astype(x.dtype)[:, :, None]
+        * jax.nn.one_hot(jnp.where(keep, slot, 0), capacity, dtype=x.dtype)[:, None, :]
+        * keep[:, None, None].astype(x.dtype)
+    )  # (T, E, C)
+
+    expert_in = jnp.einsum("td,tec->ecd", flat, dispatch)  # all_to_all under sharding
+    h = jax.nn.gelu(jnp.einsum("ecd,edh->ech", expert_in, p["w1"].astype(x.dtype)), approximate=False)
+    expert_out = jnp.einsum("ech,ehd->ecd", h, p["w2"].astype(x.dtype))
+    combined = jnp.einsum("ecd,tec->td", expert_out, dispatch)  # return all_to_all
+    return (combined * gate_val[:, None]).reshape(mb, l, d)
 
 
 def _block(p, cfg: MoELMConfig, x, mesh: Mesh):
@@ -92,7 +131,8 @@ def _block(p, cfg: MoELMConfig, x, mesh: Mesh):
     h = layer_norm(p["sa_norm"], x)
     x = x + tfm.mha_apply(p["sa"], cfg.layer, h, causal=True)
     x = lax.with_sharding_constraint(x, sp)
-    x = x + _moe_mlp(p, cfg, layer_norm(p["mlp_norm"], x))
+    moe = _moe_mlp_sparse if cfg.sparse_moe else _moe_mlp
+    x = x + moe(p, cfg, layer_norm(p["mlp_norm"], x))
     return x
 
 

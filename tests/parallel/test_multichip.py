@@ -43,11 +43,18 @@ def test_pipeline_matches_single_device():
     fwd = jax.jit(lambda p, t: moe_lm_forward(p, cfg, t, mesh, n_micro=2))
     logits_pp = fwd(params, tokens)
 
-    # sequential oracle: apply stages one after another, no pipeline
+    # sequential oracle: apply stages one after another, grouped per microbatch
+    # exactly like the pipeline (capacity-MoE results depend on token grouping)
     x = jnp.take(params["token_embs"], tokens, axis=0) + params["pos_embs"][:16]
     fn = _stage_fn(cfg, mesh)
-    for s in range(cfg.n_stages):
-        x = fn(jax.tree.map(lambda a: a[s], params["stages"]), x)
+    mbs = x.reshape(2, 2, 16, cfg.d_model)
+    outs = []
+    for m in range(2):
+        h = mbs[m]
+        for s in range(cfg.n_stages):
+            h = fn(jax.tree.map(lambda a: a[s], params["stages"]), h)
+        outs.append(h)
+    x = jnp.concatenate(outs, axis=0)
     from pytorch_models_tpu.ops import layer_norm
 
     x = layer_norm(params["norm"], x)
@@ -87,3 +94,17 @@ def test_partition_spec_rules():
     assert layers["sa"]["q"]["b"] == P()  # stacked biases replicated
     assert specs["token_embs"] == P()
     assert layers["sa_norm"]["scale"] == P()
+
+
+def test_sparse_moe_matches_dense_at_high_capacity():
+    """With capacity >= tokens, GShard sparse dispatch == dense dispatch exactly."""
+    from pytorch_models_tpu.parallel.train import MoELMConfig, _moe_mlp, _moe_mlp_sparse, moe_lm_init
+
+    cfg = MoELMConfig(capacity_factor=float(MoELMConfig.n_experts))
+    params = moe_lm_init(jax.random.PRNGKey(3), cfg)
+    lp = jax.tree.map(lambda a: a[0, 0], params["stages"])  # one block's params
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 8, cfg.d_model)), jnp.float32)
+
+    dense = _moe_mlp(lp, cfg, x)
+    sparse = _moe_mlp_sparse(lp, cfg, x)
+    np.testing.assert_allclose(np.asarray(sparse), np.asarray(dense), rtol=1e-5, atol=1e-5)
