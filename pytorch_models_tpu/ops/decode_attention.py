@@ -28,13 +28,18 @@ def _pad_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _decode_kernel(pos_ref, q_ref, k_hbm, v_hbm, o_ref, *, bk: int, scale: float, d_p: int):
+def _decode_kernel(pos_ref, pad_ref, q_ref, k_hbm, v_hbm, o_ref, *, bk: int, scale: float, d_p: int,
+                   n_heads: int):
     """One program handles one batch·head slice: q (1, D), cache (L_max, D).
 
     ``k_hbm``/``v_hbm`` are the FULL (BH, L_p, D_p) arrays (ANY memory space
-    refs are not block-sliced) — index by program id."""
+    refs are not block-sliced) — index by program id. ``pad_ref`` holds the
+    per-batch-row left-pad length (batched generation): blocks entirely inside
+    the pad are skipped, partially-padded blocks are masked."""
     pos = pos_ref[0]
     bh = pl.program_id(0)
+    pad = pad_ref[bh // n_heads]
+    start_block = pad // bk  # skip fully left-padded blocks
     n_blocks = (pos + 1 + bk - 1) // bk  # only the valid prefix
 
     def body(k_scratch, v_scratch, sem):
@@ -47,7 +52,7 @@ def _decode_kernel(pos_ref, q_ref, k_hbm, v_hbm, o_ref, *, bk: int, scale: float
                 pltpu.make_async_copy(v_hbm.at[bh, pl.ds(i * bk, bk)], v_scratch.at[slot], sem.at[slot, 1]),
             )
 
-        for cp in copies(0, 0):
+        for cp in copies(start_block, lax.rem(start_block, 2)):
             cp.start()
 
         def step(i, carry):
@@ -66,7 +71,7 @@ def _decode_kernel(pos_ref, q_ref, k_hbm, v_hbm, o_ref, *, bk: int, scale: float
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * scale  # (1, bk)
             k_idx = i * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
-            s = jnp.where(k_idx <= pos, s, NEG_INF)
+            s = jnp.where(jnp.logical_and(k_idx <= pos, k_idx >= pad), s, NEG_INF)
 
             m_new = jnp.maximum(m_prev, jnp.max(s))
             p = jnp.exp(s - m_new)
@@ -79,7 +84,7 @@ def _decode_kernel(pos_ref, q_ref, k_hbm, v_hbm, o_ref, *, bk: int, scale: float
             return m_new, l_new, acc
 
         init = (jnp.float32(NEG_INF), jnp.float32(0.0), jnp.zeros((1, d_p), jnp.float32))
-        m, l, acc = jax.lax.fori_loop(0, n_blocks, step, init)
+        m, l, acc = jax.lax.fori_loop(start_block, n_blocks, step, init)
         l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc / l).astype(o_ref.dtype)
 
@@ -92,16 +97,19 @@ def _decode_kernel(pos_ref, q_ref, k_hbm, v_hbm, o_ref, *, bk: int, scale: float
 
 
 @functools.partial(jax.jit, static_argnames=("block_k",))
-def decode_attention(q, k_cache, v_cache, pos, block_k: int = 512):
+def decode_attention(q, k_cache, v_cache, pos, pad_lens=None, block_k: int = 512):
     """q: (..., H, 1, D); k_cache/v_cache: (..., H, L_max, D); pos: scalar int.
 
-    Returns (..., H, 1, D) — attention over cache positions [0, pos] (the slot
-    at ``pos`` must already contain this step's K/V).
+    Returns (..., H, 1, D) — attention over cache positions [pad, pos] where
+    ``pad`` is 0 or the per-batch-row left-pad length from ``pad_lens`` (B,)
+    (batched left-aligned generation). The slot at ``pos`` must already
+    contain this step's K/V.
     """
     *batch, lq, d = q.shape
     assert lq == 1, "decode kernel is single-position"
     l_max = k_cache.shape[-2]
     bh = math.prod(batch) if batch else 1
+    n_heads = batch[-1] if batch else 1
     d_p = _pad_to(d, LANE)
     bk = min(block_k, _pad_to(l_max, LANE))
     l_p = _pad_to(l_max, bk)
@@ -113,20 +121,24 @@ def decode_attention(q, k_cache, v_cache, pos, block_k: int = 512):
     qp = jnp.pad(q.reshape(bh, 1, d), ((0, 0), (0, 0), (0, d_p - d)))
     kp, vp = prep(k_cache, l_max), prep(v_cache, l_max)
     pos_arr = jnp.full((1,), pos, jnp.int32)
+    if pad_lens is None:
+        pad_arr = jnp.zeros((max(bh // n_heads, 1),), jnp.int32)
+    else:
+        pad_arr = jnp.asarray(pad_lens, jnp.int32).reshape(-1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(bh,),
         in_specs=[
-            pl.BlockSpec((1, 1, d_p), lambda b, pos_ref: (b, 0, 0)),
+            pl.BlockSpec((1, 1, d_p), lambda b, pos_ref, pad_ref: (b, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),  # full cache; indexed by program id
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, d_p), lambda b, pos_ref: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, d_p), lambda b, pos_ref, pad_ref: (b, 0, 0)),
     )
     out = pl.pallas_call(
-        functools.partial(_decode_kernel, bk=bk, scale=1.0 / math.sqrt(d), d_p=d_p),
+        functools.partial(_decode_kernel, bk=bk, scale=1.0 / math.sqrt(d), d_p=d_p, n_heads=n_heads),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bh, 1, d_p), q.dtype),
-    )(pos_arr, qp, kp, vp)
+    )(pos_arr, pad_arr, qp, kp, vp)
     return out[:, :, :d].reshape(*batch, 1, d)

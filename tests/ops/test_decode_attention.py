@@ -63,3 +63,22 @@ def test_decode_kernel_end_to_end_generation():
         attn_mod.USE_DECODE_KERNEL = False
         jax.clear_caches()
     assert kernel_out == baseline
+
+
+def test_decode_attention_left_padded_rows():
+    """Per-row left-pad masking (batched generation) matches the einsum oracle."""
+    r = rng(162)
+    b, h, l_max, d = 3, 2, 512, 64
+    q = jnp.asarray(r.standard_normal((b, h, 1, d)), jnp.float32)
+    k = jnp.asarray(r.standard_normal((b, h, l_max, d)), jnp.float32)
+    v = jnp.asarray(r.standard_normal((b, h, l_max, d)), jnp.float32)
+    pos, pads = 300, jnp.asarray([0, 7, 299], jnp.int32)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = decode_attention(q, k, v, pos, pad_lens=pads)
+
+    col = jnp.arange(l_max)
+    valid = (col[None, :] <= pos) & (col[None, :] >= pads[:, None])  # (B, L)
+    bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)[:, None, None, :]
+    expected = _sdpa_xla(q, k, v, bias, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=2e-5, atol=2e-5)
