@@ -117,6 +117,21 @@ def bench_encodec():
 
 
 def main():
+    # the remote-TPU tunnel sporadically hangs for long stretches (CLAUDE.md);
+    # fail fast with a clear message instead of wedging the caller
+    watchdog_secs = int(os.environ.get("BENCH_WATCHDOG_SECS", "1500"))
+    if watchdog_secs > 0:
+        import threading
+
+        def _abort():
+            print(f"bench watchdog: no result within {watchdog_secs}s (TPU tunnel likely down); aborting",
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+        t = threading.Timer(watchdog_secs, _abort)
+        t.daemon = True
+        t.start()
+
     # BENCH_PROFILE=/path captures a jax.profiler device trace around the
     # timed region (the reference has no tracing subsystem; SURVEY.md §5)
     trace_dir = os.environ.get("BENCH_PROFILE")
