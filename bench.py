@@ -2,25 +2,31 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no throughput numbers (BASELINE.md), so
-``vs_baseline`` is the fraction of the chip's analytic bf16 roofline
-(peak_flops / model_flops_per_image) — the BASELINE.json north star asks for
->= 0.9. Sweep details go to stderr.
+``vs_baseline`` is the fraction of the chip's analytic roofline — per-model
+floors computed from bf16 peak FLOP/s and HBM bandwidth (batch-1 decode is
+bandwidth-bound, so its roofline is weight+cache traffic, not FLOPs). The
+BASELINE.json north star asks for >= 0.9. Sweep details go to stderr.
 
 ``BENCH_MODEL=whisper`` instead reports Whisper-base real-time factor
 (greedy KV-cached decode, single 30 s segment); ``BENCH_MODEL=gpt2`` reports
 GPT-2-small batched decode throughput in tokens/sec.
+
+Reliability (the remote-TPU tunnel sporadically hangs, CLAUDE.md): the parent
+process supervises the actual measurement in a child process with a
+per-attempt timeout and retries (BENCH_ATTEMPTS, default 2). On total
+failure it still emits a valid JSON line with ``value: 0`` and an ``error``
+field so the driver always has something to parse.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-# bf16 peak FLOP/s per chip by device kind (first match wins)
+# bf16 peak FLOP/s and HBM bandwidth per chip by device kind (first match wins)
 PEAK_FLOPS = [
     ("v5 lite", 197e12),  # TPU v5e
     ("v5e", 197e12),
@@ -29,6 +35,32 @@ PEAK_FLOPS = [
     ("v6", 918e12),  # trillium
     ("cpu", 1e12),  # arbitrary; CI smoke only
 ]
+HBM_BW = [
+    ("v5 lite", 819e9),
+    ("v5e", 819e9),
+    ("v5p", 2765e9),
+    ("v4", 1228e9),
+    ("v6", 1638e9),
+    ("cpu", 50e9),
+]
+
+METRICS = {
+    "vit": ("vit_b16_images_per_sec_per_chip", "images/sec"),
+    "whisper": ("whisper_base_rtf", "x_realtime"),
+    "gpt2": ("gpt2_small_decode_tokens_per_sec", "tokens/sec"),
+    "encodec": ("encodec_24khz_roundtrip_rtf", "x_realtime"),
+}
+
+
+def _device_caps():
+    import jax
+
+    dev = jax.devices()[0]
+    kind = dev.device_kind.lower()
+    peak = next((f for k, f in PEAK_FLOPS if k in kind), 100e12)
+    bw = next((b for k, b in HBM_BW if k in kind), 819e9)
+    print(f"device: {dev.device_kind}, peak bf16 {peak/1e12:.0f} TFLOP/s, HBM {bw/1e9:.0f} GB/s", file=sys.stderr)
+    return peak, bw
 
 
 def vit_flops_per_image(n_layers=12, d=768, patch=16, img=224, mlp_ratio=4) -> float:
@@ -41,7 +73,72 @@ def vit_flops_per_image(n_layers=12, d=768, patch=16, img=224, mlp_ratio=4) -> f
     return 2.0 * (patch_macs + n_layers * (qkvo + attn + mlp))
 
 
-def bench_whisper():
+def transformer_layer_macs(L, d, d_ff, ctx=None):
+    """MACs for one encoder layer at seq len L (attention context ctx or L)."""
+    ctx = L if ctx is None else ctx
+    return 4 * L * d * d + 2 * L * ctx * d + 2 * L * d * d_ff
+
+
+def whisper_base_floor(peak, bw, n_tok=64, dtype_bytes=2):
+    """Analytic time floor for 30 s audio -> encoder -> n_tok greedy tokens.
+
+    Encoder (L=1500, batch 1) is compute-bound; batch-1 decode is
+    bandwidth-bound: every step must read the decoder weights, the logits
+    embedding, the cross-KV cache, and the growing self-KV cache from HBM.
+    """
+    d, d_ff, n_layers, L_enc, vocab, n_mels = 512, 2048, 6, 1500, 51865, 80
+    stem = 3000 * 3 * n_mels * d + 1500 * 3 * d * d
+    enc_macs = stem + n_layers * transformer_layer_macs(L_enc, d, d_ff)
+    t_enc = 2.0 * enc_macs / peak
+
+    # one-time cross-KV projection of the encoder memory
+    t_cross = 2.0 * n_layers * 2 * L_enc * d * d / peak
+
+    dec_param_bytes = dtype_bytes * (
+        n_layers * (4 * d * d + 4 * d * d + 2 * d * d_ff)  # self + cross + mlp
+        + vocab * d  # tied embedding read by the logits matmul
+        + 448 * d
+    )
+    cross_kv_bytes = dtype_bytes * n_layers * 2 * L_enc * d
+    self_kv_bytes = dtype_bytes * n_layers * 2 * (n_tok / 2) * d  # average position
+    t_dec = n_tok * (dec_param_bytes + cross_kv_bytes + self_kv_bytes) / bw
+    return t_enc + t_cross + t_dec
+
+
+def gpt2_decode_roofline(peak, bw, batch, prompt_len, new_tokens, dtype_bytes=2):
+    """Tokens/sec floor-derived ceiling for batched greedy decode.
+
+    Each step reads the weights once (amortized over the batch) plus each
+    row's KV cache; compute is 2 * params * batch FLOPs. tokens/sec ceiling =
+    batch / max(bytes / bw, flops / peak).
+    """
+    d, d_ff, n_layers, vocab, ctx = 768, 3072, 12, 50257, 1024
+    params = n_layers * (4 * d * d + 2 * d * d_ff) + vocab * d + ctx * d
+    avg_pos = prompt_len + new_tokens / 2
+    step_bytes = dtype_bytes * (params + batch * n_layers * 2 * avg_pos * d)
+    step_flops = 2.0 * batch * (params + n_layers * 2 * avg_pos * d)
+    t_step = max(step_bytes / bw, step_flops / peak)
+    return batch / t_step
+
+
+def encodec_24k_floor(peak, bw, seconds, dtype_bytes=4):
+    """Encode+decode time floor: conv FLOPs at 24 kHz plus one weight read."""
+    # dominant conv stacks: channels double 32->512 over strides (2,4,5,8);
+    # approximate MACs per input sample for encoder+decoder round trip.
+    macs = 0
+    ch, rate = 32, 24_000 * seconds
+    for stride in (2, 4, 5, 8):
+        # residual block (k3 + k1) at ch, then strided down-conv ch->2ch (k=2*stride)
+        macs += rate * (3 * ch * ch / 2 + ch * ch / 2)
+        macs += (rate // stride) * (2 * stride) * ch * (2 * ch)
+        ch, rate = ch * 2, rate // stride
+    macs += rate * 7 * ch * ch * 2  # first/last k7 convs at full width
+    macs *= 2  # decoder mirrors the encoder
+    params_bytes = 15e6 * dtype_bytes
+    return max(2.0 * macs / peak, params_bytes / bw) + params_bytes / bw
+
+
+def bench_whisper(peak, bw):
     """Whisper-base RTF: 30 s of audio -> mel -> encoder -> 64 greedy tokens."""
     from pytorch_models_tpu.models.audio2text.whisper import Whisper, WhisperGenerator
 
@@ -55,16 +152,14 @@ def bench_whisper():
     gen.transcribe_tokens(audio, init, eot_id=-1, max_tokens=n_tok)
     dt = time.perf_counter() - t0
     rtf = 30.0 / dt
-    print(f"whisper-base: {dt*1e3:.0f} ms for 30 s audio + {n_tok} tokens -> RTF {rtf:.1f}x", file=sys.stderr)
-    print(json.dumps({
-        "metric": "whisper_base_rtf",
-        "value": round(rtf, 2),
-        "unit": "x_realtime",
-        "vs_baseline": round(rtf / 100.0, 4),  # 100x realtime as the roofline-ish target
-    }))
+    floor = whisper_base_floor(peak, bw, n_tok=n_tok)
+    rtf_roof = 30.0 / floor
+    print(f"whisper-base: {dt*1e3:.0f} ms for 30 s audio + {n_tok} tokens -> RTF {rtf:.1f}x "
+          f"(analytic floor {floor*1e3:.1f} ms -> {rtf_roof:.0f}x)", file=sys.stderr)
+    return rtf, rtf / rtf_roof
 
 
-def bench_gpt2_decode():
+def bench_gpt2_decode(peak, bw):
     """GPT-2-small batched greedy decode throughput (tokens/sec/chip)."""
     from pytorch_models_tpu.models.text import GPT2, DecoderGenerator
 
@@ -74,23 +169,20 @@ def bench_gpt2_decode():
         eos_token_id = -1  # never stop early
 
     gen = DecoderGenerator(model, Tok())
-    batch, new_tokens = 32, 128
-    prompts = [[1] * 32] * batch
+    batch, prompt_len, new_tokens = 32, 32, 128
+    prompts = [[1] * prompt_len] * batch
     gen.generate_tokens_batch(prompts, max_tokens=new_tokens)  # compile
     t0 = time.perf_counter()
     gen.generate_tokens_batch(prompts, max_tokens=new_tokens)
     dt = time.perf_counter() - t0
     tps = batch * new_tokens / dt
-    print(f"gpt2 batched decode: {tps:,.0f} tok/s (batch {batch}, {new_tokens} new)", file=sys.stderr)
-    print(json.dumps({
-        "metric": "gpt2_small_decode_tokens_per_sec",
-        "value": round(tps, 1),
-        "unit": "tokens/sec",
-        "vs_baseline": round(tps / 50_000.0, 4),  # ~50k tok/s as a serving-grade target
-    }))
+    roof = gpt2_decode_roofline(peak, bw, batch, prompt_len, new_tokens)
+    print(f"gpt2 batched decode: {tps:,.0f} tok/s (batch {batch}, {new_tokens} new; "
+          f"bandwidth roofline {roof:,.0f} tok/s)", file=sys.stderr)
+    return tps, tps / roof
 
 
-def bench_encodec():
+def bench_encodec(peak, bw):
     """EnCodec-24khz round-trip (encode+decode) realtime factor on 10 s of audio."""
     from pytorch_models_tpu.models.audio import EnCodec
 
@@ -107,61 +199,16 @@ def bench_encodec():
     roundtrip()
     dt = time.perf_counter() - t0
     rtf = seconds / dt
-    print(f"encodec-24khz round-trip: {dt*1e3:.0f} ms for {seconds}s -> RTF {rtf:.1f}x", file=sys.stderr)
-    print(json.dumps({
-        "metric": "encodec_24khz_roundtrip_rtf",
-        "value": round(rtf, 2),
-        "unit": "x_realtime",
-        "vs_baseline": round(rtf / 100.0, 4),
-    }))
+    floor = encodec_24k_floor(peak, bw, seconds)
+    rtf_roof = seconds / floor
+    print(f"encodec-24khz round-trip: {dt*1e3:.0f} ms for {seconds}s -> RTF {rtf:.1f}x "
+          f"(analytic floor {floor*1e3:.1f} ms -> {rtf_roof:.0f}x)", file=sys.stderr)
+    return rtf, rtf / rtf_roof
 
 
-def main():
-    # the remote-TPU tunnel sporadically hangs for long stretches (CLAUDE.md);
-    # fail fast with a clear message instead of wedging the caller
-    watchdog_secs = int(os.environ.get("BENCH_WATCHDOG_SECS", "1500"))
-    if watchdog_secs > 0:
-        import threading
-
-        def _abort():
-            print(f"bench watchdog: no result within {watchdog_secs}s (TPU tunnel likely down); aborting",
-                  file=sys.stderr, flush=True)
-            os._exit(3)
-
-        t = threading.Timer(watchdog_secs, _abort)
-        t.daemon = True
-        t.start()
-
-    # BENCH_PROFILE=/path captures a jax.profiler device trace around the
-    # timed region (the reference has no tracing subsystem; SURVEY.md §5)
-    trace_dir = os.environ.get("BENCH_PROFILE")
-    if trace_dir:
-        jax.profiler.start_trace(trace_dir)
-    try:
-        _main()
-    finally:
-        if trace_dir:
-            jax.profiler.stop_trace()
-            print(f"profiler trace written to {trace_dir}", file=sys.stderr)
-
-
-def _main():
-    which = os.environ.get("BENCH_MODEL", "vit")
-    if which == "whisper":
-        bench_whisper()
-        return
-    if which == "gpt2":
-        bench_gpt2_decode()
-        return
-    if which == "encodec":
-        bench_encodec()
-        return
-    if which != "vit":
-        raise SystemExit(f"unknown BENCH_MODEL={which!r}; expected vit, whisper, gpt2, or encodec")
-    dev = jax.devices()[0]
-    kind = dev.device_kind.lower()
-    peak = next((f for k, f in PEAK_FLOPS if k in kind), 100e12)
-    print(f"device: {dev.device_kind}, peak bf16 {peak/1e12:.0f} TFLOP/s", file=sys.stderr)
+def bench_vit(peak, bw):
+    import jax
+    import jax.numpy as jnp
 
     from pytorch_models_tpu.models.image.vit import ViT, vit_apply
     from pytorch_models_tpu.utils.params import cast_tree
@@ -200,12 +247,105 @@ def _main():
         best = max(best, ips)
 
     roofline = peak / flops
-    print(json.dumps({
-        "metric": "vit_b16_images_per_sec_per_chip",
-        "value": round(best, 1),
-        "unit": "images/sec",
-        "vs_baseline": round(best / roofline, 4),
-    }))
+    return best, best / roofline
+
+
+def emit(which, value, vs_baseline, error=None):
+    metric, unit = METRICS[which]
+    line = {"metric": metric, "value": round(value, 4 if value < 1000 else 1),
+            "unit": unit, "vs_baseline": round(vs_baseline, 4)}
+    if error:
+        line["error"] = error
+    print(json.dumps(line), flush=True)
+
+
+def _child_main(which):
+    """The actual measurement; runs under the parent's per-attempt timeout."""
+    import jax
+
+    if os.environ.get("BENCH_PLATFORM"):  # CI/debug: e.g. "cpu" (JAX_PLATFORMS is ignored under axon)
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
+    # backstop watchdog just below the parent timeout so BENCH_PROFILE traces
+    # get flushed and a JSON error line gets emitted before the parent SIGKILL
+    watchdog_secs = max(int(os.environ.get("BENCH_CHILD_WATCHDOG", "0")), 0)
+    trace_dir = os.environ.get("BENCH_PROFILE")
+    if watchdog_secs:
+        import threading
+
+        def _abort():
+            print(f"bench watchdog: no result within {watchdog_secs}s (TPU tunnel likely down); aborting",
+                  file=sys.stderr, flush=True)
+            if trace_dir:
+                try:
+                    jax.profiler.stop_trace()
+                    print(f"partial profiler trace written to {trace_dir}", file=sys.stderr, flush=True)
+                except Exception:
+                    pass
+            emit(which, 0.0, 0.0, error=f"watchdog timeout after {watchdog_secs}s")
+            os._exit(3)
+
+        t = threading.Timer(watchdog_secs, _abort)
+        t.daemon = True
+        t.start()
+
+    # BENCH_PROFILE=/path captures a jax.profiler device trace around the
+    # timed region (the reference has no tracing subsystem; SURVEY.md §5)
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
+    try:
+        peak, bw = _device_caps()
+        fn = {"vit": bench_vit, "whisper": bench_whisper,
+              "gpt2": bench_gpt2_decode, "encodec": bench_encodec}[which]
+        value, vs = fn(peak, bw)
+        emit(which, value, vs)
+    finally:
+        if trace_dir:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {trace_dir}", file=sys.stderr)
+
+
+def main():
+    which = os.environ.get("BENCH_MODEL", "vit")
+    if which not in METRICS:
+        raise SystemExit(f"unknown BENCH_MODEL={which!r}; expected one of {sorted(METRICS)}")
+
+    if os.environ.get("BENCH_CHILD"):
+        _child_main(which)
+        return
+
+    total_budget = int(os.environ.get("BENCH_WATCHDOG_SECS", "1500"))
+    attempts = max(int(os.environ.get("BENCH_ATTEMPTS", "2")), 1)
+    per_attempt = total_budget // attempts if total_budget > 0 else None
+    last_err = "unknown"
+    for i in range(attempts):
+        env = dict(os.environ, BENCH_CHILD="1")
+        if per_attempt:
+            env["BENCH_CHILD_WATCHDOG"] = str(max(per_attempt - 20, 30))
+        print(f"bench attempt {i + 1}/{attempts} (timeout {per_attempt}s)", file=sys.stderr, flush=True)
+        try:
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                                  timeout=per_attempt, stdout=subprocess.PIPE, text=True)
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {i + 1} hard-timed out after {per_attempt}s"
+            print(f"bench: {last_err}", file=sys.stderr, flush=True)
+            continue
+        lines = [l for l in proc.stdout.splitlines() if l.strip().startswith("{")]
+        parsed = None
+        for l in reversed(lines):
+            try:
+                parsed = json.loads(l)
+                break
+            except json.JSONDecodeError:
+                continue
+        if proc.returncode == 0 and parsed and "error" not in parsed:
+            print(json.dumps(parsed), flush=True)
+            return
+        last_err = (parsed or {}).get("error") or f"attempt {i + 1} exited rc={proc.returncode}"
+        print(f"bench: {last_err}; retrying" if i + 1 < attempts else f"bench: {last_err}",
+              file=sys.stderr, flush=True)
+    emit(which, 0.0, 0.0, error=last_err)
+    sys.exit(1)
 
 
 if __name__ == "__main__":
