@@ -325,6 +325,9 @@ class WhisperGenerator:
 
     def transcribe_tokens(self, audio, initial_tokens: list[int], eot_id: int, max_tokens: int = DEC_MAX_LEN):
         """Waveform (n,) -> transcribed token ids (greedy, single 30 s segment)."""
+        assert max_tokens <= DEC_MAX_LEN, (
+            f"max_tokens={max_tokens} exceeds the decoder position table ({DEC_MAX_LEN}); "
+            "dynamic_slice would silently clamp into the last position embedding")
         audio = np.asarray(audio, np.float32)[: self.N_SAMPLES]
         audio = np.pad(audio, (0, self.N_SAMPLES - len(audio)))
         mel = self.preprocessor(audio[None])  # (1, n_mels, 3000)
@@ -341,6 +344,8 @@ class WhisperGenerator:
     def transcribe_tokens_batch(self, audios, initial_tokens: list[int], eot_id: int,
                                 max_tokens: int = DEC_MAX_LEN) -> list[list[int]]:
         """Batched greedy transcription of multiple 30 s segments (new vs reference)."""
+        assert max_tokens <= DEC_MAX_LEN, (
+            f"max_tokens={max_tokens} exceeds the decoder position table ({DEC_MAX_LEN})")
         padded = np.stack([
             np.pad(np.asarray(a, np.float32)[: self.N_SAMPLES], (0, max(0, self.N_SAMPLES - len(a))))
             for a in audios

@@ -281,6 +281,9 @@ class ViT(InferenceModel):
         m = ViT(n_layers, d_model, n_heads, patch_size, **kwargs)
 
         if pretrained:
+            # checkpoint-availability asserts as the reference (ref vit.py:241-247)
+            allowed = {"deit3": (16,), "dino": (16, 8), "dinov2": (14,)}[weights]
+            assert patch_size in allowed, f"{weights} checkpoints only exist for patch_size {allowed}"
             from ...utils.torch_ckpt import load_torch_checkpoint
 
             state_dict = load_torch_checkpoint(hub_download(url))

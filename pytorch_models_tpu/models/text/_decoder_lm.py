@@ -84,15 +84,16 @@ def decoder_lm_make_cache(cfg: DecoderLMConfig, batch_shape: tuple = (), dtype=j
                              stacked=stacked)
 
 
-def decoder_lm_forward_cached_batch(params, cfg: DecoderLMConfig, tokens, pos_ids, caches, pos, pad_bias):
+def decoder_lm_forward_cached_batch(params, cfg: DecoderLMConfig, tokens, pos_ids, caches, pos, pad_lens):
     """Batched cached forward with per-row position ids (left-padded decode).
 
     ``tokens``: (B, S) placed at cache slots ``[pos, pos+S)``; ``pos_ids``:
-    (B, S) per-row position-embedding indices; ``pad_bias``: (B, 1, 1, L_max)
-    additive mask hiding each row's left padding. Returns ``(logits, caches)``.
+    (B, S) per-row position-embedding indices; ``pad_lens``: (B,) left-pad
+    length per row, masked inside attention (and handled natively by the
+    Pallas decode kernel). Returns ``(logits, caches)``.
     """
     x = jnp.take(params["token_embs"], tokens, axis=0)
     x = x + jnp.take(params["pos_embs"], pos_ids, axis=0).astype(x.dtype)
     x, caches = tfm.decoder_apply(params["decoder"], cfg.layer, x, self_caches=caches, pos=pos,
-                                  attn_bias=pad_bias)
+                                  pad_lens=pad_lens)
     return _head(params, cfg, x), caches

@@ -20,7 +20,6 @@ from jax import lax
 from ._decoder_lm import decoder_lm_forward_cached, decoder_lm_forward_cached_batch, decoder_lm_make_cache
 
 PROMPT_BUCKET = 64  # prompts are right-padded to a multiple of this to bound recompiles
-NEG_INF = -1e30
 
 
 def _sample(logits: jnp.ndarray, key, topk: int) -> jnp.ndarray:
@@ -87,12 +86,10 @@ def _generate_batch(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id, key)
     b, p_len = prompt_buf.shape
     l_max = cfg.max_seq_len
     pos_ids = jnp.clip(jnp.arange(p_len)[None, :] - pad_lens[:, None], 0, None)
-    pad_bias = jnp.where(jnp.arange(l_max)[None, :] >= pad_lens[:, None], 0.0, NEG_INF)
-    pad_bias = pad_bias.astype(jnp.float32)[:, None, None, :]  # (B,1,1,Lmax)
 
     cache_dtype = params["token_embs"].dtype
     caches = decoder_lm_make_cache(cfg, (b,), dtype=cache_dtype, stacked=False)
-    logits, caches = decoder_lm_forward_cached_batch(params, cfg, prompt_buf, pos_ids, caches, 0, pad_bias)
+    logits, caches = decoder_lm_forward_cached_batch(params, cfg, prompt_buf, pos_ids, caches, 0, pad_lens)
     last = logits[:, -1]  # rows are right-aligned: slot P-1 is each row's last prompt token
 
     buf = jnp.zeros((b, l_max), jnp.int32)
@@ -119,7 +116,7 @@ def _generate_batch(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id, key)
         buf, pos, caches, key, done = s
         tok = lax.dynamic_slice(buf, (0, pos - 1), (b, 1))
         p_ids = (pos - 1 - pad_lens)[:, None]
-        logits, caches = decoder_lm_forward_cached_batch(params, cfg, tok, p_ids, caches, pos - 1, pad_bias)
+        logits, caches = decoder_lm_forward_cached_batch(params, cfg, tok, p_ids, caches, pos - 1, pad_lens)
         key, sub = jax.random.split(key)
         nxt = sample_rows(logits[:, 0], sub)
         nxt = jnp.where(done, jnp.int32(eos_id), nxt)  # finished rows stay parked on EOS

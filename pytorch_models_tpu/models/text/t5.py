@@ -429,15 +429,25 @@ class T5Model(InferenceModel):
 
         location = "mc4.250000.100extra" if model_tag.startswith("mt5") else "cc_all.32000.100extra"
         cache_path = Path(cache) / location
+        # crash-safe cache: download into a .part dir and atomically rename, so
+        # a failed download never leaves a half-empty dir that reads as a hit
+        # (same pattern as utils/download.py hub_download)
         if not cache_path.exists():
+            import os
+            import shutil
+
             import requests
 
+            part = cache_path.with_name(cache_path.name + ".part")
+            shutil.rmtree(part, ignore_errors=True)
+            part.mkdir(parents=True)
             base = "https://storage.googleapis.com/t5-data/vocabs"
-            cache_path.mkdir(parents=True)
             for filename in ("sentencepiece.model", "sentencepiece.vocab"):
                 resp = requests.get(f"{base}/{location}/{filename}", timeout=60)
-                with open(cache_path / filename, "wb") as f:
+                resp.raise_for_status()
+                with open(part / filename, "wb") as f:
                     f.write(resp.content)
+            os.replace(part, cache_path)
         return spm.SentencePieceProcessor(str(cache_path / "sentencepiece.model"))
 
 

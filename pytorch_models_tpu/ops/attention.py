@@ -80,5 +80,16 @@ def _sdpa_xla(q, k, v, attn_bias, causal):
         row = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
         logits = jnp.where(col <= row, logits, jnp.asarray(-jnp.inf, acc_dtype))
-    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    if acc_dtype == jnp.float32:
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    else:
+        # bf16 serving: scores stay bf16 (the HBM-traffic win) but the
+        # normalization accumulates in fp32 — a bf16 sum over 1024+ terms
+        # carries ~3-significant-digit error, and this matches the flash
+        # kernel's fp32 online softmax so numerics don't jump at the flash
+        # eligibility boundary. The fp32 intermediates fuse away in XLA.
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        denom = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+        probs = (e.astype(jnp.float32) / denom).astype(q.dtype)
     return jnp.einsum("...qk,...kd->...qd", probs, v, precision=prec)

@@ -131,8 +131,8 @@ def decode_attention(q, k_cache, v_cache, pos, pad_lens=None, block_k: int = 512
         grid=(bh,),
         in_specs=[
             pl.BlockSpec((1, 1, d_p), lambda b, pos_ref, pad_ref: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # full cache; indexed by program id
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # full cache; indexed by program id
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, d_p), lambda b, pos_ref, pad_ref: (b, 0, 0)),
     )

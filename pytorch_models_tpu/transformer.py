@@ -106,6 +106,7 @@ def mha_apply(
     cache: dict | None = None,
     cache_pos=None,
     cache_layer=None,
+    pad_lens: jnp.ndarray | None = None,
 ):
     """Self- or cross-attention with optional additive bias / causal mask / KV cache.
 
@@ -114,6 +115,11 @@ def mha_apply(
     the query chunk are written at positions ``[pos, pos+S)`` and attention is
     masked to ``key_pos <= pos + i``; returns ``(out, new_cache)``. With
     ``cache`` but no ``cache_pos`` (cross-attention), the cache is used as-is.
+
+    ``pad_lens`` (B,) marks each batch row's left-pad length (batched
+    left-aligned decode): cache positions ``< pad_lens[b]`` are masked. Kept
+    separate from ``attn_bias`` so the single-position decode kernel — which
+    takes pad lengths natively — stays engaged for batched serving.
     """
     k = q if k is None else k
     v = k if v is None else v
@@ -146,11 +152,16 @@ def mha_apply(
         if s == 1 and attn_bias is None and _attn.USE_DECODE_KERNEL:
             from .ops.decode_attention import decode_attention
 
-            out = decode_attention(qh, kh.astype(qh.dtype), vh.astype(qh.dtype), cache_pos)
+            out = decode_attention(qh, kh.astype(qh.dtype), vh.astype(qh.dtype), cache_pos, pad_lens)
             return linear(p["o"], merge_heads(out)), new_cache
         row = lax.broadcasted_iota(jnp.int32, (s, l_max), 0)
         col = lax.broadcasted_iota(jnp.int32, (s, l_max), 1)
         mask_bias = jnp.where(col <= cache_pos + row, 0.0, -jnp.inf).astype(jnp.float32)
+        if pad_lens is not None:
+            # finite -1e30 (not -inf): a left-padded row's pad-region queries
+            # see no valid keys; -inf would make their (discarded) softmax NaN
+            pad_bias = jnp.where(jnp.arange(l_max)[None, :] >= pad_lens[:, None], 0.0, -1e30)
+            mask_bias = mask_bias + pad_bias.astype(jnp.float32)[:, None, None, :]
         bias = mask_bias if attn_bias is None else attn_bias + mask_bias
         out = sdpa(qh, kh.astype(qh.dtype), vh.astype(qh.dtype), bias, False, cfg.attn_impl)
         return linear(p["o"], merge_heads(out)), new_cache
@@ -219,13 +230,15 @@ def decoder_layer_apply(
     pos=None,
     attn_bias: jnp.ndarray | None = None,
     cache_layer=None,
+    pad_lens: jnp.ndarray | None = None,
 ):
     """Causal self-attn [+ cross-attn] + MLP (ref transformer.py:96-105).
 
-    ``attn_bias`` is an extra additive self-attention bias (e.g. a left-pad
-    mask for batched decode). Returns ``x`` (and the updated self-cache when
-    one is given). With ``cache_layer``, ``self_cache`` holds the full
-    layer-stacked cache and only this layer's block is touched.
+    ``attn_bias`` is an extra additive self-attention bias; ``pad_lens`` (B,)
+    masks left-padded cache slots for batched decode (see mha_apply). Returns
+    ``x`` (and the updated self-cache when one is given). With
+    ``cache_layer``, ``self_cache`` holds the full layer-stacked cache and
+    only this layer's block is touched.
     """
     eps = cfg.norm_eps
     cached = self_cache is not None
@@ -233,7 +246,7 @@ def decoder_layer_apply(
     def sa(h):
         if cached:
             return mha_apply(p["sa"], cfg, h, attn_bias=attn_bias, cache=self_cache, cache_pos=pos,
-                             cache_layer=cache_layer)
+                             cache_layer=cache_layer, pad_lens=pad_lens)
         return mha_apply(p["sa"], cfg, h, attn_bias=attn_bias, causal=True), None
 
     def ca(h):
@@ -288,6 +301,7 @@ def decoder_apply(
     cross_caches: dict | None = None,
     pos=None,
     attn_bias: jnp.ndarray | None = None,
+    pad_lens: jnp.ndarray | None = None,
 ):
     """Threaded decoder stack (ref transformer.py:173-176), optionally KV-cached.
 
@@ -312,7 +326,7 @@ def decoder_apply(
             lp = jax.tree.map(lambda a: a[i], p["layers"])
             cc = None if cross_caches is None else jax.tree.map(lambda a: a[i], cross_caches)
             x, new_c = decoder_layer_apply(lp, cfg, x, memory, self_cache=self_caches[i], cross_cache=cc,
-                                           pos=pos, attn_bias=attn_bias)
+                                           pos=pos, attn_bias=attn_bias, pad_lens=pad_lens)
             new_caches.append(new_c)
         return x, new_caches
 
@@ -332,7 +346,7 @@ def decoder_apply(
         else:
             lp, idx, cc = inp
         h, caches = decoder_layer_apply(lp, cfg, h, memory, self_cache=caches, cross_cache=cc, pos=pos,
-                                        attn_bias=attn_bias, cache_layer=idx)
+                                        attn_bias=attn_bias, cache_layer=idx, pad_lens=pad_lens)
         return (h, caches), None
 
     (x, new_caches), _ = lax.scan(body, (x, self_caches), xs)

@@ -76,6 +76,34 @@ def _noop(*args, **kwargs):
     return None
 
 
+class _Stub:
+    """Inert container for benign non-tensor metadata (e.g. argparse.Namespace)."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+
+
+# Safe non-torch globals seen in real checkpoints. Anything else raises:
+# a checkpoint from an arbitrary repo tag must never reach
+# pickle.Unpickler.find_class, which would let __reduce__ payloads execute
+# arbitrary code (the hazard torch.load(weights_only=True) guards against).
+_np_multiarray = getattr(np, "_core", np.core).multiarray
+_SAFE_GLOBALS = {
+    ("collections", "OrderedDict"): OrderedDict,
+    ("argparse", "Namespace"): _Stub,  # e.g. DETR training checkpoints carry 'args'
+    ("numpy.core.multiarray", "_reconstruct"): _np_multiarray._reconstruct,
+    ("numpy.core.multiarray", "scalar"): _np_multiarray.scalar,
+    ("numpy._core.multiarray", "_reconstruct"): _np_multiarray._reconstruct,
+    ("numpy._core.multiarray", "scalar"): _np_multiarray.scalar,
+    ("numpy", "ndarray"): np.ndarray,
+    ("numpy", "dtype"): np.dtype,
+}
+
+
 class _Unpickler(pickle.Unpickler):
     def __init__(self, file, zf: zipfile.ZipFile, prefix: str):
         super().__init__(file, encoding="latin1")
@@ -88,11 +116,12 @@ class _Unpickler(pickle.Unpickler):
             return _rebuild_tensor
         if name == "_rebuild_parameter":
             return lambda data, *_: data
-        if module == "collections" and name == "OrderedDict":
-            return OrderedDict
+        if (module, name) in _SAFE_GLOBALS:
+            return _SAFE_GLOBALS[(module, name)]
         if module.startswith("torch"):
             return _noop  # device specs, size hints, hooks — irrelevant to data
-        return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle global {module}.{name}: not on the checkpoint allowlist")
 
     def persistent_load(self, pid):
         kind, storage_type, key, _location, _numel = pid[0], pid[1], pid[2], pid[3], pid[4]

@@ -65,6 +65,38 @@ def test_decode_kernel_end_to_end_generation():
     assert kernel_out == baseline
 
 
+def test_decode_kernel_end_to_end_batched_generation():
+    """LEFT-padded batched generation with the decode kernel engaged (pad_lens
+    threaded through decoder_apply/mha_apply) == the masked-sdpa path."""
+    import jax
+
+    jax.clear_caches()
+    from pytorch_models_tpu.models.text import GPT2, DecoderGenerator
+    from pytorch_models_tpu.ops import attention as attn_mod
+
+    class Tok:
+        eos_token_id = -1
+
+    GPT2.vocab_size, GPT2.max_seq_len = 128, 128
+    try:
+        m = GPT2(2, 64)
+    finally:
+        GPT2.vocab_size, GPT2.max_seq_len = 50257, 1024
+    gen = DecoderGenerator(m, Tok())
+    prompts = [[5, 6, 7], [9] * 40, [11, 12]]  # unequal lengths -> real left-padding
+    baseline = gen.generate_tokens_batch(prompts, max_tokens=8)
+
+    attn_mod.USE_DECODE_KERNEL = True
+    try:
+        jax.clear_caches()
+        with pltpu.force_tpu_interpret_mode():
+            kernel_out = gen.generate_tokens_batch(prompts, max_tokens=8)
+    finally:
+        attn_mod.USE_DECODE_KERNEL = False
+        jax.clear_caches()
+    assert kernel_out == baseline
+
+
 def test_decode_attention_left_padded_rows():
     """Per-row left-pad masking (batched generation) matches the einsum oracle."""
     r = rng(162)

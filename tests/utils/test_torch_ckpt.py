@@ -42,6 +42,48 @@ def test_bf16_checkpoint(tmp_path):
     np.testing.assert_array_equal(out["w"], sd["w"].float().numpy())
 
 
+def test_malicious_checkpoint_rejected(tmp_path):
+    """A torch-format zip whose pickle smuggles an arbitrary global (the
+    classic os.system __reduce__ payload) must raise, not execute — mirrors
+    the torch.load(weights_only=True) guarantee."""
+    import pickle
+    import pickletools
+    import zipfile
+
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.system, ("echo pwned",))
+
+    payload = pickle.dumps({"w": Evil()})
+    path = tmp_path / "evil.pth"
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", payload)
+    # sanity: the payload really references posix/nt system
+    assert b"system" in payload, pickletools.dis(payload)
+
+    with pytest.raises(pickle.UnpicklingError, match="allowlist"):
+        load_torch_checkpoint(str(path))
+
+
+def test_benign_metadata_stubbed(tmp_path):
+    """Real training checkpoints carry argparse.Namespace metadata (e.g. DETR's
+    'args'); those load as inert stubs while tensors come through."""
+    import argparse
+    import pickle
+    import zipfile
+
+    ns = argparse.Namespace(lr=0.1, epochs=3)
+    payload = pickle.dumps({"args": ns, "epoch": 7})
+    path = tmp_path / "meta.pth"
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", payload)
+    out = load_torch_checkpoint(str(path))
+    assert out["epoch"] == 7
+    assert out["args"].lr == 0.1
+
+
 def test_safetensors_reader(tmp_path):
     """Hand-write a .safetensors file; our dependency-free reader must parse it."""
     import json
