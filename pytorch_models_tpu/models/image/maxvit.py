@@ -226,15 +226,14 @@ class MaxViT(InferenceModel):
         stem_dim, n_blocks, dims = VARIANTS[variant]
         m = MaxViT(stem_dim, n_blocks, dims, **kwargs)
         if pretrained:
-            import tensorflow as tf  # loading only (ref maxvit.py:193)
-
             from ...utils import hub_download
+            from ...utils.tf_ckpt import load_tf_checkpoint  # no tensorflow needed (vs ref maxvit.py:193)
 
             ds, step = ("i1k", 92002) if variant in ("tiny", "small") else ("i21k_pt", 279498)
             url = f"https://storage.googleapis.com/gresearch/maxvit/ckpts/maxvit{variant}/{ds}/224/model.ckpt-{step}"
             hub_download(f"{url}.data-00000-of-00001", f"maxvit_{variant}")
             ckpt_path = hub_download(f"{url}.index", f"maxvit_{variant}").removesuffix(".index")
-            m.load_google_state_dict(tf.train.load_checkpoint(ckpt_path))
+            m.load_google_state_dict(load_tf_checkpoint(ckpt_path))
         return m
 
     def load_google_state_dict(self, reader) -> None:
