@@ -9,9 +9,10 @@ jitted over a ("dp", "pp", "tp") mesh with
 - pp: GPipe pipeline over stacked stage params (parallel/pipeline.py),
 - tp: Megatron head/hidden sharding inside each block,
 - sp: sequence-sharded activations at the norms (constraints on the "tp" axis),
-- ep: MoE expert weights sharded along the expert dim over "tp" (dense
-  dispatch; XLA inserts the gather/reduce collectives — sharing the axis with
-  attention TP is fine because the two uses are sequential within a block).
+- ep: MoE expert weights sharded along the expert dim over "tp", with tokens
+  exchanged by an EXPLICIT shard_map ``lax.all_to_all`` (real expert
+  parallelism — sharing the axis with attention TP is fine because the two
+  uses are sequential within a block; see _moe_mlp_sparse_ep).
 """
 
 from __future__ import annotations
@@ -39,7 +40,12 @@ class MoELMConfig:
     n_experts: int = 4
     expert_hidden: int = 256
     max_seq_len: int = 64
-    sparse_moe: bool = True  # GShard-style capacity dispatch vs dense all-experts
+    # "ep": explicit shard_map all_to_all dispatch over the expert axis (real
+    #       expert parallelism — the collective is emitted by construction);
+    # "sparse": GShard capacity dispatch via one-hot einsums, XLA-partitioned
+    #       (XLA chooses the collectives; measured to all-gather, not a2a);
+    # "dense": every expert computes every token (E x FLOPs; parity oracle).
+    moe_impl: str = "ep"
     capacity_factor: float = 2.0
 
     @property
@@ -121,6 +127,58 @@ def _moe_mlp_sparse(p, cfg: MoELMConfig, x):
     return (combined * gate_val[:, None]).reshape(mb, l, d)
 
 
+def _moe_mlp_sparse_ep(p, cfg: MoELMConfig, x, mesh: Mesh):
+    """Top-1 MoE with EXPLICIT ``lax.all_to_all`` expert-parallel dispatch.
+
+    Expert weights live sharded over the "tp" axis (param_pspecs); a nested
+    shard_map goes manual over that axis so the token exchange is a real
+    all_to_all written here, not a partitioning choice left to XLA (which, on
+    the einsum formulation, all-gathers instead — see tests/parallel
+    ``test_ep_emits_all_to_all``). Per rank: route the local (sequence-shard)
+    tokens, pack per-expert capacity slots, all_to_all so each rank holds all
+    ranks' slots for its E/n local experts, run the expert MLPs, all_to_all
+    back, and combine. Capacity is per source rank (standard GShard drop
+    semantics; with capacity_factor >= n_experts nothing drops and the result
+    equals dense dispatch exactly).
+    """
+    am = jax.sharding.get_abstract_mesh()
+    m = mesh if am.empty else am
+    n = dict(m.shape)["tp"]
+    moe_p = {"router": p["router"], "w1": p["w1"], "w2": p["w2"]}
+    specs = {"router": P(), "w1": P("tp"), "w2": P("tp")}
+
+    def local(lp, x_loc):
+        mb, l_loc, d = x_loc.shape
+        e = cfg.n_experts
+        t_loc = mb * l_loc
+        cap = max(int(cfg.capacity_factor * t_loc / e), 1)
+
+        flat = x_loc.reshape(t_loc, d)
+        gates = jax.nn.softmax(tfm.linear(lp["router"], flat), axis=-1)  # (T, E)
+        top1 = jnp.argmax(gates, axis=-1)
+        gate_val = jnp.take_along_axis(gates, top1[:, None], axis=1)[:, 0]
+        onehot = jax.nn.one_hot(top1, e, dtype=jnp.int32)  # (T, E)
+        pos_in_expert = jnp.cumsum(onehot, axis=0) * onehot - 1
+        slot = jnp.sum(pos_in_expert * onehot, axis=1)
+        keep = slot < cap
+        dispatch = (
+            onehot.astype(x_loc.dtype)[:, :, None]
+            * jax.nn.one_hot(jnp.where(keep, slot, 0), cap, dtype=x_loc.dtype)[:, None, :]
+            * keep[:, None, None].astype(x_loc.dtype)
+        )  # (T, E, C)
+
+        expert_in = jnp.einsum("td,tec->ecd", flat, dispatch)  # (E, C, d)
+        recv = lax.all_to_all(expert_in, "tp", split_axis=0, concat_axis=1, tiled=True)  # (E/n, n*C, d)
+        h = jax.nn.gelu(jnp.einsum("ecd,edh->ech", recv, lp["w1"].astype(x_loc.dtype)), approximate=False)
+        out = jnp.einsum("ech,ehd->ecd", h, lp["w2"].astype(x_loc.dtype))
+        back = lax.all_to_all(out, "tp", split_axis=1, concat_axis=0, tiled=True)  # (E, C, d)
+        combined = jnp.einsum("ecd,tec->td", back, dispatch)
+        return (combined * gate_val[:, None]).reshape(mb, l_loc, d)
+
+    return jax.shard_map(local, mesh=m, in_specs=(specs, P(None, "tp", None)),
+                         out_specs=P(None, "tp", None), axis_names={"tp"}, check_vma=False)(moe_p, x)
+
+
 def _block(p, cfg: MoELMConfig, x, mesh: Mesh):
     # sequence parallelism: activations sequence-sharded over "tp" at the norms.
     # Use the context (abstract) mesh so the spec is valid both inside the
@@ -131,8 +189,13 @@ def _block(p, cfg: MoELMConfig, x, mesh: Mesh):
     h = layer_norm(p["sa_norm"], x)
     x = x + tfm.mha_apply(p["sa"], cfg.layer, h, causal=True)
     x = lax.with_sharding_constraint(x, sp)
-    moe = _moe_mlp_sparse if cfg.sparse_moe else _moe_mlp
-    x = x + moe(p, cfg, layer_norm(p["mlp_norm"], x))
+    h = layer_norm(p["mlp_norm"], x)
+    if cfg.moe_impl == "ep":
+        x = x + _moe_mlp_sparse_ep(p, cfg, h, mesh)
+    elif cfg.moe_impl == "sparse":
+        x = x + _moe_mlp_sparse(p, cfg, h)
+    else:
+        x = x + _moe_mlp(p, cfg, h)
     return x
 
 
@@ -189,7 +252,10 @@ def make_train_step(cfg: MoELMConfig, mesh: Mesh, n_micro: int, lr: float = 1e-2
     data_sharding = NamedSharding(mesh, P("dp", None))
 
     def loss_fn(params, tokens):
-        logits = moe_lm_forward(params, cfg, tokens[:, :-1], mesh, n_micro)
+        # forward the full (even) sequence and drop the last logit — the "ep"
+        # MoE shard_map sequence-shards activations over "tp", which needs L
+        # divisible by the axis size (L-1 from pre-shifting wouldn't be)
+        logits = moe_lm_forward(params, cfg, tokens, mesh, n_micro)[:, :-1]
         labels = tokens[:, 1:]
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)

@@ -108,3 +108,39 @@ def test_sparse_moe_matches_dense_at_high_capacity():
     dense = _moe_mlp(lp, cfg, x)
     sparse = _moe_mlp_sparse(lp, cfg, x)
     np.testing.assert_allclose(np.asarray(sparse), np.asarray(dense), rtol=1e-5, atol=1e-5)
+
+
+def test_ep_moe_matches_dense_at_high_capacity():
+    """Explicit all_to_all EP dispatch == dense dispatch when nothing drops.
+
+    This is the 'EP does not silently degrade' guard: dense computes every
+    token on every expert with no token movement, so agreement means the
+    all_to_all exchange routed every token to the right expert and back."""
+    from pytorch_models_tpu.parallel.train import (
+        MoELMConfig, _moe_mlp, _moe_mlp_sparse_ep, moe_lm_init)
+
+    mesh = make_mesh(8)
+    cfg = MoELMConfig(capacity_factor=float(MoELMConfig.n_experts))
+    params = moe_lm_init(jax.random.PRNGKey(4), cfg)
+    lp = jax.tree.map(lambda a: a[0, 0], params["stages"])
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((2, 16, cfg.d_model)), jnp.float32)
+
+    dense = _moe_mlp(lp, cfg, x)
+    ep = jax.jit(lambda p, v: _moe_mlp_sparse_ep(p, cfg, v, mesh))(lp, x)
+    np.testing.assert_allclose(np.asarray(ep), np.asarray(dense), rtol=1e-5, atol=1e-5)
+
+
+def test_ep_emits_all_to_all():
+    """The compiled train step must contain all-to-all collectives — fails if
+    expert parallelism silently degrades to weight replication (the einsum
+    formulation measurably all-gathers instead)."""
+    mesh = make_mesh(8)
+    cfg = MoELMConfig()
+    assert cfg.moe_impl == "ep"  # the default path IS the explicit-a2a one
+    params = moe_lm_init(jax.random.PRNGKey(5), cfg)
+    step, param_shardings = make_train_step(cfg, mesh, n_micro=2)
+    params = jax.tree.map(lambda x, s: jax.device_put(x, s), params, param_shardings)
+    tokens = jnp.asarray(np.random.default_rng(5).integers(0, cfg.vocab_size, (8, cfg.max_seq_len)))
+
+    hlo = step.lower(params, tokens).compile().as_text()
+    assert hlo.count("all-to-all") >= 2, "expected dispatch+combine all_to_all in the compiled step"
