@@ -56,8 +56,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_s, l_s, acc_s, *,
 
     def compute():
         for b in range(bb):
-            q = q_ref[b].astype(jnp.float32)  # (bq, Dp)
-            k = k_ref[b].astype(jnp.float32)  # (bk, Dp)
+            # keep bf16 inputs bf16: the MXU does bf16 x bf16 -> fp32 natively
+            # in one pass, while an fp32 x fp32 product costs ~3 passes on v5e.
+            # fp32 inputs stay fp32 for the parity path (precision=HIGHEST).
+            q = q_ref[b]  # (bq, Dp)
+            k = k_ref[b]  # (bk, Dp)
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32, precision=prec) * scale  # (bq, bk)
             if bias_ref is not None:
@@ -93,6 +96,40 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_s, l_s, acc_s, *,
         l = l_s[:, :, :1]
         l = jnp.where(l == 0.0, 1.0, l)
         o_ref[:] = (acc_s[:] / l).astype(o_ref.dtype)
+
+
+def _attn_kernel_short(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                       scale: float, causal: bool, lk: int, bq: int, bb: int):
+    """Single-k-block attention for short sequences (encoder shapes like
+    ViT's 197): the whole K/V fits in one block, so a plain softmax replaces
+    the online-softmax state machine — no scratch, no cross-step carries, one
+    grid step per ``bb`` batch·head slices."""
+    qi = pl.program_id(1)
+    lkp = k_ref.shape[1]
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (bq, lkp), 1)
+    mask = k_idx < lk
+    if causal:
+        q_idx = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, lkp), 0)
+        mask = jnp.logical_and(mask, k_idx <= q_idx)
+
+    prec = jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    for b in range(bb):
+        s = jax.lax.dot_general(q_ref[b], k_ref[b], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32, precision=prec) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[b if bias_ref.shape[0] > 1 else 0].astype(jnp.float32)
+        s = jnp.where(mask, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - jnp.where(m <= NEG_INF, 0.0, m))
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        l = jnp.where(l == 0.0, 1.0, l)  # fully-masked (padded) rows stay finite
+        out = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[b], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32, precision=prec)
+        o_ref[b] = (out / l).astype(o_ref.dtype)
+
+
+def _attn_kernel_short_nobias(q_ref, k_ref, v_ref, o_ref, **kw):
+    _attn_kernel_short(q_ref, k_ref, v_ref, None, o_ref, **kw)
 
 
 def flash_eligible(q, k, v) -> bool:
@@ -157,12 +194,22 @@ def flash_sdpa(q, k, v, attn_bias=None, causal: bool = False, block_q: int = 256
 
     qp, kp, vp = prep(q, lq, lq_p), prep(k, lk, lk_p), prep(v, lk, lk_p)
 
-    grid = (bh // bb, lq_p // bq, lk_p // bk)
-    in_specs = [
-        pl.BlockSpec((bb, bq, d_p), lambda b, i, j: (b, i, 0)),
-        pl.BlockSpec((bb, bk, d_p), lambda b, i, j: (b, j, 0)),
-        pl.BlockSpec((bb, bk, d_p), lambda b, i, j: (b, j, 0)),
-    ]
+    # short-sequence fast path: K/V fit in one block — no online softmax
+    short = lk_p <= bk
+    if short:
+        grid = (bh // bb, lq_p // bq)
+        in_specs = [
+            pl.BlockSpec((bb, bq, d_p), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((bb, lk_p, d_p), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((bb, lk_p, d_p), lambda b, i: (b, 0, 0)),
+        ]
+    else:
+        grid = (bh // bb, lq_p // bq, lk_p // bk)
+        in_specs = [
+            pl.BlockSpec((bb, bq, d_p), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((bb, bk, d_p), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((bb, bk, d_p), lambda b, i, j: (b, j, 0)),
+        ]
     args = [qp, kp, vp]
 
     if attn_bias is not None:
@@ -170,38 +217,51 @@ def flash_sdpa(q, k, v, attn_bias=None, causal: bool = False, block_q: int = 256
         # never materialize a full (BH, Lq, Lk) bias for shared tables
         lead_prod = math.prod(bias_lead) if bias_lead else 1
         if bias_shared:
-            bias_block, bias_map = 1, (lambda b, i, j: (0, i, j))
+            bias_block, bias_idx = 1, (lambda b: 0)
         elif bias_full:
-            bias_block, bias_map = bb, (lambda b, i, j: (b, i, j))
+            bias_block, bias_idx = bb, (lambda b: b)
         elif bias_per_head:  # per-head table shared across batch
             assert bb == 1
             h = batch[-1]
-            bias_block, bias_map = 1, (lambda b, i, j: (b % h, i, j))
+            bias_block, bias_idx = 1, (lambda b: b % h)
         else:
             attn_bias = jnp.broadcast_to(attn_bias, (*batch, lq, lk))
             lead_prod = bh
-            bias_block, bias_map = bb, (lambda b, i, j: (b, i, j))
+            bias_block, bias_idx = bb, (lambda b: b)
         bias = attn_bias.reshape(lead_prod, *attn_bias.shape[-2:])
         bias = jnp.pad(bias, ((0, 0), (0, lq_p - lq), (0, lk_p - lk)))
-        in_specs.append(pl.BlockSpec((bias_block, bq, bk), bias_map))
+        if short:
+            in_specs.append(pl.BlockSpec((bias_block, bq, lk_p), lambda b, i: (bias_idx(b), i, 0)))
+        else:
+            in_specs.append(pl.BlockSpec((bias_block, bq, bk), lambda b, i, j: (bias_idx(b), i, j)))
         args.append(bias)
 
-    kernel = functools.partial(
-        _flash_kernel if attn_bias is not None else _flash_kernel_nobias_wrapper,
-        scale=scale, causal=causal, lq=lq, lk=lk, bq=bq, bk=bk, bb=bb,
-    )
+    if short:
+        kernel = functools.partial(
+            _attn_kernel_short if attn_bias is not None else _attn_kernel_short_nobias,
+            scale=scale, causal=causal, lk=lk, bq=bq, bb=bb,
+        )
+        out_spec = pl.BlockSpec((bb, bq, d_p), lambda b, i: (b, i, 0))
+        scratch = []
+    else:
+        kernel = functools.partial(
+            _flash_kernel if attn_bias is not None else _flash_kernel_nobias_wrapper,
+            scale=scale, causal=causal, lq=lq, lk=lk, bq=bq, bk=bk, bb=bb,
+        )
+        out_spec = pl.BlockSpec((bb, bq, d_p), lambda b, i, j: (b, i, 0))
+        scratch = [
+            pltpu.VMEM((bb, bq, LANE), jnp.float32),
+            pltpu.VMEM((bb, bq, LANE), jnp.float32),
+            pltpu.VMEM((bb, bq, d_p), jnp.float32),
+        ]
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bb, bq, d_p), lambda b, i, j: (b, i, 0)),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((bh, lq_p, d_p), orig_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bb, bq, LANE), jnp.float32),
-            pltpu.VMEM((bb, bq, LANE), jnp.float32),
-            pltpu.VMEM((bb, bq, d_p), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )(*args)
 
     return out[:, :lq, :d].reshape(*batch, lq, d)

@@ -22,7 +22,34 @@ CASES = [
     ("full_bias", (1, 2, 128, 128, 64, False, "full")),
     ("cross_odd", (2, 2, 100, 300, 48, False, None)),
     ("long", (1, 2, 777, 777, 64, False, None)),
+    ("maxvit_win", (8, 2, 49, 49, 32, False, "head")),
+    ("causal_long", (1, 2, 700, 700, 64, True, None)),
 ]
+
+
+def test_short_path_matches_streaming():
+    """The single-k-block short kernel and the online-softmax streaming kernel
+    must agree on the same inputs (force streaming via a small block_k)."""
+    r = np.random.default_rng(7)
+    q = jnp.asarray(r.standard_normal((2, 3, 197, 64)), jnp.float32)
+    k = jnp.asarray(r.standard_normal((2, 3, 197, 64)), jnp.float32)
+    v = jnp.asarray(r.standard_normal((2, 3, 197, 64)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        short = flash_sdpa(q, k, v)  # lk_p=256 <= 512 -> short kernel
+        streaming = flash_sdpa(q, k, v, block_k=128)  # 2 k-blocks -> online softmax
+    np.testing.assert_allclose(np.asarray(short), np.asarray(streaming), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_bf16_parity():
+    """bf16 inputs stay bf16 on the MXU; parity within bf16 tolerance."""
+    r = np.random.default_rng(8)
+    q = jnp.asarray(r.standard_normal((2, 2, 197, 64)), jnp.bfloat16)
+    k = jnp.asarray(r.standard_normal((2, 2, 197, 64)), jnp.bfloat16)
+    v = jnp.asarray(r.standard_normal((2, 2, 197, 64)), jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_sdpa(q, k, v)
+    ref = _sdpa_xla(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32), None, False)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref), rtol=2e-2, atol=2e-2)
 
 
 @pytest.mark.parametrize("name,case", CASES)

@@ -1,0 +1,67 @@
+"""Attention micro-benchmark: XLA einsum vs Pallas kernels at model shapes.
+
+Usage (real TPU): python tools/attn_bench.py [bf16|fp32]
+Times a batched on-device loop (fori_loop with iteration-dependent inputs —
+block_until_ready does not fence reliably through the axon tunnel) for each
+(model shape, impl) pair and prints ms/call. Informs the flash_eligible gate.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_models_tpu.ops.attention import _sdpa_xla
+from pytorch_models_tpu.ops.flash_attention import flash_sdpa
+
+# (name, B, H, Lq, Lk, D, causal)
+SHAPES = [
+    ("vit_b16", 128, 12, 197, 197, 64, False),
+    ("maxvit_win", 392, 2, 49, 49, 32, False),  # 8 imgs x 49 windows
+    ("whisper_enc", 16, 8, 1500, 1500, 64, False),
+    ("bert_512", 32, 12, 512, 512, 64, False),
+    ("gpt2_prefill", 8, 12, 1024, 1024, 64, True),
+]
+
+N_ITERS = 20
+
+
+def bench_one(fn, q, k, v, causal):
+    @jax.jit
+    def loop(q, k, v):
+        def body(i, acc):
+            qi = q + i.astype(q.dtype) * q.dtype.type(1e-6)
+            return acc + fn(qi, k, v, None, causal).astype(jnp.float32).sum()
+        return jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0))
+
+    float(loop(q, k, v))  # compile + warm
+    t0 = time.perf_counter()
+    float(loop(q, k, v))
+    return (time.perf_counter() - t0) / N_ITERS * 1e3
+
+
+def main():
+    dtype = jnp.bfloat16 if (len(sys.argv) < 2 or sys.argv[1] == "bf16") else jnp.float32
+    dev = jax.devices()[0]
+    print(f"device {dev.device_kind}, dtype {jnp.dtype(dtype).name}")
+    r = np.random.default_rng(0)
+    for name, b, h, lq, lk, d, causal in SHAPES:
+        q = jnp.asarray(r.standard_normal((b, h, lq, d)), dtype)
+        k = jnp.asarray(r.standard_normal((b, h, lk, d)), dtype)
+        v = jnp.asarray(r.standard_normal((b, h, lk, d)), dtype)
+        flops = 2 * 2 * b * h * lq * lk * d / (2 if causal else 1)
+        row = [f"{name:>14} (BH={b*h}, L={lq}, d={d}{', causal' if causal else ''})"]
+        for impl, fn in (("xla", lambda *a: _sdpa_xla(*a)),
+                         ("flash", lambda *a: flash_sdpa(*a[:3], attn_bias=a[3], causal=a[4]))):
+            try:
+                ms = bench_one(fn, q, k, v, causal)
+                row.append(f"{impl} {ms:7.2f} ms ({flops / (ms * 1e-3) / 1e12:5.1f} TF/s)")
+            except Exception as e:
+                row.append(f"{impl} FAILED: {type(e).__name__}")
+        print("  ".join(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()
