@@ -105,18 +105,20 @@ def whisper_base_floor(peak, bw, n_tok=64, dtype_bytes=2):
     return t_enc + t_cross + t_dec
 
 
-def gpt2_decode_roofline(peak, bw, batch, prompt_len, new_tokens, dtype_bytes=2):
+def gpt2_decode_roofline(peak, bw, batch, prompt_len, new_tokens, proj_bytes=2):
     """Tokens/sec floor-derived ceiling for batched greedy decode.
 
     Each step reads the weights once (amortized over the batch) plus each
     row's KV cache; compute is 2 * params * batch FLOPs. tokens/sec ceiling =
-    batch / max(bytes / bw, flops / peak).
+    batch / max(bytes / bw, flops / peak). ``proj_bytes=1`` models weight-only
+    int8 (projection kernels only; embeddings/caches stay bf16).
     """
     d, d_ff, n_layers, vocab, ctx = 768, 3072, 12, 50257, 1024
-    params = n_layers * (4 * d * d + 2 * d * d_ff) + vocab * d + ctx * d
+    proj_params = n_layers * (4 * d * d + 2 * d * d_ff)
+    other_params = vocab * d + ctx * d  # embeddings (logits matmul reads all of it)
     avg_pos = prompt_len + new_tokens / 2
-    step_bytes = dtype_bytes * (params + batch * n_layers * 2 * avg_pos * d)
-    step_flops = 2.0 * batch * (params + n_layers * 2 * avg_pos * d)
+    step_bytes = proj_bytes * proj_params + 2 * other_params + 2 * batch * n_layers * 2 * avg_pos * d
+    step_flops = 2.0 * batch * (proj_params + other_params + n_layers * 2 * avg_pos * d)
     t_step = max(step_bytes / bw, step_flops / peak)
     return batch / t_step
 
@@ -160,10 +162,16 @@ def bench_whisper(peak, bw):
 
 
 def bench_gpt2_decode(peak, bw):
-    """GPT-2-small batched greedy decode throughput (tokens/sec/chip)."""
+    """GPT-2-small batched greedy decode throughput (tokens/sec/chip).
+
+    ``BENCH_DTYPE=int8`` benches weight-only int8 (halves the per-step weight
+    traffic that bounds batched decode; roofline scales accordingly)."""
     from pytorch_models_tpu.models.text import GPT2, DecoderGenerator
 
+    int8 = os.environ.get("BENCH_DTYPE", "bf16") == "int8"
     model = GPT2(12, 768).to_bf16()  # random weights: timing-only (zero egress)
+    if int8:
+        model = model.quantize_int8()
 
     class Tok:  # generate_tokens_batch only reads eos_token_id
         eos_token_id = -1  # never stop early
@@ -176,9 +184,9 @@ def bench_gpt2_decode(peak, bw):
     gen.generate_tokens_batch(prompts, max_tokens=new_tokens)
     dt = time.perf_counter() - t0
     tps = batch * new_tokens / dt
-    roof = gpt2_decode_roofline(peak, bw, batch, prompt_len, new_tokens)
-    print(f"gpt2 batched decode: {tps:,.0f} tok/s (batch {batch}, {new_tokens} new; "
-          f"bandwidth roofline {roof:,.0f} tok/s)", file=sys.stderr)
+    roof = gpt2_decode_roofline(peak, bw, batch, prompt_len, new_tokens, proj_bytes=1 if int8 else 2)
+    print(f"gpt2 batched decode ({'int8' if int8 else 'bf16'}): {tps:,.0f} tok/s "
+          f"(batch {batch}, {new_tokens} new; bandwidth roofline {roof:,.0f} tok/s)", file=sys.stderr)
     return tps, tps / roof
 
 
