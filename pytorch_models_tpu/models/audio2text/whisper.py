@@ -337,9 +337,23 @@ class WhisperGenerator:
         )
         return np.asarray(buf)[: int(length)].tolist()
 
-    def transcribe(self, audio, initial_tokens: list[int], eot_id: int, max_tokens: int = DEC_MAX_LEN) -> str:
+    def transcribe(self, audio, initial_tokens: list[int] | None = None, eot_id: int | None = None,
+                   max_tokens: int = DEC_MAX_LEN, language: str = "en", task: str = "transcribe") -> str:
+        """Waveform -> text. With a WhisperTokenizer attached, the initial
+        token sequence (<|startoftranscript|><|lang|><|task|><|notimestamps|>)
+        and EOT id come from it; otherwise pass them explicitly (the
+        tokenizer-less fallback returns space-joined token ids)."""
+        if initial_tokens is None or eot_id is None:
+            if self.tokenizer is None:
+                raise ValueError(
+                    "pass initial_tokens/eot_id, or construct with "
+                    "WhisperGenerator(model, WhisperTokenizer.from_openai())")
+            initial_tokens = self.tokenizer.sot_sequence(language, task)
+            eot_id = self.tokenizer.eot
         tokens = self.transcribe_tokens(audio, initial_tokens, eot_id, max_tokens)
-        return self.tokenizer.decode(tokens) if self.tokenizer is not None else " ".join(map(str, tokens))
+        if self.tokenizer is None:
+            return " ".join(map(str, tokens))
+        return self.tokenizer.decode(tokens)
 
     def transcribe_tokens_batch(self, audios, initial_tokens: list[int], eot_id: int,
                                 max_tokens: int = DEC_MAX_LEN) -> list[list[int]]:

@@ -1,0 +1,79 @@
+"""WhisperTokenizer: special-token layout arithmetic + BPE round-trip.
+
+Uses a synthetic 256-entry byte-level rank table (plus a few merges) so no
+network is needed; the real multilingual table only shifts the base size to
+50257, which the layout test pins arithmetically."""
+
+import numpy as np
+import pytest
+
+from pytorch_models_tpu.models.audio2text import WhisperTokenizer
+from pytorch_models_tpu.models.audio2text.tokenizer import LANGUAGES
+
+
+def synthetic_tokenizer(num_languages=99):
+    ranks = {bytes([i]): i for i in range(256)}
+    ranks[b"he"] = 256
+    ranks[b"ll"] = 257
+    ranks[b"hell"] = 258
+    return WhisperTokenizer(ranks, num_languages=num_languages)
+
+
+def test_special_token_layout():
+    tok = synthetic_tokenizer()
+    n = 259
+    assert tok.eot == n
+    assert tok.sot == n + 1
+    assert tok.language_token("en") == n + 2
+    assert tok.language_token("su") == n + 2 + 98  # last of the 99 standard languages
+    assert tok.translate == n + 2 + 99
+    assert tok.transcribe == n + 2 + 100
+    assert tok.no_timestamps == n + 2 + 104
+    assert tok.timestamp_begin == n + 2 + 105
+    assert tok.n_vocab == n + 2 + 105 + 1501
+    # the multilingual table (50257 ranks) must reproduce whisper's known ids
+    assert tok.sot - n == 50258 - 50257
+    with pytest.raises(ValueError):
+        tok.language_token("yue")  # only in num_languages=100 (large-v3)
+    assert synthetic_tokenizer(100).language_token("yue") == n + 2 + 99
+
+
+def test_sot_sequence():
+    tok = synthetic_tokenizer()
+    seq = tok.sot_sequence("en", "transcribe")
+    assert seq == [tok.sot, tok.language_token("en"), tok.transcribe, tok.no_timestamps]
+    seq_ts = tok.sot_sequence("de", "translate", timestamps=True)
+    assert seq_ts == [tok.sot, tok.language_token("de"), tok.translate]
+
+
+def test_bpe_roundtrip_and_merges():
+    tok = synthetic_tokenizer()
+    ids = tok.encode("hello")
+    assert tok.decode(ids) == "hello"
+    assert 258 in ids  # "hell" merge applied (rank order respected)
+    # specials are skipped on decode by default
+    assert tok.decode([tok.sot] + ids + [tok.eot]) == "hello"
+    assert "<|startoftranscript|>" in tok.decode([tok.sot] + ids, skip_special=False)
+    # bytes round-trip for arbitrary utf-8
+    s = "café 東京!"
+    assert tok.decode(tok.encode(s)) == s
+
+
+def test_languages_registry():
+    assert len(LANGUAGES) == 100 and LANGUAGES[-1] == "yue" and LANGUAGES[0] == "en"
+    assert len(set(LANGUAGES)) == 100
+
+
+def test_generator_transcribe_uses_tokenizer():
+    """WhisperGenerator.transcribe builds the init sequence from the tokenizer
+    and decodes text (tiny random model; checks plumbing, not content)."""
+    from pytorch_models_tpu.models.audio2text.whisper import Whisper, WhisperGenerator
+
+    tok = synthetic_tokenizer()
+    model = Whisper(vocab_size=tok.n_vocab, n_layers=1, d_model=64)
+    gen = WhisperGenerator(model, tok)
+    audio = np.zeros(16000, np.float32)
+    out = gen.transcribe(audio, max_tokens=6, language="en")
+    assert isinstance(out, str)
+    with pytest.raises(ValueError, match="initial_tokens"):
+        WhisperGenerator(model, None).transcribe(audio, max_tokens=4)

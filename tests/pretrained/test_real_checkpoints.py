@@ -125,6 +125,22 @@ def test_bert_real_weights():
     assert max_abs_diff(np.asarray(ours(tokens)), expected) < NORTH_STAR
 
 
+def test_whisper_tokenizer_real_vocab():
+    """The downloaded multilingual rank table must reproduce whisper's known
+    special-token ids and round-trip text."""
+    from pytorch_models_tpu.models.audio2text import WhisperTokenizer
+
+    tok = WhisperTokenizer.from_openai(multilingual=True)
+    assert len(tok.ranks) == 50257
+    assert tok.sot == 50258
+    assert tok.language_token("en") == 50259
+    assert tok.transcribe == 50359
+    assert tok.no_timestamps == 50363
+    assert tok.n_vocab == 51865
+    s = " Hello, world!"
+    assert tok.decode(tok.encode(s)) == s
+
+
 def test_t5_flan_small_golden_string():
     """Flan-T5-small must translate the reference's golden German string
     (ref tests/text/test_t5.py:61-66)."""
