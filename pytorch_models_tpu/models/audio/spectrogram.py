@@ -23,12 +23,31 @@ def hann_window(n: int) -> np.ndarray:
 
 
 def frame_signal(x: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
-    """Centered overlapping frames: (..., L) -> (..., n_frames, n_fft)."""
+    """Centered overlapping frames: (..., L) -> (..., n_frames, n_fft).
+
+    Built from ``gcd(n_fft, hop)``-sized chunks with strided slices instead of
+    a gather: frame i, chunk j is signal chunk ``i*step + j``, so each j is
+    one strided slice of the chunked signal. A (n_frames, n_fft) index gather
+    here cost ~700 ms on TPU for Whisper's 30 s input; the slice form is <1 ms.
+    """
     pad = n_fft // 2
     x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
     n_frames = (x.shape[-1] - n_fft) // hop_length + 1
-    idx = jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
-    return x[..., idx]
+    g = math.gcd(n_fft, hop_length)
+    step = hop_length // g
+    per_frame = n_fft // g
+    need = (n_frames - 1) * hop_length + n_fft
+    total = -(-need // g) * g
+    if total > x.shape[-1]:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, total - x.shape[-1])])
+    else:
+        x = x[..., :total]
+    chunks = x.reshape(*x.shape[:-1], total // g, g)
+    cols = [
+        jax.lax.slice_in_dim(chunks, j, j + (n_frames - 1) * step + 1, step, axis=-2)
+        for j in range(per_frame)
+    ]
+    return jnp.concatenate(cols, axis=-1)
 
 
 @partial(jax.jit, static_argnums=(1, 2))

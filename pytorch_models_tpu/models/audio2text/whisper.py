@@ -83,8 +83,7 @@ def whisper_init(key, cfg: WhisperConfig) -> dict:
     }
 
 
-@partial(jax.jit, static_argnums=1)
-def whisper_encode(params, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
+def _whisper_encode_body(params, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
     """(B, n_mels, T) mel -> (B, T//2, d) memory (ref whisper.py:29-34)."""
     p = params["encoder"]
     x = jnp.swapaxes(mel, 1, 2)  # NLC
@@ -93,6 +92,9 @@ def whisper_encode(params, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
     x = x + p["pos_embs"][: x.shape[1]].astype(x.dtype)
     x = tfm.encoder_apply(p, cfg.enc_layer, x)
     return layer_norm(p["norm"], x)
+
+
+whisper_encode = partial(jax.jit, static_argnums=1)(_whisper_encode_body)
 
 
 def _decoder_head(p, x):
@@ -112,8 +114,7 @@ def whisper_decode(params, cfg: WhisperConfig, tokens: jnp.ndarray, memory: jnp.
     return _decoder_head(p, x)
 
 
-@partial(jax.jit, static_argnums=(1, 4))
-def _whisper_generate(params, cfg: WhisperConfig, memory, initial_tokens, max_tokens: int, eot_id):
+def _whisper_generate_body(params, cfg: WhisperConfig, memory, initial_tokens, max_tokens: int, eot_id):
     """KV-cached greedy transcription over one encoded segment (unbatched)."""
     p = params["decoder"]
     lc = cfg.dec_layer
@@ -150,6 +151,16 @@ def _whisper_generate(params, cfg: WhisperConfig, memory, initial_tokens, max_to
 
     buf, length, _, _ = lax.while_loop(cond, body, state)
     return buf, length
+
+
+_whisper_generate = partial(jax.jit, static_argnums=(1, 4))(_whisper_generate_body)
+
+
+@partial(jax.jit, static_argnums=(1, 4))
+def _whisper_encode_generate(params, cfg: WhisperConfig, mel, initial_tokens, max_tokens: int, eot_id):
+    """Fused encode + greedy decode (one dispatch; see transcribe_tokens)."""
+    memory = _whisper_encode_body(params, cfg, mel)[0]
+    return _whisper_generate_body(params, cfg, memory, initial_tokens, max_tokens, eot_id)
 
 
 @partial(jax.jit, static_argnums=(1, 4))
@@ -295,9 +306,14 @@ class WhisperPreprocessor(MelSpectrogram):
         if fused is None:
             fused = jax.devices()[0].platform == "tpu"
         self.fused = fused
+        # one jit per instance: eager op-by-op dispatch costs a tunnel
+        # round-trip per op on the remote TPU (~700 ms for 30 s of audio)
+        self._jitted = jax.jit(self._forward)
 
     def __call__(self, x) -> jnp.ndarray:
-        x = jnp.asarray(x)
+        return self._jitted(jnp.asarray(x))
+
+    def _forward(self, x) -> jnp.ndarray:
         if self.fused:
             from ...ops.mel import log_mel_spectrogram
 
@@ -331,9 +347,10 @@ class WhisperGenerator:
         audio = np.asarray(audio, np.float32)[: self.N_SAMPLES]
         audio = np.pad(audio, (0, self.N_SAMPLES - len(audio)))
         mel = self.preprocessor(audio[None])  # (1, n_mels, 3000)
-        memory = self.model.encode(mel)[0]
-        buf, length = _whisper_generate(
-            self.model.params, self.model.cfg, memory, jnp.asarray(initial_tokens, jnp.int32), max_tokens, eot_id
+        # encoder + greedy decode in ONE jit call: each separate call costs a
+        # host round-trip (~30 ms through the remote-TPU tunnel)
+        buf, length = _whisper_encode_generate(
+            self.model.params, self.model.cfg, mel, jnp.asarray(initial_tokens, jnp.int32), max_tokens, eot_id
         )
         return np.asarray(buf)[: int(length)].tolist()
 

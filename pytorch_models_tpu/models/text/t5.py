@@ -250,8 +250,9 @@ def _t5_generate(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int, pad_
     lc = cfg.layer
     self_caches = tfm.make_kv_cache(cfg.n_layers, (), lc.n_heads, max_tokens, lc.head_dim,
                                     dtype=params["token_embs"].dtype, stacked=False)
-    cross_caches = tfm.precompute_cross_caches(dec, lc, memory)
-    ca_bias = pad_bias  # mask padded memory keys
+    # per-row valid memory lengths replace the explicit cross-attn pad bias:
+    # the cache's "len" masks padded keys on both the kernel and einsum paths
+    cross_caches = tfm.precompute_cross_caches(dec, lc, memory, valid_lens=n_enc)
 
     out_buf = jnp.zeros((max_tokens,), jnp.int32).at[0].set(pad_id)
 
@@ -260,10 +261,10 @@ def _t5_generate(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int, pad_
         tok = lax.dynamic_slice(buf, (pos,), (1,))
         h = jnp.take(params["token_embs"], tok, axis=0)
         q_pos = jnp.array([0]) + pos
-        k_pos = jnp.arange(max_tokens)
+        k_pos = jnp.arange(tfm.padded_cache_len(max_tokens))
         bias = relative_position_bias(dec["attn_bias"], q_pos, k_pos, False, cfg)
 
-        h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, ca_bias, pos)
+        h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, None, pos)
         h = rms_norm(dec["norm"], h)
         logits = linear(params["classifier"], h)[0]
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -294,8 +295,7 @@ def _t5_generate_batch(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int
     lc = cfg.layer
     self_caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, max_tokens, lc.head_dim,
                                     dtype=params["token_embs"].dtype, stacked=False)
-    cross_caches = tfm.precompute_cross_caches(dec, lc, memory)
-    ca_bias = pad_bias
+    cross_caches = tfm.precompute_cross_caches(dec, lc, memory, valid_lens=n_enc)
 
     out_buf = jnp.zeros((b, max_tokens), jnp.int32).at[:, 0].set(pad_id)
 
@@ -304,10 +304,10 @@ def _t5_generate_batch(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int
         tok = lax.dynamic_slice(buf, (0, pos), (b, 1))
         h = jnp.take(params["token_embs"], tok, axis=0)
         q_pos = jnp.array([0]) + pos
-        k_pos = jnp.arange(max_tokens)
+        k_pos = jnp.arange(tfm.padded_cache_len(max_tokens))
         bias = relative_position_bias(dec["attn_bias"], q_pos, k_pos, False, cfg)
 
-        h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, ca_bias, pos)
+        h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, None, pos)
         h = rms_norm(dec["norm"], h)
         logits = linear(params["classifier"], h)[:, 0]
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -1,12 +1,37 @@
-"""Pallas decode attention: single-position queries against a KV cache,
-reading ONLY the valid prefix of the cache.
+"""Pallas decode attention: single-position queries against a merged-head KV cache.
 
-XLA decode attention must read the full (L_max) cache every step because
-shapes are static; this kernel DMAs just ``ceil((pos+1)/block)`` K/V blocks
-from HBM per step — the decode-step memory floor scales with the actual
-sequence length instead of the preallocated maximum (SURVEY §2.7 N1 decode
-variant). ``pos`` rides in scalar-prefetch so the block loop bound is known
-before the kernel body runs.
+Replaces the XLA lowering of S=1 attention, which is the decode bottleneck
+(measured on v5e, GPT-2-small batch 32, L=1024):
+
+- XLA lowers S=1 attention einsums to VPU loop fusions that run at ~7% of HBM
+  bandwidth (758k + 710k estimated cycles per layer — ~90% of the decode step).
+- A (B, H, S, 64) cache is physically lane-padded to 128 in HBM (T(8,128)
+  tiling), wasting 2x memory AND 2x bandwidth on every read.
+
+Design (see also reference transformer.py:52 for the op this replaces —
+the reference has no decode path at all and re-forwards the whole prefix,
+reference text/generator.py:23-24):
+
+- The KV cache is stored **merged-head**: ``(B, L, H*D)`` — the exact shape
+  the K/V projections produce, so the per-step cache write is one
+  ``dynamic_update_slice`` of the projection output (no head split, no
+  transpose, no lane padding: H*D is a multiple of 128 for every family).
+- Grid ``(B,)``: each program streams its row's K/V prefix in contiguous
+  ``(bk, H*D)`` blocks with double-buffered DMA, reading ONLY
+  ``ceil(end/bk)`` blocks — step traffic scales with the true sequence
+  length, not the preallocated maximum.
+- Per-head scores via a one-hot head-expander matmul: with
+  ``E[d, h] = (d // D == h)``, ``scores = (K * q) @ E`` gives all heads'
+  (bk, H) logits in one MXU pass over contiguous shapes; ``p @ E.T``
+  broadcasts the (bk, H) softmax back to (bk, H*D) lanes for the V
+  accumulation. fp32 online softmax across blocks.
+- Valid key range is ``[pad_lens[b], ends[b])`` per row: left pads support
+  batched left-aligned generation; per-row ends support cross-attention over
+  (padded) encoder memory and self-attention decode (``ends = pos + 1``).
+
+Measured (v5e, GPT-2-small batch 32, bf16, in the full 12-layer decode loop):
+4.6 ms/step XLA -> 1.25 ms/step with this kernel, independent of the
+preallocated cache length.
 """
 
 from __future__ import annotations
@@ -15,48 +40,48 @@ import functools
 import math
 
 import jax
-from jax import lax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-LANE = 128
+
+# KV caches consumed by this kernel must have length a multiple of this
+# (transformer.make_kv_cache / precompute_cross_caches round up).
+KV_BLOCK = 128
 
 
-def _pad_to(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
-def _decode_kernel(pos_ref, pad_ref, q_ref, k_hbm, v_hbm, o_ref, *, bk: int, scale: float, d_p: int,
-                   n_heads: int):
-    """One program handles one batch·head slice: q (1, D), cache (L_max, D).
-
-    ``k_hbm``/``v_hbm`` are the FULL (BH, L_p, D_p) arrays (ANY memory space
-    refs are not block-sliced) — index by program id. ``pad_ref`` holds the
-    per-batch-row left-pad length (batched generation): blocks entirely inside
-    the pad are skipped, partially-padded blocks are masked."""
-    pos = pos_ref[0]
-    bh = pl.program_id(0)
-    pad = pad_ref[bh // n_heads]
-    start_block = pad // bk  # skip fully left-padded blocks
-    n_blocks = (pos + 1 + bk - 1) // bk  # only the valid prefix
+def _kernel(ends_ref, pad_ref, q_ref, k_hbm, v_hbm, o_ref, *, bk: int, scale: float,
+            n_heads: int, d: int, prec):
+    b = pl.program_id(0)
+    end = ends_ref[b]
+    pad = pad_ref[b]
+    first = pad // bk             # fully left-padded blocks are skipped
+    n_blocks = (end + bk - 1) // bk  # only the valid prefix
+    hd = n_heads * d
 
     def body(k_scratch, v_scratch, sem):
-        # double-buffered: start block i+1's DMA while computing block i
-        q = q_ref[0].astype(jnp.float32)  # (1, d_p) block
-
         def copies(i, slot):
             return (
-                pltpu.make_async_copy(k_hbm.at[bh, pl.ds(i * bk, bk)], k_scratch.at[slot], sem.at[slot, 0]),
-                pltpu.make_async_copy(v_hbm.at[bh, pl.ds(i * bk, bk)], v_scratch.at[slot], sem.at[slot, 1]),
+                pltpu.make_async_copy(k_hbm.at[b, pl.ds(i * bk, bk), :], k_scratch.at[slot],
+                                      sem.at[slot, 0]),
+                pltpu.make_async_copy(v_hbm.at[b, pl.ds(i * bk, bk), :], v_scratch.at[slot],
+                                      sem.at[slot, 1]),
             )
 
-        for cp in copies(start_block, lax.rem(start_block, 2)):
+        for cp in copies(first, lax.rem(first, 2)):
             cp.start()
 
+        # head-expander: E[d_full, h] = 1 iff lane d_full belongs to head h
+        col_head = lax.broadcasted_iota(jnp.int32, (hd, n_heads), 0) // d
+        head_id = lax.broadcasted_iota(jnp.int32, (hd, n_heads), 1)
+        e_mat = (col_head == head_id).astype(jnp.float32)  # (H*D, H)
+
+        q = q_ref[0].astype(jnp.float32) * scale  # (1, H*D)
+
         def step(i, carry):
-            m_prev, l_prev, acc = carry
+            m_prev, l_prev, acc = carry  # (1,H), (1,H), (1,H*D) fp32
             slot = lax.rem(i, 2)
 
             @pl.when(i + 1 < n_blocks)
@@ -67,78 +92,84 @@ def _decode_kernel(pos_ref, pad_ref, q_ref, k_hbm, v_hbm, o_ref, *, bk: int, sca
             for cp in copies(i, slot):
                 cp.wait()
 
-            k = k_scratch[slot].astype(jnp.float32)  # (bk, d_p)
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32) * scale  # (1, bk)
-            k_idx = i * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
-            s = jnp.where(jnp.logical_and(k_idx <= pos, k_idx >= pad), s, NEG_INF)
+            k = k_scratch[slot].astype(jnp.float32)  # (bk, H*D)
+            s = lax.dot_general(k * q, e_mat, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32, precision=prec)  # (bk, H)
+            k_idx = i * bk + lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+            valid = jnp.logical_and(k_idx < end, k_idx >= pad)  # (bk, 1)
+            s = jnp.where(valid, s, NEG_INF)
 
-            m_new = jnp.maximum(m_prev, jnp.max(s))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m_prev - m_new)
-            l_new = alpha * l_prev + jnp.sum(p)
-            acc = acc * alpha + jax.lax.dot_general(
-                p.astype(v_scratch.dtype), v_scratch[slot], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))  # (1, H)
+            p = jnp.exp(s - m_new)  # every processed block has >= 1 valid row
+            alpha = jnp.exp(m_prev - m_new)  # (1, H)
+            l_new = alpha * l_prev + jnp.sum(p, axis=0, keepdims=True)
+
+            p_full = lax.dot_general(p, e_mat, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32, precision=prec)
+            alpha_full = lax.dot_general(alpha, e_mat, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32, precision=prec)
+            acc = acc * alpha_full + jnp.sum(p_full * v_scratch[slot].astype(jnp.float32),
+                                             axis=0, keepdims=True)
             return m_new, l_new, acc
 
-        init = (jnp.float32(NEG_INF), jnp.float32(0.0), jnp.zeros((1, d_p), jnp.float32))
-        m, l, acc = jax.lax.fori_loop(start_block, n_blocks, step, init)
+        init = (jnp.full((1, n_heads), NEG_INF, jnp.float32),
+                jnp.zeros((1, n_heads), jnp.float32),
+                jnp.zeros((1, hd), jnp.float32))
+        m, l, acc = lax.fori_loop(first, n_blocks, step, init)
         l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc / l).astype(o_ref.dtype)
+        l_full = lax.dot_general(l, e_mat, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32, precision=prec)
+        o_ref[0] = (acc / l_full).astype(o_ref.dtype)
 
     pl.run_scoped(
         body,
-        k_scratch=pltpu.VMEM((2, bk, d_p), k_hbm.dtype),
-        v_scratch=pltpu.VMEM((2, bk, d_p), v_hbm.dtype),
+        k_scratch=pltpu.VMEM((2, bk, hd), k_hbm.dtype),
+        v_scratch=pltpu.VMEM((2, bk, hd), v_hbm.dtype),
         sem=pltpu.SemaphoreType.DMA((2, 2)),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block_k",))
-def decode_attention(q, k_cache, v_cache, pos, pad_lens=None, block_k: int = 512):
-    """q: (..., H, 1, D); k_cache/v_cache: (..., H, L_max, D); pos: scalar int.
+@functools.partial(jax.jit, static_argnames=("n_heads", "block_k"))
+def decode_attention(q, k_cache, v_cache, ends, n_heads: int, pad_lens=None,
+                     block_k: int = KV_BLOCK):
+    """q: (B, 1, H*D); k_cache/v_cache: (B, L, H*D); ends: scalar or (B,) int.
 
-    Returns (..., H, 1, D) — attention over cache positions [pad, pos] where
-    ``pad`` is 0 or the per-batch-row left-pad length from ``pad_lens`` (B,)
-    (batched left-aligned generation). The slot at ``pos`` must already
-    contain this step's K/V.
+    Attention over cache positions ``[pad_lens[b], ends[b])`` per batch row;
+    returns (B, 1, H*D) merged-head context (feed straight to the out-proj).
+    ``L`` must be a multiple of ``block_k``; slots in the valid range must
+    already hold this step's K/V. Unbatched (1, H*D) inputs are promoted.
+    For self-attention decode at position ``pos``, pass ``ends = pos + 1``.
     """
-    *batch, lq, d = q.shape
-    assert lq == 1, "decode kernel is single-position"
+    unbatched = q.ndim == 2
+    if unbatched:
+        q, k_cache, v_cache = q[None], k_cache[None], v_cache[None]
+    b, lq, hd = q.shape
     l_max = k_cache.shape[-2]
-    bh = math.prod(batch) if batch else 1
-    n_heads = batch[-1] if batch else 1
-    d_p = _pad_to(d, LANE)
-    bk = min(block_k, _pad_to(l_max, LANE))
-    l_p = _pad_to(l_max, bk)
+    d = hd // n_heads
+    assert lq == 1, "decode kernel is single-position"
+    assert hd % n_heads == 0
+    assert l_max % block_k == 0, f"cache length {l_max} not a multiple of block_k={block_k}"
 
-    def prep(x, length):
-        x = x.reshape(bh, length, d)
-        return jnp.pad(x, ((0, 0), (0, l_p - length if length == l_max else 0), (0, d_p - d)))
-
-    qp = jnp.pad(q.reshape(bh, 1, d), ((0, 0), (0, 0), (0, d_p - d)))
-    kp, vp = prep(k_cache, l_max), prep(v_cache, l_max)
-    pos_arr = jnp.full((1,), pos, jnp.int32)
-    if pad_lens is None:
-        pad_arr = jnp.zeros((max(bh // n_heads, 1),), jnp.int32)
-    else:
-        pad_arr = jnp.asarray(pad_lens, jnp.int32).reshape(-1)
+    ends_arr = jnp.broadcast_to(jnp.asarray(ends, jnp.int32).reshape(-1), (b,))
+    pad_arr = (jnp.zeros((b,), jnp.int32) if pad_lens is None
+               else jnp.broadcast_to(jnp.asarray(pad_lens, jnp.int32).reshape(-1), (b,)))
+    # fp32 inputs get full-precision MXU passes (parity); bf16 is the fast path
+    prec = lax.Precision.HIGHEST if q.dtype == jnp.float32 else lax.Precision.DEFAULT
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(bh,),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 1, d_p), lambda b, pos_ref, pad_ref: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # full cache; indexed by program id
+            pl.BlockSpec((1, 1, hd), lambda i, ends_ref, pad_ref: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, d_p), lambda b, pos_ref, pad_ref: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, hd), lambda i, ends_ref, pad_ref: (i, 0, 0)),
     )
     out = pl.pallas_call(
-        functools.partial(_decode_kernel, bk=bk, scale=1.0 / math.sqrt(d), d_p=d_p, n_heads=n_heads),
+        functools.partial(_kernel, bk=block_k, scale=1.0 / math.sqrt(d), n_heads=n_heads, d=d,
+                          prec=prec),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bh, 1, d_p), q.dtype),
-    )(pos_arr, pad_arr, qp, kp, vp)
-    return out[:, :, :d].reshape(*batch, 1, d)
+        out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
+    )(ends_arr, pad_arr, q, k_cache, v_cache)
+    return out[0] if unbatched else out

@@ -48,7 +48,9 @@ def _dft_constants(n_fft: int, n_mels: int, sample_rate: int):
     w_re = np.pad(w_re, ((0, n_fft_p - n_fft), (0, n_freq_p - n_freq)))
     w_im = np.pad(w_im, ((0, n_fft_p - n_fft), (0, n_freq_p - n_freq)))
     filters_t = np.pad(filters.T, ((0, n_freq_p - n_freq), (0, n_mels_p - n_mels)))
-    return jnp.asarray(w_re), jnp.asarray(w_im), jnp.asarray(filters_t)
+    # cache NUMPY (not jnp): the first call may happen inside a jit trace, and
+    # lru-caching traced constants leaks tracers into later calls
+    return w_re, w_im, filters_t.astype(np.float32)
 
 
 def _logmel_kernel(frames_ref, w_re_ref, w_im_ref, filt_ref, out_ref):

@@ -5,10 +5,15 @@ transformer.py:9-176): params are pytrees, layer stacks are ``lax.scan`` over
 stacked per-layer params (one compiled layer body instead of n_layers inlined
 copies), and attention goes through :func:`pytorch_models_tpu.ops.sdpa`.
 
-Beyond the reference, decoder layers support a preallocated KV cache
-(``(B, H, L_max, D)`` per layer, updated with ``lax.dynamic_update_slice``),
+Beyond the reference, decoder layers support a preallocated KV cache,
 eliminating the reference's O(L²)-per-token full re-forward decode loops
-(reference text/generator.py:23-24, text/t5.py:220-223).
+(reference text/generator.py:23-24, text/t5.py:220-223). Caches are stored
+**merged-head** — ``(B, L_max, H*D)`` per layer, the exact shape the K/V
+projections produce — so the per-step write is one ``dynamic_update_slice``
+with no head split, and the minor dim (H*D, always a multiple of 128) avoids
+the 2x HBM lane-padding a (B, H, L, 64) layout incurs under TPU T(8,128)
+tiling. Single-position decode reads go through the Pallas prefix-streaming
+kernel (ops/decode_attention.py); the einsum path splits heads on read.
 """
 
 from __future__ import annotations
@@ -87,12 +92,25 @@ def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(*x.shape[:-2], -1)
 
 
-def mha_project_kv(p: dict, cfg: LayerConfig, kv: jnp.ndarray) -> dict:
-    """Project ``kv`` into a cross-attention cache ``{"k","v"}`` of (..., H, L, D)."""
-    return {
-        "k": split_heads(linear(p["k"], kv), cfg.n_heads, cfg.head_dim),
-        "v": split_heads(linear(p["v"], kv), cfg.n_heads, cfg.head_dim),
-    }
+def mha_project_kv(p: dict, cfg: LayerConfig, kv: jnp.ndarray, valid_lens=None) -> dict:
+    """Project ``kv`` (..., L, d) into a cross-attention cache.
+
+    Returns ``{"k", "v", "len"}`` with merged-head (..., Lp, H*D) tensors,
+    zero-padded to a ``KV_BLOCK`` multiple so the Pallas decode kernel can
+    stream them, and ``len`` (..., ) the per-row count of valid memory
+    positions (``valid_lens`` or the full L). Padded/invalid slots are masked
+    by every read path.
+    """
+    length = kv.shape[-2]
+    pad = padded_cache_len(length) - length
+    if pad:
+        widths = [(0, 0)] * (kv.ndim - 2) + [(0, pad), (0, 0)]
+        kv_p = jnp.pad(kv, widths)
+    else:
+        kv_p = kv
+    lens = jnp.full(kv.shape[:-2], length, jnp.int32) if valid_lens is None else (
+        jnp.asarray(valid_lens, jnp.int32))
+    return {"k": linear(p["k"], kv_p), "v": linear(p["v"], kv_p), "len": lens}
 
 
 def mha_apply(
@@ -114,46 +132,58 @@ def mha_apply(
     transformer.py:44-45). With ``cache`` and ``cache_pos`` given, new K/V for
     the query chunk are written at positions ``[pos, pos+S)`` and attention is
     masked to ``key_pos <= pos + i``; returns ``(out, new_cache)``. With
-    ``cache`` but no ``cache_pos`` (cross-attention), the cache is used as-is.
+    ``cache`` but no ``cache_pos`` (cross-attention), the cache is used as-is;
+    its ``len`` entry masks padded memory slots.
+
+    Caches are merged-head (..., L, H*D) — see the module docstring. Any
+    single-position read (self decode AND cross decode) dispatches to the
+    Pallas prefix-streaming kernel when eligible; the einsum fallback splits
+    heads on read.
 
     ``pad_lens`` (B,) marks each batch row's left-pad length (batched
     left-aligned decode): cache positions ``< pad_lens[b]`` are masked. Kept
     separate from ``attn_bias`` so the single-position decode kernel — which
     takes pad lengths natively — stays engaged for batched serving.
     """
+    from .ops import attention as _attn
+
     k = q if k is None else k
     v = k if v is None else v
-    qh = split_heads(linear(p["q"], q), cfg.n_heads, cfg.head_dim)
 
-    if cache is not None and cache_pos is not None:
-        kh_new = split_heads(linear(p["k"], k), cfg.n_heads, cfg.head_dim)
-        vh_new = split_heads(linear(p["v"], v), cfg.n_heads, cfg.head_dim)
+    if cache is not None and cache_pos is not None:  # self-attention, KV-cached
+        k_new = linear(p["k"], k)  # (..., S, H*D) — merged, matches the cache
+        v_new = linear(p["v"], v)
         if cache_layer is not None:
-            # cache leaves are the FULL layer-stacked array (L, ..., H, Smax, D):
-            # write only the new (.., S, D) block at (layer, ..., pos) — a full
+            # cache leaves are the FULL layer-stacked array (L, ..., Smax, H*D):
+            # write only the new (.., S, H*D) block at (layer, ..., pos) — a full
             # per-layer slice write-back would move the whole cache every step
             start = (cache_layer,) + (0,) * (cache["k"].ndim - 3) + (cache_pos, 0)
             new_cache = {
-                "k": lax.dynamic_update_slice(cache["k"], kh_new.astype(cache["k"].dtype)[None], start),
-                "v": lax.dynamic_update_slice(cache["v"], vh_new.astype(cache["v"].dtype)[None], start),
+                "k": lax.dynamic_update_slice(cache["k"], k_new.astype(cache["k"].dtype)[None], start),
+                "v": lax.dynamic_update_slice(cache["v"], v_new.astype(cache["v"].dtype)[None], start),
             }
-            kh = lax.dynamic_index_in_dim(new_cache["k"], cache_layer, 0, keepdims=False)
-            vh = lax.dynamic_index_in_dim(new_cache["v"], cache_layer, 0, keepdims=False)
+            ck = lax.dynamic_index_in_dim(new_cache["k"], cache_layer, 0, keepdims=False)
+            cv = lax.dynamic_index_in_dim(new_cache["v"], cache_layer, 0, keepdims=False)
         else:
             start = (0,) * (cache["k"].ndim - 2) + (cache_pos, 0)
             new_cache = {
-                "k": lax.dynamic_update_slice(cache["k"], kh_new.astype(cache["k"].dtype), start),
-                "v": lax.dynamic_update_slice(cache["v"], vh_new.astype(cache["v"].dtype), start),
+                "k": lax.dynamic_update_slice(cache["k"], k_new.astype(cache["k"].dtype), start),
+                "v": lax.dynamic_update_slice(cache["v"], v_new.astype(cache["v"].dtype), start),
             }
-            kh, vh = new_cache["k"], new_cache["v"]
-        s, l_max = qh.shape[-2], kh.shape[-2]
-        from .ops import attention as _attn
+            ck, cv = new_cache["k"], new_cache["v"]
+        s, l_max = q.shape[-2], ck.shape[-2]
 
-        if s == 1 and attn_bias is None and _attn.USE_DECODE_KERNEL:
+        if s == 1 and attn_bias is None and _attn.use_decode_kernel(l_max):
             from .ops.decode_attention import decode_attention
 
-            out = decode_attention(qh, kh.astype(qh.dtype), vh.astype(qh.dtype), cache_pos, pad_lens)
-            return linear(p["o"], merge_heads(out)), new_cache
+            q_m = linear(p["q"], q)  # (..., 1, H*D) — kernel takes merged heads
+            out = decode_attention(q_m, ck.astype(q_m.dtype), cv.astype(q_m.dtype),
+                                   cache_pos + 1, cfg.n_heads, pad_lens)
+            return linear(p["o"], out), new_cache
+
+        qh = split_heads(linear(p["q"], q), cfg.n_heads, cfg.head_dim)
+        kh = split_heads(ck.astype(qh.dtype), cfg.n_heads, cfg.head_dim)
+        vh = split_heads(cv.astype(qh.dtype), cfg.n_heads, cfg.head_dim)
         row = lax.broadcasted_iota(jnp.int32, (s, l_max), 0)
         col = lax.broadcasted_iota(jnp.int32, (s, l_max), 1)
         mask_bias = jnp.where(col <= cache_pos + row, 0.0, -jnp.inf).astype(jnp.float32)
@@ -163,14 +193,31 @@ def mha_apply(
             pad_bias = jnp.where(jnp.arange(l_max)[None, :] >= pad_lens[:, None], 0.0, -1e30)
             mask_bias = mask_bias + pad_bias.astype(jnp.float32)[:, None, None, :]
         bias = mask_bias if attn_bias is None else attn_bias + mask_bias
-        out = sdpa(qh, kh.astype(qh.dtype), vh.astype(qh.dtype), bias, False, cfg.attn_impl)
+        out = sdpa(qh, kh, vh, bias, False, cfg.attn_impl)
         return linear(p["o"], merge_heads(out)), new_cache
 
-    if cache is not None:  # precomputed cross-attention K/V
-        kh, vh = cache["k"].astype(qh.dtype), cache["v"].astype(qh.dtype)
-    else:
-        kh = split_heads(linear(p["k"], k), cfg.n_heads, cfg.head_dim)
-        vh = split_heads(linear(p["v"], v), cfg.n_heads, cfg.head_dim)
+    if cache is not None:  # precomputed cross-attention K/V (merged + "len")
+        s, l_max = q.shape[-2], cache["k"].shape[-2]
+        if s == 1 and attn_bias is None and _attn.use_decode_kernel(l_max):
+            from .ops.decode_attention import decode_attention
+
+            q_m = linear(p["q"], q)
+            out = decode_attention(q_m, cache["k"].astype(q_m.dtype), cache["v"].astype(q_m.dtype),
+                                   cache["len"], cfg.n_heads)
+            return linear(p["o"], out)
+        qh = split_heads(linear(p["q"], q), cfg.n_heads, cfg.head_dim)
+        kh = split_heads(cache["k"].astype(qh.dtype), cfg.n_heads, cfg.head_dim)
+        vh = split_heads(cache["v"].astype(qh.dtype), cfg.n_heads, cfg.head_dim)
+        # mask memory slots >= len (cache padding and/or per-row valid lengths)
+        lens = cache["len"][..., None, None, None] if cache["len"].ndim else cache["len"]
+        len_bias = jnp.where(jnp.arange(l_max) < lens, 0.0, -1e30).astype(jnp.float32)
+        bias = len_bias if attn_bias is None else attn_bias + len_bias
+        out = sdpa(qh, kh, vh, bias, causal, cfg.attn_impl)
+        return linear(p["o"], merge_heads(out))
+
+    qh = split_heads(linear(p["q"], q), cfg.n_heads, cfg.head_dim)
+    kh = split_heads(linear(p["k"], k), cfg.n_heads, cfg.head_dim)
+    vh = split_heads(linear(p["v"], v), cfg.n_heads, cfg.head_dim)
     out = sdpa(qh, kh, vh, attn_bias, causal, cfg.attn_impl)
     return linear(p["o"], merge_heads(out))
 
@@ -353,21 +400,37 @@ def decoder_apply(
     return x, new_caches
 
 
+def padded_cache_len(max_len: int) -> int:
+    """KV-cache lengths are rounded up to the decode kernel's block multiple.
+
+    Slots beyond the true maximum are never attended (every read path masks
+    by position), they just make the cache streamable by the Pallas kernel.
+    """
+    from .ops.decode_attention import KV_BLOCK
+
+    return -(-max_len // KV_BLOCK) * KV_BLOCK
+
+
 def make_kv_cache(n_layers: int, batch_shape: tuple, n_heads: int, max_len: int, head_dim: int, dtype=jnp.float32,
                   stacked: bool = True):
-    """Preallocate a zeroed KV cache: stacked along the layer axis (scan path)
-    or as a list of per-layer caches (unrolled decode path)."""
-    shape = (*batch_shape, n_heads, max_len, head_dim)
+    """Preallocate a zeroed merged-head KV cache ``(*batch, Lp, H*D)`` per layer:
+    stacked along the layer axis (scan path) or as a list of per-layer caches
+    (unrolled decode path)."""
+    shape = (*batch_shape, padded_cache_len(max_len), n_heads * head_dim)
     if stacked:
         full = (n_layers, *shape)
         return {"k": jnp.zeros(full, dtype), "v": jnp.zeros(full, dtype)}
     return [{"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)} for _ in range(n_layers)]
 
 
-def precompute_cross_caches(p: dict, cfg: LayerConfig, memory: jnp.ndarray) -> dict:
-    """Project encoder ``memory`` into every decoder layer's cross-attn K/V once."""
+def precompute_cross_caches(p: dict, cfg: LayerConfig, memory: jnp.ndarray, valid_lens=None) -> dict:
+    """Project encoder ``memory`` into every decoder layer's cross-attn K/V once.
+
+    ``valid_lens`` (optional, (*batch,)) marks each row's count of valid
+    memory positions (right-padded batches); defaults to the full length.
+    """
     def body(carry, lp):
-        return carry, mha_project_kv(lp["ca"], cfg, memory)
+        return carry, mha_project_kv(lp["ca"], cfg, memory, valid_lens)
 
     _, caches = lax.scan(body, 0, p["layers"])
     return caches

@@ -10,21 +10,68 @@ from pytorch_models_tpu.ops.decode_attention import decode_attention
 from tests.oracle import rng
 
 
+def _split(x, h):
+    b, l, hd = x.shape
+    return x.reshape(b, l, h, hd // h).transpose(0, 2, 1, 3)
+
+
+def _oracle(q, k, v, h, bias):
+    qh, kh, vh = _split(q, h), _split(k, h), _split(v, h)
+    out = _sdpa_xla(qh, kh, vh, bias, False)  # (B, H, 1, D)
+    b = out.shape[0]
+    return out.transpose(0, 2, 1, 3).reshape(b, 1, -1)
+
+
 @pytest.mark.parametrize("pos", [0, 5, 511, 700, 1023])
 def test_decode_attention_parity(pos):
     r = rng(161)
     b, h, l_max, d = 2, 3, 1024, 64
-    q = jnp.asarray(r.standard_normal((b, h, 1, d)), jnp.float32)
-    k = jnp.asarray(r.standard_normal((b, h, l_max, d)), jnp.float32)
-    v = jnp.asarray(r.standard_normal((b, h, l_max, d)), jnp.float32)
+    q = jnp.asarray(r.standard_normal((b, 1, h * d)), jnp.float32)
+    k = jnp.asarray(r.standard_normal((b, l_max, h * d)), jnp.float32)
+    v = jnp.asarray(r.standard_normal((b, l_max, h * d)), jnp.float32)
 
     with pltpu.force_tpu_interpret_mode():
-        out = decode_attention(q, k, v, pos)
+        out = decode_attention(q, k, v, pos + 1, h)
 
-    # oracle: mask positions > pos, full einsum
     col = jnp.arange(l_max)
     bias = jnp.where(col <= pos, 0.0, -1e30).astype(jnp.float32)[None, None, None, :]
-    expected = _sdpa_xla(q, k, v, bias, False)
+    expected = _oracle(q, k, v, h, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=2e-5, atol=2e-5)
+
+
+def test_decode_attention_unbatched():
+    r = rng(163)
+    h, l_max, d = 4, 256, 32
+    q = jnp.asarray(r.standard_normal((1, h * d)), jnp.float32)
+    k = jnp.asarray(r.standard_normal((l_max, h * d)), jnp.float32)
+    v = jnp.asarray(r.standard_normal((l_max, h * d)), jnp.float32)
+    pos = 77
+
+    with pltpu.force_tpu_interpret_mode():
+        out = decode_attention(q, k, v, pos + 1, h)
+
+    col = jnp.arange(l_max)
+    bias = jnp.where(col <= pos, 0.0, -1e30).astype(jnp.float32)[None, None, None, :]
+    expected = _oracle(q[None], k[None], v[None], h, bias)[0]
+    assert out.shape == (1, h * d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=2e-5, atol=2e-5)
+
+
+def test_decode_attention_per_row_ends():
+    """Per-row ends (cross-attention over right-padded memory rows)."""
+    r = rng(164)
+    b, h, l_max, d = 3, 2, 512, 64
+    q = jnp.asarray(r.standard_normal((b, 1, h * d)), jnp.float32)
+    k = jnp.asarray(r.standard_normal((b, l_max, h * d)), jnp.float32)
+    v = jnp.asarray(r.standard_normal((b, l_max, h * d)), jnp.float32)
+    ends = jnp.asarray([512, 300, 1], jnp.int32)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = decode_attention(q, k, v, ends, h)
+
+    col = jnp.arange(l_max)
+    bias = jnp.where(col[None, :] < ends[:, None], 0.0, -1e30).astype(jnp.float32)[:, None, None, :]
+    expected = _oracle(q, k, v, h, bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=2e-5, atol=2e-5)
 
 
@@ -45,14 +92,17 @@ def test_decode_kernel_end_to_end_generation():
         def decode(self, t):
             return t
 
-    m = GPT2.__new__(GPT2)
     GPT2.vocab_size, GPT2.max_seq_len = 128, 128
     try:
         m = GPT2(2, 64)
     finally:
         GPT2.vocab_size, GPT2.max_seq_len = 50257, 1024
     gen = DecoderGenerator(m, Tok())
-    baseline = gen.generate_tokens([5, 6, 7], max_tokens=10)
+    attn_mod.USE_DECODE_KERNEL = False
+    try:
+        baseline = gen.generate_tokens([5, 6, 7], max_tokens=10)
+    finally:
+        attn_mod.USE_DECODE_KERNEL = None
 
     attn_mod.USE_DECODE_KERNEL = True
     try:
@@ -60,7 +110,7 @@ def test_decode_kernel_end_to_end_generation():
         with pltpu.force_tpu_interpret_mode():
             kernel_out = gen.generate_tokens([5, 6, 7], max_tokens=10)
     finally:
-        attn_mod.USE_DECODE_KERNEL = False
+        attn_mod.USE_DECODE_KERNEL = None
         jax.clear_caches()
     assert kernel_out == baseline
 
@@ -84,7 +134,11 @@ def test_decode_kernel_end_to_end_batched_generation():
         GPT2.vocab_size, GPT2.max_seq_len = 50257, 1024
     gen = DecoderGenerator(m, Tok())
     prompts = [[5, 6, 7], [9] * 40, [11, 12]]  # unequal lengths -> real left-padding
-    baseline = gen.generate_tokens_batch(prompts, max_tokens=8)
+    attn_mod.USE_DECODE_KERNEL = False
+    try:
+        baseline = gen.generate_tokens_batch(prompts, max_tokens=8)
+    finally:
+        attn_mod.USE_DECODE_KERNEL = None
 
     attn_mod.USE_DECODE_KERNEL = True
     try:
@@ -92,7 +146,7 @@ def test_decode_kernel_end_to_end_batched_generation():
         with pltpu.force_tpu_interpret_mode():
             kernel_out = gen.generate_tokens_batch(prompts, max_tokens=8)
     finally:
-        attn_mod.USE_DECODE_KERNEL = False
+        attn_mod.USE_DECODE_KERNEL = None
         jax.clear_caches()
     assert kernel_out == baseline
 
@@ -101,16 +155,16 @@ def test_decode_attention_left_padded_rows():
     """Per-row left-pad masking (batched generation) matches the einsum oracle."""
     r = rng(162)
     b, h, l_max, d = 3, 2, 512, 64
-    q = jnp.asarray(r.standard_normal((b, h, 1, d)), jnp.float32)
-    k = jnp.asarray(r.standard_normal((b, h, l_max, d)), jnp.float32)
-    v = jnp.asarray(r.standard_normal((b, h, l_max, d)), jnp.float32)
+    q = jnp.asarray(r.standard_normal((b, 1, h * d)), jnp.float32)
+    k = jnp.asarray(r.standard_normal((b, l_max, h * d)), jnp.float32)
+    v = jnp.asarray(r.standard_normal((b, l_max, h * d)), jnp.float32)
     pos, pads = 300, jnp.asarray([0, 7, 299], jnp.int32)
 
     with pltpu.force_tpu_interpret_mode():
-        out = decode_attention(q, k, v, pos, pad_lens=pads)
+        out = decode_attention(q, k, v, pos + 1, h, pad_lens=pads)
 
     col = jnp.arange(l_max)
     valid = (col[None, :] <= pos) & (col[None, :] >= pads[:, None])  # (B, L)
     bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)[:, None, None, :]
-    expected = _sdpa_xla(q, k, v, bias, False)
+    expected = _oracle(q, k, v, h, bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=2e-5, atol=2e-5)
