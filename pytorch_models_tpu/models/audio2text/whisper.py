@@ -163,8 +163,7 @@ def _whisper_encode_generate(params, cfg: WhisperConfig, mel, initial_tokens, ma
     return _whisper_generate_body(params, cfg, memory, initial_tokens, max_tokens, eot_id)
 
 
-@partial(jax.jit, static_argnums=(1, 4))
-def _whisper_generate_batch(params, cfg: WhisperConfig, memory, initial_tokens, max_tokens: int, eot_id):
+def _whisper_generate_batch_body(params, cfg: WhisperConfig, memory, initial_tokens, max_tokens: int, eot_id):
     """Batched greedy transcription: ``memory`` (B, T, d); shared initial tokens.
 
     All rows decode in lockstep (same initial prompt), so caches/positions are
@@ -212,6 +211,9 @@ def _whisper_generate_batch(params, cfg: WhisperConfig, memory, initial_tokens, 
     is_eot = jnp.logical_and(gen == eot_id, generated)
     lengths = jnp.where(jnp.any(is_eot, axis=1), n_init + jnp.argmax(is_eot, axis=1) + 1, length)
     return buf, lengths
+
+
+_whisper_generate_batch = partial(jax.jit, static_argnums=(1, 4))(_whisper_generate_batch_body)
 
 
 class Whisper(InferenceModel):
@@ -338,6 +340,25 @@ class WhisperGenerator:
         self.tokenizer = tokenizer
         variant = "large-v3" if model.cfg.n_mels == 128 else "tiny"
         self.preprocessor = WhisperPreprocessor(variant)
+        # mel + encoder + greedy decode fused into ONE jit call per segment:
+        # every separate dispatch costs a ~30 ms host round-trip through the
+        # remote-TPU tunnel (see PERF.md)
+        pre_fwd, cfg = self.preprocessor._forward, model.cfg
+
+        @partial(jax.jit, static_argnums=(2,))
+        def _transcribe_full(params, audio, max_tokens, initial_tokens, eot_id):
+            mel = pre_fwd(audio)
+            memory = _whisper_encode_body(params, cfg, mel)[0]
+            return _whisper_generate_body(params, cfg, memory, initial_tokens, max_tokens, eot_id)
+
+        @partial(jax.jit, static_argnums=(2,))
+        def _transcribe_full_batch(params, audios, max_tokens, initial_tokens, eot_id):
+            mel = pre_fwd(audios)
+            memory = _whisper_encode_body(params, cfg, mel)
+            return _whisper_generate_batch_body(params, cfg, memory, initial_tokens, max_tokens, eot_id)
+
+        self._transcribe_full = _transcribe_full
+        self._transcribe_full_batch = _transcribe_full_batch
 
     def transcribe_tokens(self, audio, initial_tokens: list[int], eot_id: int, max_tokens: int = DEC_MAX_LEN):
         """Waveform (n,) -> transcribed token ids (greedy, single 30 s segment)."""
@@ -346,11 +367,8 @@ class WhisperGenerator:
             "dynamic_slice would silently clamp into the last position embedding")
         audio = np.asarray(audio, np.float32)[: self.N_SAMPLES]
         audio = np.pad(audio, (0, self.N_SAMPLES - len(audio)))
-        mel = self.preprocessor(audio[None])  # (1, n_mels, 3000)
-        # encoder + greedy decode in ONE jit call: each separate call costs a
-        # host round-trip (~30 ms through the remote-TPU tunnel)
-        buf, length = _whisper_encode_generate(
-            self.model.params, self.model.cfg, mel, jnp.asarray(initial_tokens, jnp.int32), max_tokens, eot_id
+        buf, length = self._transcribe_full(
+            self.model.params, jnp.asarray(audio[None]), max_tokens, jnp.asarray(initial_tokens, jnp.int32), eot_id
         )
         return np.asarray(buf)[: int(length)].tolist()
 
@@ -381,10 +399,8 @@ class WhisperGenerator:
             np.pad(np.asarray(a, np.float32)[: self.N_SAMPLES], (0, max(0, self.N_SAMPLES - len(a))))
             for a in audios
         ])
-        mel = self.preprocessor(padded)  # (B, n_mels, 3000)
-        memory = self.model.encode(mel)
-        buf, lengths = _whisper_generate_batch(
-            self.model.params, self.model.cfg, memory, jnp.asarray(initial_tokens, jnp.int32), max_tokens, eot_id
+        buf, lengths = self._transcribe_full_batch(
+            self.model.params, jnp.asarray(padded), max_tokens, jnp.asarray(initial_tokens, jnp.int32), eot_id
         )
         buf, lengths = np.asarray(buf), np.asarray(lengths)
         return [buf[i, : lengths[i]].tolist() for i in range(len(audios))]

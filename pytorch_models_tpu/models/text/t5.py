@@ -256,13 +256,17 @@ def _t5_generate(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int, pad_
 
     out_buf = jnp.zeros((max_tokens,), jnp.int32).at[0].set(pad_id)
 
+    # full (H, P, L) bias table ONCE outside the loop: the per-step bucket
+    # math + (H, L) gather is pure serialized VPU/gather work on TPU
+    l_pad = tfm.padded_cache_len(max_tokens)
+    bias_table = relative_position_bias(
+        dec["attn_bias"], jnp.arange(max_tokens), jnp.arange(l_pad), False, cfg)
+
     def step(carry):
         buf, pos, caches, done = carry
         tok = lax.dynamic_slice(buf, (pos,), (1,))
         h = jnp.take(params["token_embs"], tok, axis=0)
-        q_pos = jnp.array([0]) + pos
-        k_pos = jnp.arange(tfm.padded_cache_len(max_tokens))
-        bias = relative_position_bias(dec["attn_bias"], q_pos, k_pos, False, cfg)
+        bias = lax.dynamic_slice(bias_table, (0, pos, 0), (cfg.n_heads, 1, l_pad))
 
         h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, None, pos)
         h = rms_norm(dec["norm"], h)
@@ -299,13 +303,15 @@ def _t5_generate_batch(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int
 
     out_buf = jnp.zeros((b, max_tokens), jnp.int32).at[:, 0].set(pad_id)
 
+    l_pad = tfm.padded_cache_len(max_tokens)
+    bias_table = relative_position_bias(
+        dec["attn_bias"], jnp.arange(max_tokens), jnp.arange(l_pad), False, cfg)
+
     def step(carry):
         buf, pos, caches, done = carry
         tok = lax.dynamic_slice(buf, (0, pos), (b, 1))
         h = jnp.take(params["token_embs"], tok, axis=0)
-        q_pos = jnp.array([0]) + pos
-        k_pos = jnp.arange(tfm.padded_cache_len(max_tokens))
-        bias = relative_position_bias(dec["attn_bias"], q_pos, k_pos, False, cfg)
+        bias = lax.dynamic_slice(bias_table, (0, pos, 0), (cfg.n_heads, 1, l_pad))
 
         h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, None, pos)
         h = rms_norm(dec["norm"], h)

@@ -43,6 +43,21 @@ def use_decode_kernel(cache_len: int) -> bool:
     return _on_tpu() if USE_DECODE_KERNEL is None else USE_DECODE_KERNEL
 
 
+# merged-head Pallas encoder attention (ops/encoder_attention.py). None =
+# auto (on for TPU: 1.66 -> 1.18 ms per ViT-B/16 attention block at batch
+# 128, v5e); True forces it (interpret-mode tests); False forces einsum/flash.
+USE_ENCODER_KERNEL: bool | None = None
+
+
+def use_encoder_kernel(q_m, k_m, n_heads: int, attn_bias) -> bool:
+    """Gate for merged-head encoder attention on (..., L, H*D) projections."""
+    from .encoder_attention import encoder_attention_eligible
+
+    if not encoder_attention_eligible(q_m, k_m, n_heads, attn_bias):
+        return False
+    return _on_tpu() if USE_ENCODER_KERNEL is None else USE_ENCODER_KERNEL
+
+
 def sdpa(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -52,8 +52,13 @@ NEG_INF = -1e30
 KV_BLOCK = 128
 
 
-def _kernel(ends_ref, pad_ref, q_ref, k_hbm, v_hbm, o_ref, *, bk: int, scale: float,
-            n_heads: int, d: int, prec):
+def _kernel(ends_ref, pad_ref, q_ref, k_hbm, v_hbm, *rest, bk: int, scale: float,
+            n_heads: int, d: int, prec, bias_shared: bool = False):
+    if len(rest) == 2:  # (bias_hbm, o_ref) — additive per-key bias (T5 rel-pos)
+        bias_hbm, o_ref = rest
+    else:
+        (o_ref,) = rest
+        bias_hbm = None
     b = pl.program_id(0)
     end = ends_ref[b]
     pad = pad_ref[b]
@@ -61,14 +66,20 @@ def _kernel(ends_ref, pad_ref, q_ref, k_hbm, v_hbm, o_ref, *, bk: int, scale: fl
     n_blocks = (end + bk - 1) // bk  # only the valid prefix
     hd = n_heads * d
 
-    def body(k_scratch, v_scratch, sem):
+    def body(k_scratch, v_scratch, bias_scratch, sem):
         def copies(i, slot):
-            return (
+            cps = [
                 pltpu.make_async_copy(k_hbm.at[b, pl.ds(i * bk, bk), :], k_scratch.at[slot],
                                       sem.at[slot, 0]),
                 pltpu.make_async_copy(v_hbm.at[b, pl.ds(i * bk, bk), :], v_scratch.at[slot],
                                       sem.at[slot, 1]),
-            )
+            ]
+            if bias_hbm is not None:
+                bias_row = 0 if bias_shared else b
+                cps.append(pltpu.make_async_copy(
+                    bias_hbm.at[bias_row, pl.ds(i * bk, bk), :], bias_scratch.at[slot],
+                    sem.at[slot, 2]))
+            return cps
 
         for cp in copies(first, lax.rem(first, 2)):
             cp.start()
@@ -95,6 +106,10 @@ def _kernel(ends_ref, pad_ref, q_ref, k_hbm, v_hbm, o_ref, *, bk: int, scale: fl
             k = k_scratch[slot].astype(jnp.float32)  # (bk, H*D)
             s = lax.dot_general(k * q, e_mat, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32, precision=prec)  # (bk, H)
+            if bias_hbm is not None:
+                # bias is lane-padded to 128 (DMA slices must be lane-aligned);
+                # reading the first H lanes is a plain (relayout) VMEM load
+                s = s + bias_scratch[slot][:, :n_heads].astype(jnp.float32)
             k_idx = i * bk + lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
             valid = jnp.logical_and(k_idx < end, k_idx >= pad)  # (bk, 1)
             s = jnp.where(valid, s, NEG_INF)
@@ -125,13 +140,15 @@ def _kernel(ends_ref, pad_ref, q_ref, k_hbm, v_hbm, o_ref, *, bk: int, scale: fl
         body,
         k_scratch=pltpu.VMEM((2, bk, hd), k_hbm.dtype),
         v_scratch=pltpu.VMEM((2, bk, hd), v_hbm.dtype),
-        sem=pltpu.SemaphoreType.DMA((2, 2)),
+        bias_scratch=(pltpu.VMEM((2, bk, bias_hbm.shape[-1]), bias_hbm.dtype)
+                      if bias_hbm is not None else pltpu.VMEM((2, 8, 128), jnp.float32)),
+        sem=pltpu.SemaphoreType.DMA((2, 3)),
     )
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "block_k"))
 def decode_attention(q, k_cache, v_cache, ends, n_heads: int, pad_lens=None,
-                     block_k: int = KV_BLOCK):
+                     bias=None, block_k: int = KV_BLOCK):
     """q: (B, 1, H*D); k_cache/v_cache: (B, L, H*D); ends: scalar or (B,) int.
 
     Attention over cache positions ``[pad_lens[b], ends[b])`` per batch row;
@@ -139,6 +156,11 @@ def decode_attention(q, k_cache, v_cache, ends, n_heads: int, pad_lens=None,
     ``L`` must be a multiple of ``block_k``; slots in the valid range must
     already hold this step's K/V. Unbatched (1, H*D) inputs are promoted.
     For self-attention decode at position ``pos``, pass ``ends = pos + 1``.
+
+    ``bias``: optional additive per-key logit bias in **key-major** layout
+    ``(1, L, H)`` (shared across rows — T5's rel-pos bias) or ``(B, L, H)``,
+    streamed block-by-block with the cache. This is the transpose of the
+    einsum path's (H, 1, L): blocks land as (bk, H), the kernel's score shape.
     """
     unbatched = q.ndim == 2
     if unbatched:
@@ -149,6 +171,14 @@ def decode_attention(q, k_cache, v_cache, ends, n_heads: int, pad_lens=None,
     assert lq == 1, "decode kernel is single-position"
     assert hd % n_heads == 0
     assert l_max % block_k == 0, f"cache length {l_max} not a multiple of block_k={block_k}"
+    if bias is not None:
+        assert bias.ndim == 3 and bias.shape[0] in (1, b) and bias.shape[1:] == (l_max, n_heads), (
+            f"bias must be (1|B, {l_max}, {n_heads}), got {bias.shape}")
+        # lane-pad the head dim to the 128 tile: Mosaic DMA slices must be
+        # lane-aligned (a (bk, 6) block copy fails to compile on hardware)
+        h_pad = -n_heads % 128
+        if h_pad:
+            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, h_pad)))
 
     ends_arr = jnp.broadcast_to(jnp.asarray(ends, jnp.int32).reshape(-1), (b,))
     pad_arr = (jnp.zeros((b,), jnp.int32) if pad_lens is None
@@ -156,20 +186,24 @@ def decode_attention(q, k_cache, v_cache, ends, n_heads: int, pad_lens=None,
     # fp32 inputs get full-precision MXU passes (parity); bf16 is the fast path
     prec = lax.Precision.HIGHEST if q.dtype == jnp.float32 else lax.Precision.DEFAULT
 
+    any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, 1, hd), lambda i, ends_ref, pad_ref: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-        ],
+            any_spec,
+            any_spec,
+        ] + ([any_spec] if bias is not None else []),
         out_specs=pl.BlockSpec((1, 1, hd), lambda i, ends_ref, pad_ref: (i, 0, 0)),
     )
+    operands = (ends_arr, pad_arr, q, k_cache, v_cache)
+    if bias is not None:
+        operands = operands + (bias,)
     out = pl.pallas_call(
         functools.partial(_kernel, bk=block_k, scale=1.0 / math.sqrt(d), n_heads=n_heads, d=d,
-                          prec=prec),
+                          prec=prec, bias_shared=bias is not None and bias.shape[0] == 1),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
-    )(ends_arr, pad_arr, q, k_cache, v_cache)
+    )(*operands)
     return out[0] if unbatched else out

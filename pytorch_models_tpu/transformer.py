@@ -54,6 +54,10 @@ class LayerConfig:
     pre_norm: bool = True
     norm_eps: float = 1e-5
     attn_impl: str = "auto"
+    # Set under shard_map for Megatron tensor parallelism: n_heads/head_dim
+    # then describe the LOCAL shard, and the attention out-projection and MLP
+    # fc2 all-reduce their row-sharded partial sums over this mesh axis.
+    tp_axis: str | None = None
 
     @staticmethod
     def make(d_model, n_heads=None, head_dim=None, **kw) -> "LayerConfig":
@@ -92,6 +96,20 @@ def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(*x.shape[:-2], -1)
 
 
+def reduce_linear(p: dict, x: jnp.ndarray, tp_axis: str | None) -> jnp.ndarray:
+    """Row-parallel linear: x (.., k/tp) @ w (k/tp, n) -> psum over ``tp_axis``
+    -> + bias. The bias is replicated and must be added AFTER the all-reduce
+    (each rank adds it to the already-complete sum, consistently). With
+    ``tp_axis=None`` this is exactly :func:`linear`."""
+    if tp_axis is None:
+        return linear(p, x)
+    from .ops.layers import dot_precision
+
+    out = jnp.matmul(x, p["w"].astype(x.dtype), precision=dot_precision(x))
+    out = lax.psum(out, tp_axis)
+    return out + p["b"].astype(x.dtype) if "b" in p else out
+
+
 def mha_project_kv(p: dict, cfg: LayerConfig, kv: jnp.ndarray, valid_lens=None) -> dict:
     """Project ``kv`` (..., L, d) into a cross-attention cache.
 
@@ -111,6 +129,21 @@ def mha_project_kv(p: dict, cfg: LayerConfig, kv: jnp.ndarray, valid_lens=None) 
     lens = jnp.full(kv.shape[:-2], length, jnp.int32) if valid_lens is None else (
         jnp.asarray(valid_lens, jnp.int32))
     return {"k": linear(p["k"], kv_p), "v": linear(p["v"], kv_p), "len": lens}
+
+
+def _decode_kernel_bias(attn_bias, l_max: int, n_heads: int):
+    """Convert a single-position additive bias to the decode kernel's key-major
+    layout: (H, 1, L) / (B, H, 1, L) -> (1 | B, L, H). Returns
+    ``(kernel_bias, convertible)``; shapes the kernel can't serve (e.g. a
+    multi-query bias) report ``convertible=False`` and stay on the einsum path.
+    """
+    if attn_bias is None:
+        return None, True
+    if attn_bias.ndim == 3 and attn_bias.shape == (n_heads, 1, l_max):
+        return jnp.moveaxis(attn_bias, 0, -1), True
+    if attn_bias.ndim == 4 and attn_bias.shape[1:] == (n_heads, 1, l_max):
+        return jnp.moveaxis(attn_bias, 1, -1)[:, 0], True
+    return None, False
 
 
 def mha_apply(
@@ -173,13 +206,15 @@ def mha_apply(
             ck, cv = new_cache["k"], new_cache["v"]
         s, l_max = q.shape[-2], ck.shape[-2]
 
-        if s == 1 and attn_bias is None and _attn.use_decode_kernel(l_max):
-            from .ops.decode_attention import decode_attention
+        if s == 1 and _attn.use_decode_kernel(l_max):
+            kernel_bias, convertible = _decode_kernel_bias(attn_bias, l_max, cfg.n_heads)
+            if convertible:
+                from .ops.decode_attention import decode_attention
 
-            q_m = linear(p["q"], q)  # (..., 1, H*D) — kernel takes merged heads
-            out = decode_attention(q_m, ck.astype(q_m.dtype), cv.astype(q_m.dtype),
-                                   cache_pos + 1, cfg.n_heads, pad_lens)
-            return linear(p["o"], out), new_cache
+                q_m = linear(p["q"], q)  # (..., 1, H*D) — kernel takes merged heads
+                out = decode_attention(q_m, ck.astype(q_m.dtype), cv.astype(q_m.dtype),
+                                       cache_pos + 1, cfg.n_heads, pad_lens, kernel_bias)
+                return reduce_linear(p["o"], out, cfg.tp_axis), new_cache
 
         qh = split_heads(linear(p["q"], q), cfg.n_heads, cfg.head_dim)
         kh = split_heads(ck.astype(qh.dtype), cfg.n_heads, cfg.head_dim)
@@ -194,7 +229,7 @@ def mha_apply(
             mask_bias = mask_bias + pad_bias.astype(jnp.float32)[:, None, None, :]
         bias = mask_bias if attn_bias is None else attn_bias + mask_bias
         out = sdpa(qh, kh, vh, bias, False, cfg.attn_impl)
-        return linear(p["o"], merge_heads(out)), new_cache
+        return reduce_linear(p["o"], merge_heads(out), cfg.tp_axis), new_cache
 
     if cache is not None:  # precomputed cross-attention K/V (merged + "len")
         s, l_max = q.shape[-2], cache["k"].shape[-2]
@@ -204,7 +239,7 @@ def mha_apply(
             q_m = linear(p["q"], q)
             out = decode_attention(q_m, cache["k"].astype(q_m.dtype), cache["v"].astype(q_m.dtype),
                                    cache["len"], cfg.n_heads)
-            return linear(p["o"], out)
+            return reduce_linear(p["o"], out, cfg.tp_axis)
         qh = split_heads(linear(p["q"], q), cfg.n_heads, cfg.head_dim)
         kh = split_heads(cache["k"].astype(qh.dtype), cfg.n_heads, cfg.head_dim)
         vh = split_heads(cache["v"].astype(qh.dtype), cfg.n_heads, cfg.head_dim)
@@ -213,13 +248,20 @@ def mha_apply(
         len_bias = jnp.where(jnp.arange(l_max) < lens, 0.0, -1e30).astype(jnp.float32)
         bias = len_bias if attn_bias is None else attn_bias + len_bias
         out = sdpa(qh, kh, vh, bias, causal, cfg.attn_impl)
-        return linear(p["o"], merge_heads(out))
+        return reduce_linear(p["o"], merge_heads(out), cfg.tp_axis)
 
-    qh = split_heads(linear(p["q"], q), cfg.n_heads, cfg.head_dim)
-    kh = split_heads(linear(p["k"], k), cfg.n_heads, cfg.head_dim)
-    vh = split_heads(linear(p["v"], v), cfg.n_heads, cfg.head_dim)
+    q_m = linear(p["q"], q)
+    k_m = linear(p["k"], k)
+    v_m = linear(p["v"], v)
+    if cfg.attn_impl != "xla" and _attn.use_encoder_kernel(q_m, k_m, cfg.n_heads, attn_bias):
+        from .ops.encoder_attention import encoder_attention
+
+        return reduce_linear(p["o"], encoder_attention(q_m, k_m, v_m, cfg.n_heads, causal), cfg.tp_axis)
+    qh = split_heads(q_m, cfg.n_heads, cfg.head_dim)
+    kh = split_heads(k_m, cfg.n_heads, cfg.head_dim)
+    vh = split_heads(v_m, cfg.n_heads, cfg.head_dim)
     out = sdpa(qh, kh, vh, attn_bias, causal, cfg.attn_impl)
-    return linear(p["o"], merge_heads(out))
+    return reduce_linear(p["o"], merge_heads(out), cfg.tp_axis)
 
 
 # ---------------------------------------------------------------------------
@@ -232,8 +274,8 @@ def mlp_init(key, in_dim: int, hidden_dim: int) -> dict:
     return {"fc1": linear_init(k1, in_dim, hidden_dim), "fc2": linear_init(k2, hidden_dim, in_dim)}
 
 
-def mlp_apply(p: dict, x: jnp.ndarray, act: str = "gelu") -> jnp.ndarray:
-    return linear(p["fc2"], ACT_FNS[act](linear(p["fc1"], x)))
+def mlp_apply(p: dict, x: jnp.ndarray, act: str = "gelu", tp_axis: str | None = None) -> jnp.ndarray:
+    return reduce_linear(p["fc2"], ACT_FNS[act](linear(p["fc1"], x)), tp_axis)
 
 
 # ---------------------------------------------------------------------------
@@ -260,10 +302,10 @@ def encoder_layer_apply(p: dict, cfg: LayerConfig, x: jnp.ndarray, attn_bias=Non
     eps = cfg.norm_eps
     if cfg.pre_norm:
         x = x + mha_apply(p["sa"], cfg, layer_norm(p["sa_norm"], x, eps), attn_bias=attn_bias)
-        x = x + mlp_apply(p["mlp"], layer_norm(p["mlp_norm"], x, eps), cfg.act)
+        x = x + mlp_apply(p["mlp"], layer_norm(p["mlp_norm"], x, eps), cfg.act, cfg.tp_axis)
     else:
         x = layer_norm(p["sa_norm"], x + mha_apply(p["sa"], cfg, x, attn_bias=attn_bias), eps)
-        x = layer_norm(p["mlp_norm"], x + mlp_apply(p["mlp"], x, cfg.act), eps)
+        x = layer_norm(p["mlp_norm"], x + mlp_apply(p["mlp"], x, cfg.act, cfg.tp_axis), eps)
     return x
 
 
@@ -306,13 +348,13 @@ def decoder_layer_apply(
         x = x + out
         if cfg.cross_attn:
             x = x + ca(layer_norm(p["ca_norm"], x, eps))
-        x = x + mlp_apply(p["mlp"], layer_norm(p["mlp_norm"], x, eps), cfg.act)
+        x = x + mlp_apply(p["mlp"], layer_norm(p["mlp_norm"], x, eps), cfg.act, cfg.tp_axis)
     else:
         out, new_cache = sa(x)
         x = layer_norm(p["sa_norm"], x + out, eps)
         if cfg.cross_attn:
             x = layer_norm(p["ca_norm"], x + ca(x), eps)
-        x = layer_norm(p["mlp_norm"], x + mlp_apply(p["mlp"], x, cfg.act), eps)
+        x = layer_norm(p["mlp_norm"], x + mlp_apply(p["mlp"], x, cfg.act, cfg.tp_axis), eps)
     return (x, new_cache) if cached else x
 
 

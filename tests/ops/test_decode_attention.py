@@ -168,3 +168,72 @@ def test_decode_attention_left_padded_rows():
     bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)[:, None, None, :]
     expected = _oracle(q, k, v, h, bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=2e-5, atol=2e-5)
+
+
+def test_decode_attention_shared_bias():
+    """Batch-shared key-major additive bias (T5 rel-pos layout)."""
+    r = rng(165)
+    b, h, l_max, d = 2, 3, 512, 64
+    q = jnp.asarray(r.standard_normal((b, 1, h * d)), jnp.float32)
+    k = jnp.asarray(r.standard_normal((b, l_max, h * d)), jnp.float32)
+    v = jnp.asarray(r.standard_normal((b, l_max, h * d)), jnp.float32)
+    bias_kh = jnp.asarray(r.standard_normal((1, l_max, h)), jnp.float32)
+    pos = 300
+
+    with pltpu.force_tpu_interpret_mode():
+        out = decode_attention(q, k, v, pos + 1, h, bias=bias_kh)
+
+    col = jnp.arange(l_max)
+    mask = jnp.where(col <= pos, 0.0, -1e30).astype(jnp.float32)[None, None, None, :]
+    bias_hql = jnp.moveaxis(bias_kh, -1, 0)[:, None, :].transpose(1, 0, 2, 3)  # (1,H,1,L)
+    expected = _oracle(q, k, v, h, bias_hql + mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=2e-5, atol=2e-5)
+
+
+def test_decode_attention_per_row_bias_and_pads():
+    """Per-row bias composed with left pads and a shared end."""
+    r = rng(166)
+    b, h, l_max, d = 3, 2, 256, 64
+    q = jnp.asarray(r.standard_normal((b, 1, h * d)), jnp.float32)
+    k = jnp.asarray(r.standard_normal((b, l_max, h * d)), jnp.float32)
+    v = jnp.asarray(r.standard_normal((b, l_max, h * d)), jnp.float32)
+    bias_kh = jnp.asarray(r.standard_normal((b, l_max, h)), jnp.float32)
+    pos, pads = 200, jnp.asarray([0, 3, 128], jnp.int32)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = decode_attention(q, k, v, pos + 1, h, pad_lens=pads, bias=bias_kh)
+
+    col = jnp.arange(l_max)
+    valid = (col[None, :] <= pos) & (col[None, :] >= pads[:, None])
+    mask = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)[:, None, None, :]
+    bias_bhql = jnp.moveaxis(bias_kh, -1, 1)[:, :, None, :]  # (B,H,1,L)
+    expected = _oracle(q, k, v, h, bias_bhql + mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=2e-5, atol=2e-5)
+
+
+def test_decode_kernel_end_to_end_t5_generation():
+    """T5 greedy generation (rel-pos bias through the kernel) == einsum path."""
+    import jax
+
+    jax.clear_caches()
+    from pytorch_models_tpu.models.text.t5 import T5Generator, T5Model
+    from pytorch_models_tpu.ops import attention as attn_mod
+
+    m = T5Model(vocab_size=100, dim=64, n_heads=2, n_layers=2, mlp_dim=128)
+    gen = T5Generator(model=m, tokenizer=object())
+    prompt = [7, 8, 9, 4, 5]
+    attn_mod.USE_DECODE_KERNEL = False
+    try:
+        baseline = gen.generate_tokens(prompt, 12, 0, 1)
+    finally:
+        attn_mod.USE_DECODE_KERNEL = None
+
+    attn_mod.USE_DECODE_KERNEL = True
+    try:
+        jax.clear_caches()
+        with pltpu.force_tpu_interpret_mode():
+            kernel_out = gen.generate_tokens(prompt, 12, 0, 1)
+    finally:
+        attn_mod.USE_DECODE_KERNEL = None
+        jax.clear_caches()
+    assert kernel_out == baseline
