@@ -29,11 +29,18 @@ class DecoderLMConfig:
     final_norm: bool
     act: str = "approximate_gelu"
     norm_eps: float = 1e-5
+    # Tensor-parallel serving (parallel/serving.py): under shard_map each rank
+    # holds local_heads = n_heads/tp heads and all-reduces over tp_axis.
+    local_heads: int | None = None
+    tp_axis: str | None = None
 
     @property
     def layer(self) -> tfm.LayerConfig:
+        heads = ({} if self.local_heads is None
+                 else {"n_heads": self.local_heads, "head_dim": 64})
         return tfm.LayerConfig.make(
-            self.d_model, n_heads=self.d_model // 64, act=self.act, pre_norm=self.pre_norm, norm_eps=self.norm_eps
+            self.d_model, **({"n_heads": self.d_model // 64} | heads), act=self.act,
+            pre_norm=self.pre_norm, norm_eps=self.norm_eps, tp_axis=self.tp_axis
         )
 
 

@@ -47,7 +47,7 @@ def _generate(params, cfg, prompt_buf, n_prompt, limit, topk, eos_id, key):
     tokens_buf = jnp.zeros((cfg.max_seq_len,), jnp.int32)
     tokens_buf = lax.dynamic_update_slice(tokens_buf, prompt_buf.astype(jnp.int32), (0,))
 
-    key, sub = jax.random.split(key)
+    key, sub = jax.random.split(key) if topk != 1 else (key, key)
     first = _sample(last_logits, sub, topk)
     tokens_buf = lax.dynamic_update_slice(tokens_buf, first[None], (n_prompt,))
     state = (tokens_buf, n_prompt + 1, caches, key, first == eos_id)
@@ -60,7 +60,8 @@ def _generate(params, cfg, prompt_buf, n_prompt, limit, topk, eos_id, key):
         buf, pos, caches, key, _ = s
         tok = lax.dynamic_slice(buf, (pos - 1,), (1,))
         logits, caches = decoder_lm_forward_cached(params, cfg, tok, caches, pos - 1)
-        key, sub = jax.random.split(key)
+        # greedy never consumes randomness: skip the per-step threefry split
+        key, sub = jax.random.split(key) if topk != 1 else (key, key)
         nxt = _sample(logits[0], sub, topk)
         buf = lax.dynamic_update_slice(buf, nxt[None], (pos,))
         return (buf, pos + 1, caches, key, nxt == eos_id)
@@ -69,8 +70,7 @@ def _generate(params, cfg, prompt_buf, n_prompt, limit, topk, eos_id, key):
     return tokens_buf, length
 
 
-@partial(jax.jit, static_argnums=(1, 5))
-def _generate_batch(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id, key):
+def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id, key):
     """Batched greedy/top-k generation over LEFT-padded prompts.
 
     Beyond the reference (single-prompt only, text/generator.py:17-37):
@@ -102,7 +102,7 @@ def _generate_batch(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id, key)
         choice = jax.random.categorical(key, vals, axis=-1)
         return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0].astype(jnp.int32)
 
-    key, sub = jax.random.split(key)
+    key, sub = jax.random.split(key) if topk != 1 else (key, key)
     nxt = sample_rows(last, sub)
     buf = buf.at[:, p_len].set(nxt)
     done = nxt == eos_id
@@ -117,7 +117,7 @@ def _generate_batch(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id, key)
         tok = lax.dynamic_slice(buf, (0, pos - 1), (b, 1))
         p_ids = (pos - 1 - pad_lens)[:, None]
         logits, caches = decoder_lm_forward_cached_batch(params, cfg, tok, p_ids, caches, pos - 1, pad_lens)
-        key, sub = jax.random.split(key)
+        key, sub = jax.random.split(key) if topk != 1 else (key, key)
         nxt = sample_rows(logits[:, 0], sub)
         nxt = jnp.where(done, jnp.int32(eos_id), nxt)  # finished rows stay parked on EOS
         buf = lax.dynamic_update_slice(buf, nxt[:, None], (0, pos))
@@ -133,6 +133,9 @@ def _generate_batch(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id, key)
     has_eos = jnp.any(is_eos, axis=1)
     lengths = jnp.where(has_eos, p_len + first_eos + 1, length)
     return buf, lengths
+
+
+_generate_batch = partial(jax.jit, static_argnums=(1, 5))(_generate_batch_body)
 
 
 class DecoderGenerator:
