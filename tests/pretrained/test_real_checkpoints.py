@@ -150,3 +150,18 @@ def test_t5_flan_small_golden_string():
     gen = T5Generator("flan_t5-small")
     out = gen.generate("translate English to German: What is your name?")
     assert out == "Welches ist Ihres Namen?"
+
+
+def test_gpt2_tokenizer_real_vocab():
+    """GPT2Tokenizer must match transformers' GPT-2 tokenizer id-for-id."""
+    from transformers import GPT2TokenizerFast
+
+    from pytorch_models_tpu.models.text import GPT2Tokenizer
+
+    ours = GPT2Tokenizer.from_openai()
+    hf = GPT2TokenizerFast.from_pretrained("gpt2")
+    assert ours.eos_token_id == hf.eos_token_id == 50256
+    for s in ("Hello, world!", "The quick brown fox jumps over the lazy dog.",
+              "  indented\n\tlines ünïcödé 123"):
+        assert ours.encode(s) == hf.encode(s)
+        assert ours.decode(ours.encode(s)) == s
