@@ -49,6 +49,7 @@ METRICS = {
     "whisper": ("whisper_base_rtf", "x_realtime"),
     "gpt2": ("gpt2_small_decode_tokens_per_sec", "tokens/sec"),
     "encodec": ("encodec_24khz_roundtrip_rtf", "x_realtime"),
+    "t5": ("t5_base_generate_tokens_per_sec", "tokens/sec"),
 }
 
 
@@ -190,6 +191,53 @@ def bench_gpt2_decode(peak, bw):
     return tps, tps / roof
 
 
+def t5_generate_roofline(peak, bw, batch, enc_len, new_tokens, dtype_bytes=2):
+    """Tokens/sec ceiling for batched T5-base generation (encode + decode).
+
+    The encoder and one-time cross-KV projections are compute-bound; each
+    decode step reads the decoder weights once plus every row's cross- and
+    self-KV caches (bandwidth-bound at batch 32)."""
+    d, n_layers, mlp, vocab = 768, 12, 2048, 32128
+    enc_macs = n_layers * (4 * enc_len * d * d + 2 * enc_len * enc_len * d + 3 * enc_len * d * mlp)
+    t_enc = 2.0 * batch * enc_macs / peak
+    t_cross = 2.0 * batch * n_layers * 2 * enc_len * d * d / peak
+
+    enc_pad = -(-enc_len // 128) * 128  # caches padded to the kernel block
+    dec_params = n_layers * (4 * d * d + 2 * d * d + 3 * d * mlp) + vocab * d
+    cache_rows = n_layers * 2 * (enc_pad + new_tokens / 2) * d
+    step_bytes = dtype_bytes * (dec_params + batch * cache_rows)
+    step_flops = 2.0 * batch * (dec_params + cache_rows)
+    t_step = max(step_bytes / bw, step_flops / peak)
+    return batch * new_tokens / (t_enc + t_cross + new_tokens * t_step)
+
+
+def bench_t5_generate(peak, bw):
+    """T5-base batched greedy generation tokens/sec (rel-pos bias through the
+    Pallas decode kernel; cross-attention reads per-row valid memory)."""
+    from pytorch_models_tpu.models.text.t5 import T5Generator, T5Model
+
+    model = T5Model(32128, *_t5_dims()).to_bf16()  # random weights: timing-only
+    gen = T5Generator(model=model, tokenizer=object())
+    batch, enc_len, new_tokens = 32, 64, 64
+    prompts = [[7] * enc_len] * batch
+    gen.generate_tokens_batch(prompts, new_tokens, pad_id=0, eos_id=-1)  # compile
+    t0 = time.perf_counter()
+    outs = gen.generate_tokens_batch(prompts, new_tokens, pad_id=0, eos_id=-1)
+    dt = time.perf_counter() - t0
+    n_generated = sum(len(o) - 1 for o in outs)  # minus the pad start token
+    tps = n_generated / dt
+    roof = t5_generate_roofline(peak, bw, batch, enc_len, new_tokens)
+    print(f"t5-base batched generate: {tps:,.0f} tok/s (batch {batch}, enc {enc_len}, "
+          f"{new_tokens} new; roofline {roof:,.0f} tok/s)", file=sys.stderr)
+    return tps, tps / roof
+
+
+def _t5_dims():
+    from pytorch_models_tpu.models.text.t5 import SIZES
+
+    return SIZES["base"]
+
+
 def bench_encodec(peak, bw):
     """EnCodec-24khz round-trip (encode+decode) realtime factor on 10 s of audio."""
     from pytorch_models_tpu.models.audio import EnCodec
@@ -304,7 +352,7 @@ def _child_main(which):
     try:
         peak, bw = _device_caps()
         fn = {"vit": bench_vit, "whisper": bench_whisper,
-              "gpt2": bench_gpt2_decode, "encodec": bench_encodec}[which]
+              "gpt2": bench_gpt2_decode, "encodec": bench_encodec, "t5": bench_t5_generate}[which]
         value, vs = fn(peak, bw)
         emit(which, value, vs)
     finally:
