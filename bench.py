@@ -178,7 +178,9 @@ def bench_gpt2_decode(peak, bw):
         eos_token_id = -1  # never stop early
 
     gen = DecoderGenerator(model, Tok())
-    batch, prompt_len, new_tokens = 32, 32, 128
+    # 512 new tokens: ~70 ms of fixed per-call cost (tunnel dispatch +
+    # prefill) would understate steady-state decode by ~25% at 128
+    batch, prompt_len, new_tokens = 32, 32, 512
     prompts = [[1] * prompt_len] * batch
     gen.generate_tokens_batch(prompts, max_tokens=new_tokens)  # compile
     t0 = time.perf_counter()

@@ -22,6 +22,7 @@ import numpy as np
 from jax import lax
 
 from ... import transformer as tfm
+from ...ops.gather import embed_rows
 from ...ops import ACT_FNS, layer_norm
 from ...ops.layers import conv1d, conv1d_init
 from ...utils import StateDict, hub_download, stack_layers
@@ -125,7 +126,7 @@ def _whisper_generate_body(params, cfg: WhisperConfig, memory, initial_tokens, m
     cross_caches = tfm.precompute_cross_caches(p, lc, memory)
 
     def forward_chunk(tokens, caches, pos, s):
-        x = jnp.take(p["token_embs"], tokens, axis=0)
+        x = embed_rows(p["token_embs"], tokens)
         x = x + lax.dynamic_slice(p["pos_embs"], (pos, 0), (s, cfg.d_model)).astype(x.dtype)
         x, caches = tfm.decoder_apply(p, lc, x, self_caches=caches, cross_caches=cross_caches, pos=pos)
         return _decoder_head(p, x), caches
@@ -179,7 +180,7 @@ def _whisper_generate_batch_body(params, cfg: WhisperConfig, memory, initial_tok
     cross_caches = tfm.precompute_cross_caches(p, lc, memory)
 
     def forward_chunk(tokens, caches, pos, s):
-        x = jnp.take(p["token_embs"], tokens, axis=0)
+        x = embed_rows(p["token_embs"], tokens)
         x = x + lax.dynamic_slice(p["pos_embs"], (pos, 0), (s, cfg.d_model)).astype(x.dtype)
         x, caches = tfm.decoder_apply(p, lc, x, self_caches=caches, cross_caches=cross_caches, pos=pos)
         return _decoder_head(p, x), caches

@@ -77,8 +77,10 @@ def decoder_lm_forward_cached(params: dict, cfg: DecoderLMConfig, tokens: jnp.nd
 
     ``tokens``: (S,) int32. Returns ``(logits (S, V), new_caches)``.
     """
+    from ...ops.gather import embed_rows
+
     s = tokens.shape[0]
-    x = jnp.take(params["token_embs"], tokens, axis=0)
+    x = embed_rows(params["token_embs"], tokens)
     x = x + lax.dynamic_slice(params["pos_embs"], (pos, 0), (s, cfg.d_model)).astype(x.dtype)
     x, caches = tfm.decoder_apply(params["decoder"], cfg.layer, x, self_caches=caches, pos=pos)
     return _head(params, cfg, x), caches
@@ -99,8 +101,10 @@ def decoder_lm_forward_cached_batch(params, cfg: DecoderLMConfig, tokens, pos_id
     length per row, masked inside attention (and handled natively by the
     Pallas decode kernel). Returns ``(logits, caches)``.
     """
-    x = jnp.take(params["token_embs"], tokens, axis=0)
-    x = x + jnp.take(params["pos_embs"], pos_ids, axis=0).astype(x.dtype)
+    from ...ops.gather import embed_rows
+
+    x = embed_rows(params["token_embs"], tokens)
+    x = x + embed_rows(params["pos_embs"], pos_ids).astype(x.dtype)
     x, caches = tfm.decoder_apply(params["decoder"], cfg.layer, x, self_caches=caches, pos=pos,
                                   pad_lens=pad_lens)
     return _head(params, cfg, x), caches

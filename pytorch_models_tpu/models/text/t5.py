@@ -26,6 +26,7 @@ from jax import lax
 
 from ... import transformer as tfm
 from ...ops import ACT_FNS, linear
+from ...ops.gather import embed_rows
 from ...utils import StateDict, stack_layers
 from pytorch_models_tpu.utils.module import InferenceModel
 
@@ -265,7 +266,7 @@ def _t5_generate(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int, pad_
     def step(carry):
         buf, pos, caches, done = carry
         tok = lax.dynamic_slice(buf, (pos,), (1,))
-        h = jnp.take(params["token_embs"], tok, axis=0)
+        h = embed_rows(params["token_embs"], tok)
         bias = lax.dynamic_slice(bias_table, (0, pos, 0), (cfg.n_heads, 1, l_pad))
 
         h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, None, pos)
@@ -310,7 +311,7 @@ def _t5_generate_batch(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int
     def step(carry):
         buf, pos, caches, done = carry
         tok = lax.dynamic_slice(buf, (0, pos), (b, 1))
-        h = jnp.take(params["token_embs"], tok, axis=0)
+        h = embed_rows(params["token_embs"], tok)
         bias = lax.dynamic_slice(bias_table, (0, pos, 0), (cfg.n_heads, 1, l_pad))
 
         h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, None, pos)

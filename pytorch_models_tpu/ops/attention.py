@@ -34,11 +34,17 @@ def _on_tpu() -> bool:
         return False
 
 
-def use_decode_kernel(cache_len: int) -> bool:
-    """Gate for the decode kernel at a given (static) cache length."""
+def use_decode_kernel(cache_len: int, hd: int = 128) -> bool:
+    """Gate for the decode kernel at a given (static) cache length / H*D.
+
+    ``hd`` must be a 128 multiple: Mosaic DMA slices are lane-aligned, and a
+    (bb, bk, 192) cache-block copy fails to compile on hardware (every real
+    family has an even head count x 64, so this only excludes synthetic
+    configs — they take the einsum path).
+    """
     from .decode_attention import KV_BLOCK
 
-    if cache_len % KV_BLOCK != 0:
+    if cache_len % KV_BLOCK != 0 or hd % 128 != 0:
         return False
     return _on_tpu() if USE_DECODE_KERNEL is None else USE_DECODE_KERNEL
 

@@ -50,35 +50,48 @@ NEG_INF = -1e30
 # KV caches consumed by this kernel must have length a multiple of this
 # (transformer.make_kv_cache / precompute_cross_caches round up).
 KV_BLOCK = 128
+BB_MAX = 8  # max batch rows packed per program
 
 
 def _kernel(ends_ref, pad_ref, q_ref, k_hbm, v_hbm, *rest, bk: int, scale: float,
-            n_heads: int, d: int, prec, bias_shared: bool = False):
+            n_heads: int, d: int, prec, bias_shared: bool = False, bb: int = 1):
+    """``bb`` batch rows per program (statically unrolled): at decode batch
+    sizes the per-program launch overhead (~2 µs × B × n_layers per step)
+    otherwise dominates the step — packing rows cut the measured GPT-2
+    batch-32 decode loop from 1.11 to well under a ms/step."""
     if len(rest) == 2:  # (bias_hbm, o_ref) — additive per-key bias (T5 rel-pos)
         bias_hbm, o_ref = rest
     else:
         (o_ref,) = rest
         bias_hbm = None
-    b = pl.program_id(0)
-    end = ends_ref[b]
-    pad = pad_ref[b]
-    first = pad // bk             # fully left-padded blocks are skipped
-    n_blocks = (end + bk - 1) // bk  # only the valid prefix
+    b0 = pl.program_id(0) * bb
     hd = n_heads * d
+
+    # shared block range over the packed rows; per-row masks (+ the safe-max
+    # softmax) keep rows whose [pad, end) misses a block exact
+    first = pad_ref[b0] // bk
+    n_blocks = (ends_ref[b0] + bk - 1) // bk
+    for r in range(1, bb):
+        first = jnp.minimum(first, pad_ref[b0 + r] // bk)
+        n_blocks = jnp.maximum(n_blocks, (ends_ref[b0 + r] + bk - 1) // bk)
 
     def body(k_scratch, v_scratch, bias_scratch, sem):
         def copies(i, slot):
             cps = [
-                pltpu.make_async_copy(k_hbm.at[b, pl.ds(i * bk, bk), :], k_scratch.at[slot],
-                                      sem.at[slot, 0]),
-                pltpu.make_async_copy(v_hbm.at[b, pl.ds(i * bk, bk), :], v_scratch.at[slot],
-                                      sem.at[slot, 1]),
+                pltpu.make_async_copy(k_hbm.at[pl.ds(b0, bb), pl.ds(i * bk, bk), :],
+                                      k_scratch.at[slot], sem.at[slot, 0]),
+                pltpu.make_async_copy(v_hbm.at[pl.ds(b0, bb), pl.ds(i * bk, bk), :],
+                                      v_scratch.at[slot], sem.at[slot, 1]),
             ]
             if bias_hbm is not None:
-                bias_row = 0 if bias_shared else b
-                cps.append(pltpu.make_async_copy(
-                    bias_hbm.at[bias_row, pl.ds(i * bk, bk), :], bias_scratch.at[slot],
-                    sem.at[slot, 2]))
+                if bias_shared:
+                    cps.append(pltpu.make_async_copy(
+                        bias_hbm.at[pl.ds(0, 1), pl.ds(i * bk, bk), :], bias_scratch.at[slot],
+                        sem.at[slot, 2]))
+                else:
+                    cps.append(pltpu.make_async_copy(
+                        bias_hbm.at[pl.ds(b0, bb), pl.ds(i * bk, bk), :], bias_scratch.at[slot],
+                        sem.at[slot, 2]))
             return cps
 
         for cp in copies(first, lax.rem(first, 2)):
@@ -89,10 +102,10 @@ def _kernel(ends_ref, pad_ref, q_ref, k_hbm, v_hbm, *rest, bk: int, scale: float
         head_id = lax.broadcasted_iota(jnp.int32, (hd, n_heads), 1)
         e_mat = (col_head == head_id).astype(jnp.float32)  # (H*D, H)
 
-        q = q_ref[0].astype(jnp.float32) * scale  # (1, H*D)
+        qs = [q_ref[r].astype(jnp.float32) * scale for r in range(bb)]  # (1, H*D) each
 
         def step(i, carry):
-            m_prev, l_prev, acc = carry  # (1,H), (1,H), (1,H*D) fp32
+            ms, ls, accs = carry  # (bb,H), (bb,H), (bb,H*D) fp32
             slot = lax.rem(i, 2)
 
             @pl.when(i + 1 < n_blocks)
@@ -103,45 +116,56 @@ def _kernel(ends_ref, pad_ref, q_ref, k_hbm, v_hbm, *rest, bk: int, scale: float
             for cp in copies(i, slot):
                 cp.wait()
 
-            k = k_scratch[slot].astype(jnp.float32)  # (bk, H*D)
-            s = lax.dot_general(k * q, e_mat, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32, precision=prec)  # (bk, H)
-            if bias_hbm is not None:
-                # bias is lane-padded to 128 (DMA slices must be lane-aligned);
-                # reading the first H lanes is a plain (relayout) VMEM load
-                s = s + bias_scratch[slot][:, :n_heads].astype(jnp.float32)
             k_idx = i * bk + lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
-            valid = jnp.logical_and(k_idx < end, k_idx >= pad)  # (bk, 1)
-            s = jnp.where(valid, s, NEG_INF)
+            m_out, l_out, acc_out = [], [], []
+            for r in range(bb):
+                m_prev, l_prev, acc = ms[r:r + 1], ls[r:r + 1], accs[r:r + 1]
+                k = k_scratch[slot, r].astype(jnp.float32)  # (bk, H*D)
+                s = lax.dot_general(k * qs[r], e_mat, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32, precision=prec)  # (bk, H)
+                if bias_hbm is not None:
+                    # bias is lane-padded to 128 (DMA slices must be lane-
+                    # aligned); reading the first H lanes is a plain VMEM load
+                    s = s + bias_scratch[slot, 0 if bias_shared else r][:, :n_heads].astype(jnp.float32)
+                valid = jnp.logical_and(k_idx < ends_ref[b0 + r], k_idx >= pad_ref[b0 + r])
+                s = jnp.where(valid, s, NEG_INF)
 
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))  # (1, H)
-            p = jnp.exp(s - m_new)  # every processed block has >= 1 valid row
-            alpha = jnp.exp(m_prev - m_new)  # (1, H)
-            l_new = alpha * l_prev + jnp.sum(p, axis=0, keepdims=True)
+                m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))  # (1, H)
+                # safe max: with shared block range a row may see an all-masked
+                # block (exp(s - m) must underflow to 0, not become exp(0))
+                m_safe = jnp.maximum(m_new, jnp.float32(NEG_INF / 2))
+                p = jnp.exp(s - m_safe)
+                alpha = jnp.exp(m_prev - m_safe)  # (1, H)
+                l_out.append(alpha * l_prev + jnp.sum(p, axis=0, keepdims=True))
 
-            p_full = lax.dot_general(p, e_mat, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32, precision=prec)
-            alpha_full = lax.dot_general(alpha, e_mat, (((1,), (1,)), ((), ())),
+                p_full = lax.dot_general(p, e_mat, (((1,), (1,)), ((), ())),
                                          preferred_element_type=jnp.float32, precision=prec)
-            acc = acc * alpha_full + jnp.sum(p_full * v_scratch[slot].astype(jnp.float32),
-                                             axis=0, keepdims=True)
-            return m_new, l_new, acc
+                alpha_full = lax.dot_general(alpha, e_mat, (((1,), (1,)), ((), ())),
+                                             preferred_element_type=jnp.float32, precision=prec)
+                acc_out.append(acc * alpha_full + jnp.sum(
+                    p_full * v_scratch[slot, r].astype(jnp.float32), axis=0, keepdims=True))
+                m_out.append(m_new)
+            return (jnp.concatenate(m_out, 0), jnp.concatenate(l_out, 0),
+                    jnp.concatenate(acc_out, 0))
 
-        init = (jnp.full((1, n_heads), NEG_INF, jnp.float32),
-                jnp.zeros((1, n_heads), jnp.float32),
-                jnp.zeros((1, hd), jnp.float32))
-        m, l, acc = lax.fori_loop(first, n_blocks, step, init)
-        l = jnp.where(l == 0.0, 1.0, l)
-        l_full = lax.dot_general(l, e_mat, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32, precision=prec)
-        o_ref[0] = (acc / l_full).astype(o_ref.dtype)
+        init = (jnp.full((bb, n_heads), NEG_INF, jnp.float32),
+                jnp.zeros((bb, n_heads), jnp.float32),
+                jnp.zeros((bb, hd), jnp.float32))
+        ms, ls, accs = lax.fori_loop(first, n_blocks, step, init)
+        ls = jnp.where(ls == 0.0, 1.0, ls)
+        l_full = lax.dot_general(ls, e_mat, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32, precision=prec)  # (bb, H*D)
+        out = (accs / l_full).astype(o_ref.dtype)
+        for r in range(bb):
+            o_ref[r] = out[r:r + 1]
 
+    bias_minor = bias_hbm.shape[-1] if bias_hbm is not None else 128
     pl.run_scoped(
         body,
-        k_scratch=pltpu.VMEM((2, bk, hd), k_hbm.dtype),
-        v_scratch=pltpu.VMEM((2, bk, hd), v_hbm.dtype),
-        bias_scratch=(pltpu.VMEM((2, bk, bias_hbm.shape[-1]), bias_hbm.dtype)
-                      if bias_hbm is not None else pltpu.VMEM((2, 8, 128), jnp.float32)),
+        k_scratch=pltpu.VMEM((2, bb, bk, hd), k_hbm.dtype),
+        v_scratch=pltpu.VMEM((2, bb, bk, hd), v_hbm.dtype),
+        bias_scratch=(pltpu.VMEM((2, 1 if bias_shared else bb, bk, bias_minor), bias_hbm.dtype)
+                      if bias_hbm is not None else pltpu.VMEM((2, 1, 8, 128), jnp.float32)),
         sem=pltpu.SemaphoreType.DMA((2, 3)),
     )
 
@@ -186,23 +210,31 @@ def decode_attention(q, k_cache, v_cache, ends, n_heads: int, pad_lens=None,
     # fp32 inputs get full-precision MXU passes (parity); bf16 is the fast path
     prec = lax.Precision.HIGHEST if q.dtype == jnp.float32 else lax.Precision.DEFAULT
 
+    # rows per program: amortize the per-program launch cost, bounded by a
+    # VMEM budget for the double-buffered (bb, bk, H*D) K/V blocks
+    itemsize = jnp.dtype(k_cache.dtype).itemsize
+    bytes_per_row = 2 * 2 * block_k * hd * itemsize
+    bb = max(1, min(BB_MAX, (8 * 1024 * 1024) // bytes_per_row))
+    while b % bb:
+        bb -= 1
+
     any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b,),
+        grid=(b // bb,),
         in_specs=[
-            pl.BlockSpec((1, 1, hd), lambda i, ends_ref, pad_ref: (i, 0, 0)),
+            pl.BlockSpec((bb, 1, hd), lambda i, ends_ref, pad_ref: (i, 0, 0)),
             any_spec,
             any_spec,
         ] + ([any_spec] if bias is not None else []),
-        out_specs=pl.BlockSpec((1, 1, hd), lambda i, ends_ref, pad_ref: (i, 0, 0)),
+        out_specs=pl.BlockSpec((bb, 1, hd), lambda i, ends_ref, pad_ref: (i, 0, 0)),
     )
     operands = (ends_arr, pad_arr, q, k_cache, v_cache)
     if bias is not None:
         operands = operands + (bias,)
     out = pl.pallas_call(
         functools.partial(_kernel, bk=block_k, scale=1.0 / math.sqrt(d), n_heads=n_heads, d=d,
-                          prec=prec, bias_shared=bias is not None and bias.shape[0] == 1),
+                          prec=prec, bias_shared=bias is not None and bias.shape[0] == 1, bb=bb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
     )(*operands)
