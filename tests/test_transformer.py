@@ -96,3 +96,24 @@ def test_unrolled_cache_matches_stacked():
     out_u, new_u = tfm.decoder_apply(params, cfg, x, self_caches=unrolled, pos=0)
     assert isinstance(new_u, list) and len(new_u) == 3
     assert max_abs_diff(np.asarray(out_s), np.asarray(out_u)) < 1e-6
+
+
+def test_bf16_gelu_policy():
+    """bf16 "gelu" substitutes tanh-GELU (serving fast path); fp32 stays exact.
+
+    The substitution error must stay an order below bf16 rounding of the
+    exact value (|tanh-gelu - erf-gelu| <= ~5e-4 abs for |x| <= 6).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pytorch_models_tpu.ops import ACT_FNS
+
+    x = jnp.linspace(-6.0, 6.0, 4001, dtype=jnp.float32)
+    exact = jax.nn.gelu(x, approximate=False)
+    assert jnp.abs(ACT_FNS["gelu"](x) - exact).max() == 0.0  # fp32: exact erf
+
+    bf = ACT_FNS["gelu"](x.astype(jnp.bfloat16)).astype(jnp.float32)
+    err = np.abs(np.asarray(bf) - np.asarray(exact)).max()
+    assert err < 2e-2, err  # tanh substitution + bf16 rounding
