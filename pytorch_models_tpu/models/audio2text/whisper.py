@@ -366,10 +366,13 @@ class WhisperGenerator:
         assert max_tokens <= DEC_MAX_LEN, (
             f"max_tokens={max_tokens} exceeds the decoder position table ({DEC_MAX_LEN}); "
             "dynamic_slice would silently clamp into the last position embedding")
-        audio = np.asarray(audio, np.float32)[: self.N_SAMPLES]
-        audio = np.pad(audio, (0, self.N_SAMPLES - len(audio)))
+        if isinstance(audio, jnp.ndarray) and audio.shape == (self.N_SAMPLES,):
+            wav = audio[None]  # pre-staged on device: skip host pad + re-upload
+        else:
+            audio = np.asarray(audio, np.float32)[: self.N_SAMPLES]
+            wav = jnp.asarray(np.pad(audio, (0, self.N_SAMPLES - len(audio)))[None])
         buf, length = self._transcribe_full(
-            self.model.params, jnp.asarray(audio[None]), max_tokens, jnp.asarray(initial_tokens, jnp.int32), eot_id
+            self.model.params, wav, max_tokens, jnp.asarray(initial_tokens, jnp.int32), eot_id
         )
         return np.asarray(buf)[: int(length)].tolist()
 
@@ -396,12 +399,15 @@ class WhisperGenerator:
         """Batched greedy transcription of multiple 30 s segments (new vs reference)."""
         assert max_tokens <= DEC_MAX_LEN, (
             f"max_tokens={max_tokens} exceeds the decoder position table ({DEC_MAX_LEN})")
-        padded = np.stack([
-            np.pad(np.asarray(a, np.float32)[: self.N_SAMPLES], (0, max(0, self.N_SAMPLES - len(a))))
-            for a in audios
-        ])
+        if isinstance(audios, jnp.ndarray) and audios.ndim == 2 and audios.shape[1] == self.N_SAMPLES:
+            padded = audios  # pre-staged (B, N_SAMPLES) device batch: zero-copy serving path
+        else:
+            padded = jnp.asarray(np.stack([
+                np.pad(np.asarray(a, np.float32)[: self.N_SAMPLES], (0, max(0, self.N_SAMPLES - len(a))))
+                for a in audios
+            ]))
         buf, lengths = self._transcribe_full_batch(
-            self.model.params, jnp.asarray(padded), max_tokens, jnp.asarray(initial_tokens, jnp.int32), eot_id
+            self.model.params, padded, max_tokens, jnp.asarray(initial_tokens, jnp.int32), eot_id
         )
         buf, lengths = np.asarray(buf), np.asarray(lengths)
         return [buf[i, : lengths[i]].tolist() for i in range(len(audios))]
