@@ -53,10 +53,16 @@ class T5Config:
     n_buckets: int = 32
     max_distance: int = 128
     norm_eps: float = 1e-5
+    # Tensor-parallel serving (parallel/serving.py): under shard_map each rank
+    # holds local_heads = n_heads/tp heads (incl. its rows of the rel-pos
+    # bias table) and all-reduces over tp_axis after o/wo projections.
+    local_heads: int | None = None
+    tp_axis: str | None = None
 
     @property
     def layer(self) -> tfm.LayerConfig:
-        return tfm.LayerConfig(self.dim, self.n_heads, 64, bias=False)
+        heads = self.n_heads if self.local_heads is None else self.local_heads
+        return tfm.LayerConfig(self.dim, heads, 64, bias=False, tp_axis=self.tp_axis)
 
 
 def rms_norm(p: dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -104,8 +110,9 @@ def _t5_mlp_init(key, dim: int, mlp_dim: int) -> dict:
     }
 
 
-def _t5_mlp_apply(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    return linear(p["wo"], ACT_FNS["approximate_gelu"](linear(p["w"], x)) * linear(p["v"], x))
+def _t5_mlp_apply(p: dict, x: jnp.ndarray, tp_axis: str | None = None) -> jnp.ndarray:
+    return tfm.reduce_linear(
+        p["wo"], ACT_FNS["approximate_gelu"](linear(p["w"], x)) * linear(p["v"], x), tp_axis)
 
 
 def t5_block_init(key, cfg: T5Config, cross_attn: bool) -> dict:
@@ -148,7 +155,7 @@ def t5_block_apply(
             x = x + tfm.mha_apply(p["ca"], lc, h, attn_bias=ca_bias, cache=cross_cache)
         else:
             x = x + tfm.mha_apply(p["ca"], lc, h, memory, attn_bias=ca_bias)
-    x = x + _t5_mlp_apply(p["mlp"], rms_norm(p["mlp_norm"], x))
+    x = x + _t5_mlp_apply(p["mlp"], rms_norm(p["mlp_norm"], x), lc.tp_axis)
     return (x, new_cache) if self_cache is not None else x
 
 
@@ -267,7 +274,7 @@ def _t5_generate(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int, pad_
         buf, pos, caches, done = carry
         tok = lax.dynamic_slice(buf, (pos,), (1,))
         h = embed_rows(params["token_embs"], tok)
-        bias = lax.dynamic_slice(bias_table, (0, pos, 0), (cfg.n_heads, 1, l_pad))
+        bias = lax.dynamic_slice(bias_table, (0, pos, 0), (bias_table.shape[0], 1, l_pad))
 
         h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, None, pos)
         h = rms_norm(dec["norm"], h)
@@ -284,8 +291,7 @@ def _t5_generate(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int, pad_
     return buf, length + 1
 
 
-@partial(jax.jit, static_argnums=(1, 4))
-def _t5_generate_batch(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int, pad_id, eos_id):
+def _t5_generate_batch_body(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int, pad_id, eos_id):
     """Batched greedy generation: (B, P) right-padded prompts with per-row
     lengths ``n_enc`` (B,). Decoder rows are naturally aligned (all start at
     the pad token), so only encoder/cross masks are per-row."""
@@ -312,7 +318,7 @@ def _t5_generate_batch(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int
         buf, pos, caches, done = carry
         tok = lax.dynamic_slice(buf, (0, pos), (b, 1))
         h = embed_rows(params["token_embs"], tok)
-        bias = lax.dynamic_slice(bias_table, (0, pos, 0), (cfg.n_heads, 1, l_pad))
+        bias = lax.dynamic_slice(bias_table, (0, pos, 0), (bias_table.shape[0], 1, l_pad))
 
         h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, None, pos)
         h = rms_norm(dec["norm"], h)
@@ -333,6 +339,9 @@ def _t5_generate_batch(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int
     is_eos = jnp.logical_and(gen == eos_id, generated)
     lengths = jnp.where(jnp.any(is_eos, axis=1), jnp.argmax(is_eos, axis=1) + 2, length + 1)
     return buf, lengths
+
+
+_t5_generate_batch = partial(jax.jit, static_argnums=(1, 4))(_t5_generate_batch_body)
 
 
 class T5Model(InferenceModel):

@@ -31,6 +31,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.text.generator import PROMPT_BUCKET, _generate_batch_body
+from ..models.text.t5 import ENC_BUCKET, _t5_generate_batch_body
 
 
 def decoder_lm_serving_pspecs(params) -> dict:
@@ -134,3 +135,89 @@ class TPDecoderGenerator:
                                       limit, eos, jax.random.PRNGKey(seed), topk)
         out, lengths = np.asarray(out), np.asarray(lengths)
         return [out[i, pad_lens[i]: lengths[i]].tolist() for i in range(b)]
+
+
+def t5_serving_pspecs(params) -> dict:
+    """shard_map PartitionSpecs for a T5 param pytree under serving TP.
+
+    Head sharding extends to the per-stack rel-pos bias table (H, n_buckets)
+    so each rank builds only its heads' bias rows; the GEGLU gate/value
+    kernels (mlp.w / mlp.v) are column-parallel and mlp.wo row-parallel
+    (psum'd by transformer.reduce_linear via LayerConfig.tp_axis).
+    """
+    col = ("['q']", "['k']", "['v']", "['mlp']['w']")
+    row = ("['o']", "['wo']")
+
+    def spec(path, leaf):
+        s = jax.tree_util.keystr(path)
+        if s.endswith("['attn_bias']"):
+            return P("tp", None)
+        if any(k in s for k in col) and s.endswith("['w']") and not s.endswith("['wo']['w']"):
+            pad = (None,) * (leaf.ndim - 1)
+            return P(*pad, "tp")
+        if any(k in s for k in row) and s.endswith("['w']"):
+            pad = (None,) * (leaf.ndim - 2)
+            return P(*pad, "tp", None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+class TPT5Generator:
+    """Tensor+data-parallel T5 batched generation (mirrors ``T5Generator``).
+
+    The whole encode + cross-KV precompute + while_loop decode runs inside
+    one shard_map over a ("dp", "tp") mesh — encoder activations replicated
+    per dp-shard, heads (and the rel-pos bias table) sharded over tp.
+    Token-identical to the single-device ``T5Generator``.
+    """
+
+    def __init__(self, model, tokenizer, mesh: Mesh) -> None:
+        self.model = model
+        self.tokenizer = tokenizer
+        axes = dict(mesh.shape)
+        assert set(axes) == {"dp", "tp"}, f'serving mesh needs ("dp", "tp") axes, got {tuple(axes)}'
+        tp, self.dp = axes["tp"], axes["dp"]
+        assert model.cfg.n_heads % tp == 0, f"{model.cfg.n_heads} heads not divisible by tp={tp}"
+        cfg_local = replace(model.cfg, local_heads=model.cfg.n_heads // tp,
+                            tp_axis="tp" if tp > 1 else None)
+
+        pspecs = t5_serving_pspecs(model.params)
+        self.params = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), model.params, pspecs)
+
+        def sharded(params, enc_tokens, n_enc, max_tokens, pad_id, eos_id):
+            def local(p, toks, n):
+                return _t5_generate_batch_body(p, cfg_local, toks, n, max_tokens, pad_id, eos_id)
+
+            fn = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(pspecs, P("dp", None), P("dp")),
+                out_specs=(P("dp", None), P("dp")),
+                check_vma=False,
+            )
+            return fn(params, enc_tokens, n_enc)
+
+        self._generate = jax.jit(sharded, static_argnums=(3,))
+
+    def generate_batch(self, prompts: list[str], max_tokens: int = 100) -> list[str]:
+        token_lists = [self.tokenizer.Encode(p, add_eos=True) for p in prompts]
+        outs = self.generate_tokens_batch(token_lists, max_tokens,
+                                          self.tokenizer.pad_id(), self.tokenizer.eos_id())
+        return [self.tokenizer.Decode(o) for o in outs]
+
+    def generate_tokens_batch(self, token_lists: list[list[int]], max_tokens: int, pad_id: int,
+                              eos_id: int) -> list[list[int]]:
+        b = len(token_lists)
+        assert b % self.dp == 0, f"batch {b} must be divisible by dp={self.dp}"
+        max_n = max(len(ts) for ts in token_lists)
+        pad = -(-max_n // ENC_BUCKET) * ENC_BUCKET
+        buf = np.zeros((b, pad), np.int32)
+        n_enc = np.zeros((b,), np.int32)
+        for i, ts in enumerate(token_lists):
+            buf[i, : len(ts)] = ts
+            n_enc[i] = len(ts)
+        out, lengths = self._generate(self.params, jnp.asarray(buf), jnp.asarray(n_enc),
+                                      max_tokens, pad_id, eos_id)
+        out, lengths = np.asarray(out), np.asarray(lengths)
+        return [out[i, : lengths[i]].tolist() for i in range(b)]

@@ -61,3 +61,16 @@ def test_tp_sampling_runs():
     assert len(outs) == 4
     for p, o in zip(PROMPTS, outs):
         assert o[: len(p)] == p and len(o) <= len(p) + 5
+
+
+def test_tp_t5_generation_matches_single_device():
+    from pytorch_models_tpu.models.text.t5 import T5Generator, T5Model
+    from pytorch_models_tpu.parallel.serving import TPT5Generator
+
+    m = T5Model(vocab_size=100, dim=128, n_heads=2, n_layers=2, mlp_dim=256)
+    prompts = [[7, 8, 9, 4], [5] * 9, [3, 2], [1, 2, 3]]
+    baseline = T5Generator(model=m, tokenizer=object()).generate_tokens_batch(prompts, 10, 0, 1)
+
+    mesh = make_mesh(4, shape=(2, 2), axes=("dp", "tp"))
+    tp_gen = TPT5Generator(m, object(), mesh)
+    assert tp_gen.generate_tokens_batch(prompts, 10, 0, 1) == baseline
