@@ -54,14 +54,24 @@ class WhisperConfig:
     n_layers: int
     d_model: int
     n_mels: int = 80
+    # Tensor-parallel serving (parallel/serving.py): local head count + the
+    # mesh axis the o/fc2 projections all-reduce over under shard_map.
+    local_heads: int | None = None
+    tp_axis: str | None = None
+
+    def _heads(self) -> dict:
+        if self.local_heads is None:
+            return {}
+        return {"n_heads": self.local_heads, "head_dim": 64}
 
     @property
     def enc_layer(self) -> tfm.LayerConfig:
-        return tfm.LayerConfig.make(self.d_model)
+        return tfm.LayerConfig.make(self.d_model, tp_axis=self.tp_axis, **self._heads())
 
     @property
     def dec_layer(self) -> tfm.LayerConfig:
-        return tfm.LayerConfig.make(self.d_model, cross_attn=True)
+        return tfm.LayerConfig.make(self.d_model, cross_attn=True, tp_axis=self.tp_axis,
+                                    **self._heads())
 
 
 def whisper_init(key, cfg: WhisperConfig) -> dict:

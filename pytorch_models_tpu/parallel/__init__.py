@@ -1,5 +1,5 @@
 from .mesh import make_mesh
-from .serving import TPDecoderGenerator, TPT5Generator
+from .serving import TPDecoderGenerator, TPT5Generator, TPWhisperGenerator
 from .sharding import shard_decoder_lm_params
 
-__all__ = ["make_mesh", "shard_decoder_lm_params", "TPDecoderGenerator", "TPT5Generator"]
+__all__ = ["make_mesh", "shard_decoder_lm_params", "TPDecoderGenerator", "TPT5Generator", "TPWhisperGenerator"]

@@ -221,3 +221,73 @@ class TPT5Generator:
                                       max_tokens, pad_id, eos_id)
         out, lengths = np.asarray(out), np.asarray(lengths)
         return [out[i, : lengths[i]].tolist() for i in range(b)]
+
+
+class TPWhisperGenerator:
+    """Tensor+data-parallel Whisper batched transcription.
+
+    One shard_map runs mel -> encoder -> cross-KV precompute -> greedy decode
+    per rank: audio rows split over dp, heads over tp (the shared-transformer
+    q/k/v/fc1-column / o/fc2-row rules of ``decoder_lm_serving_pspecs`` apply
+    unchanged; conv stems and embeddings replicate). Token-identical to the
+    single-device ``WhisperGenerator`` batched path.
+    """
+
+    def __init__(self, model, mesh: Mesh, tokenizer=None) -> None:
+        from ..models.audio2text.whisper import (
+            DEC_MAX_LEN,
+            WhisperPreprocessor,
+            _whisper_encode_body,
+            _whisper_generate_batch_body,
+        )
+
+        self.model = model
+        self.tokenizer = tokenizer
+        self._dec_max_len = DEC_MAX_LEN
+        axes = dict(mesh.shape)
+        assert set(axes) == {"dp", "tp"}, f'serving mesh needs ("dp", "tp") axes, got {tuple(axes)}'
+        tp, self.dp = axes["tp"], axes["dp"]
+        n_heads = model.cfg.dec_layer.n_heads
+        assert n_heads % tp == 0, f"{n_heads} heads not divisible by tp={tp}"
+        cfg_local = replace(model.cfg, local_heads=n_heads // tp, tp_axis="tp" if tp > 1 else None)
+
+        variant = "large-v3" if model.cfg.n_mels == 128 else "tiny"
+        pre_fwd = WhisperPreprocessor(variant)._forward
+        self.N_SAMPLES = 30 * 16_000
+
+        pspecs = decoder_lm_serving_pspecs(model.params)
+        self.params = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), model.params, pspecs)
+
+        def sharded(params, audios, initial_tokens, max_tokens, eot_id):
+            def local(p, a, init):
+                mel = pre_fwd(a)
+                memory = _whisper_encode_body(p, cfg_local, mel)
+                return _whisper_generate_batch_body(p, cfg_local, memory, init, max_tokens, eot_id)
+
+            fn = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(pspecs, P("dp", None), P()),
+                out_specs=(P("dp", None), P("dp")),
+                check_vma=False,
+            )
+            return fn(params, audios, initial_tokens)
+
+        self._transcribe = jax.jit(sharded, static_argnums=(3,))
+
+    def transcribe_tokens_batch(self, audios, initial_tokens: list[int], eot_id: int,
+                                max_tokens: int = 448) -> list[list[int]]:
+        assert max_tokens <= self._dec_max_len
+        if isinstance(audios, jnp.ndarray) and audios.ndim == 2 and audios.shape[1] == self.N_SAMPLES:
+            padded = audios
+        else:
+            padded = jnp.asarray(np.stack([
+                np.pad(np.asarray(a, np.float32)[: self.N_SAMPLES],
+                       (0, max(0, self.N_SAMPLES - len(a)))) for a in audios
+            ]))
+        assert padded.shape[0] % self.dp == 0, (
+            f"batch {padded.shape[0]} must be divisible by dp={self.dp}")
+        buf, lengths = self._transcribe(self.params, padded,
+                                        jnp.asarray(initial_tokens, jnp.int32), max_tokens, eot_id)
+        buf, lengths = np.asarray(buf), np.asarray(lengths)
+        return [buf[i, : lengths[i]].tolist() for i in range(padded.shape[0])]

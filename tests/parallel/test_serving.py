@@ -74,3 +74,20 @@ def test_tp_t5_generation_matches_single_device():
     mesh = make_mesh(4, shape=(2, 2), axes=("dp", "tp"))
     tp_gen = TPT5Generator(m, object(), mesh)
     assert tp_gen.generate_tokens_batch(prompts, 10, 0, 1) == baseline
+
+
+def test_tp_whisper_transcription_matches_single_device():
+    import numpy as np
+
+    from pytorch_models_tpu.models.audio2text.whisper import Whisper, WhisperGenerator
+    from pytorch_models_tpu.parallel.serving import TPWhisperGenerator
+
+    m = Whisper(vocab_size=64, n_layers=2, d_model=128)  # 2 heads
+    r = np.random.default_rng(0)
+    audios = [r.standard_normal(16000 * 2).astype(np.float32) * 0.1 for _ in range(4)]
+    init = [1, 2]
+    baseline = WhisperGenerator(m).transcribe_tokens_batch(audios, init, eot_id=-1, max_tokens=8)
+
+    mesh = make_mesh(4, shape=(2, 2), axes=("dp", "tp"))
+    tp_gen = TPWhisperGenerator(m, mesh)
+    assert tp_gen.transcribe_tokens_batch(audios, init, eot_id=-1, max_tokens=8) == baseline
