@@ -164,16 +164,6 @@ def _whisper_generate_body(params, cfg: WhisperConfig, memory, initial_tokens, m
     return buf, length
 
 
-_whisper_generate = partial(jax.jit, static_argnums=(1, 4))(_whisper_generate_body)
-
-
-@partial(jax.jit, static_argnums=(1, 4))
-def _whisper_encode_generate(params, cfg: WhisperConfig, mel, initial_tokens, max_tokens: int, eot_id):
-    """Fused encode + greedy decode (one dispatch; see transcribe_tokens)."""
-    memory = _whisper_encode_body(params, cfg, mel)[0]
-    return _whisper_generate_body(params, cfg, memory, initial_tokens, max_tokens, eot_id)
-
-
 def _whisper_generate_batch_body(params, cfg: WhisperConfig, memory, initial_tokens, max_tokens: int, eot_id):
     """Batched greedy transcription: ``memory`` (B, T, d); shared initial tokens.
 
@@ -222,9 +212,6 @@ def _whisper_generate_batch_body(params, cfg: WhisperConfig, memory, initial_tok
     is_eot = jnp.logical_and(gen == eot_id, generated)
     lengths = jnp.where(jnp.any(is_eot, axis=1), n_init + jnp.argmax(is_eot, axis=1) + 1, length)
     return buf, lengths
-
-
-_whisper_generate_batch = partial(jax.jit, static_argnums=(1, 4))(_whisper_generate_batch_body)
 
 
 class Whisper(InferenceModel):
@@ -377,7 +364,7 @@ class WhisperGenerator:
             f"max_tokens={max_tokens} exceeds the decoder position table ({DEC_MAX_LEN}); "
             "dynamic_slice would silently clamp into the last position embedding")
         if isinstance(audio, jnp.ndarray) and audio.shape == (self.N_SAMPLES,):
-            wav = audio[None]  # pre-staged on device: skip host pad + re-upload
+            wav = audio.astype(jnp.float32)[None]  # pre-staged: skip host pad + re-upload
         else:
             audio = np.asarray(audio, np.float32)[: self.N_SAMPLES]
             wav = jnp.asarray(np.pad(audio, (0, self.N_SAMPLES - len(audio)))[None])
@@ -410,7 +397,7 @@ class WhisperGenerator:
         assert max_tokens <= DEC_MAX_LEN, (
             f"max_tokens={max_tokens} exceeds the decoder position table ({DEC_MAX_LEN})")
         if isinstance(audios, jnp.ndarray) and audios.ndim == 2 and audios.shape[1] == self.N_SAMPLES:
-            padded = audios  # pre-staged (B, N_SAMPLES) device batch: zero-copy serving path
+            padded = audios.astype(jnp.float32)  # pre-staged device batch: zero-copy serving path
         else:
             padded = jnp.asarray(np.stack([
                 np.pad(np.asarray(a, np.float32)[: self.N_SAMPLES], (0, max(0, self.N_SAMPLES - len(a))))

@@ -211,9 +211,12 @@ def decode_attention(q, k_cache, v_cache, ends, n_heads: int, pad_lens=None,
     prec = lax.Precision.HIGHEST if q.dtype == jnp.float32 else lax.Precision.DEFAULT
 
     # rows per program: amortize the per-program launch cost, bounded by a
-    # VMEM budget for the double-buffered (bb, bk, H*D) K/V blocks
+    # VMEM budget for the double-buffered (bb, bk, H*D) K/V blocks (+ the
+    # lane-padded per-row bias scratch when a bias is streamed)
     itemsize = jnp.dtype(k_cache.dtype).itemsize
     bytes_per_row = 2 * 2 * block_k * hd * itemsize
+    if bias is not None and bias.shape[0] != 1:
+        bytes_per_row += 2 * block_k * bias.shape[-1] * jnp.dtype(bias.dtype).itemsize
     bb = max(1, min(BB_MAX, (8 * 1024 * 1024) // bytes_per_row))
     while b % bb:
         bb -= 1

@@ -279,7 +279,7 @@ class TPWhisperGenerator:
                                 max_tokens: int = 448) -> list[list[int]]:
         assert max_tokens <= self._dec_max_len
         if isinstance(audios, jnp.ndarray) and audios.ndim == 2 and audios.shape[1] == self.N_SAMPLES:
-            padded = audios
+            padded = audios.astype(jnp.float32)
         else:
             padded = jnp.asarray(np.stack([
                 np.pad(np.asarray(a, np.float32)[: self.N_SAMPLES],
