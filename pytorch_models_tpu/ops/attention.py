@@ -34,6 +34,20 @@ def _on_tpu() -> bool:
         return False
 
 
+# fused decode-layer kernels (ops/decode_layer.py): LN+QKV and o+LN+MLP as
+# two Pallas programs around the decode-attention kernel. OFF by default:
+# measured SLOWER than the op-per-op path on v5e (1.45 vs 1.20 ms/step,
+# GPT-2 batch 32) — grid-(1,) kernels serialize the per-layer weight copy
+# with compute, while XLA's matmul fusions stream weights through the MXU.
+# Winning here needs tile-level double-buffered weight DMA (PERF.md).
+USE_FUSED_LAYER: bool = False
+
+
+def use_fused_layer(cache_len: int, hd: int) -> bool:
+    """Gate for the fused decode-layer path (implies the decode kernel)."""
+    return USE_FUSED_LAYER and use_decode_kernel(cache_len, hd)
+
+
 def use_decode_kernel(cache_len: int, hd: int = 128) -> bool:
     """Gate for the decode kernel at a given (static) cache length / H*D.
 
