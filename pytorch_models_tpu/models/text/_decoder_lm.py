@@ -56,9 +56,12 @@ def decoder_lm_init(key, cfg: DecoderLMConfig) -> dict:
     return p
 
 
+def _final_hidden(params: dict, cfg: DecoderLMConfig, x: jnp.ndarray) -> jnp.ndarray:
+    return layer_norm(params["norm"], x, cfg.norm_eps) if cfg.final_norm else x
+
+
 def _head(params: dict, cfg: DecoderLMConfig, x: jnp.ndarray) -> jnp.ndarray:
-    if cfg.final_norm:
-        x = layer_norm(params["norm"], x, cfg.norm_eps)
+    x = _final_hidden(params, cfg, x)
     from ...ops.layers import dot_precision
 
     return jnp.matmul(x, params["token_embs"].astype(x.dtype).T, precision=dot_precision(x))
@@ -108,3 +111,27 @@ def decoder_lm_forward_cached_batch(params, cfg: DecoderLMConfig, tokens, pos_id
     x, caches = tfm.decoder_apply(params["decoder"], cfg.layer, x, self_caches=caches, pos=pos,
                                   pad_lens=pad_lens)
     return _head(params, cfg, x), caches
+
+
+def decoder_lm_hidden_cached_batch(params, cfg: DecoderLMConfig, tokens, pos_ids, caches, pos, pad_lens):
+    """Like :func:`decoder_lm_forward_cached_batch` but stops at the final
+    (normed) hidden state — the fused greedy head (ops/greedy_head.py) takes
+    it from there without materializing the (B, V) logits."""
+    from ...ops.gather import embed_rows
+
+    x = embed_rows(params["token_embs"], tokens)
+    x = x + embed_rows(params["pos_embs"], pos_ids).astype(x.dtype)
+    x, caches = tfm.decoder_apply(params["decoder"], cfg.layer, x, self_caches=caches, pos=pos,
+                                  pad_lens=pad_lens)
+    return _final_hidden(params, cfg, x), caches
+
+
+def decoder_lm_hidden_cached(params, cfg: DecoderLMConfig, tokens, caches, pos):
+    """Unbatched single-chunk variant of :func:`decoder_lm_hidden_cached_batch`."""
+    from ...ops.gather import embed_rows
+
+    s = tokens.shape[0]
+    x = embed_rows(params["token_embs"], tokens)
+    x = x + lax.dynamic_slice(params["pos_embs"], (pos, 0), (s, cfg.d_model)).astype(x.dtype)
+    x, caches = tfm.decoder_apply(params["decoder"], cfg.layer, x, self_caches=caches, pos=pos)
+    return _final_hidden(params, cfg, x), caches

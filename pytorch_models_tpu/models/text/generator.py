@@ -17,7 +17,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ._decoder_lm import decoder_lm_forward_cached, decoder_lm_forward_cached_batch, decoder_lm_make_cache
+from ._decoder_lm import (
+    decoder_lm_forward_cached,
+    decoder_lm_forward_cached_batch,
+    decoder_lm_hidden_cached,
+    decoder_lm_hidden_cached_batch,
+    decoder_lm_make_cache,
+)
 
 PROMPT_BUCKET = 64  # prompts are right-padded to a multiple of this to bound recompiles
 
@@ -56,9 +62,19 @@ def _generate(params, cfg, prompt_buf, n_prompt, limit, topk, eos_id, key):
         _, pos, _, _, done = s
         return jnp.logical_and(jnp.logical_not(done), pos < limit)
 
+    from ...ops import attention as _attn
+
     def body(s):
         buf, pos, caches, key, _ = s
         tok = lax.dynamic_slice(buf, (pos - 1,), (1,))
+        if topk == 1 and _attn.use_greedy_head():
+            # fused head: argmax(hidden @ emb.T) with no (V,) logits round-trip
+            from ...ops.greedy_head import greedy_argmax_tied
+
+            hidden, caches = decoder_lm_hidden_cached(params, cfg, tok, caches, pos - 1)
+            nxt = greedy_argmax_tied(hidden, params["token_embs"].astype(hidden.dtype))[0]
+            buf = lax.dynamic_update_slice(buf, nxt[None], (pos,))
+            return (buf, pos + 1, caches, key, nxt == eos_id)
         logits, caches = decoder_lm_forward_cached(params, cfg, tok, caches, pos - 1)
         # greedy never consumes randomness: skip the per-step threefry split
         key, sub = jax.random.split(key) if topk != 1 else (key, key)
@@ -112,13 +128,24 @@ def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id,
         _, pos, _, _, done = s
         return jnp.logical_and(jnp.logical_not(jnp.all(done)), pos < limit)
 
+    from ...ops import attention as _attn
+
     def body(s):
         buf, pos, caches, key, done = s
         tok = lax.dynamic_slice(buf, (0, pos - 1), (b, 1))
         p_ids = (pos - 1 - pad_lens)[:, None]
-        logits, caches = decoder_lm_forward_cached_batch(params, cfg, tok, p_ids, caches, pos - 1, pad_lens)
-        key, sub = jax.random.split(key) if topk != 1 else (key, key)
-        nxt = sample_rows(logits[:, 0], sub)
+        if topk == 1 and _attn.use_greedy_head():
+            # fused head: argmax(hidden @ emb.T), no (B, V) logits round-trip
+            from ...ops.greedy_head import greedy_argmax_tied
+
+            hidden, caches = decoder_lm_hidden_cached_batch(params, cfg, tok, p_ids, caches,
+                                                            pos - 1, pad_lens)
+            nxt = greedy_argmax_tied(hidden[:, 0], params["token_embs"].astype(hidden.dtype))
+        else:
+            logits, caches = decoder_lm_forward_cached_batch(params, cfg, tok, p_ids, caches,
+                                                             pos - 1, pad_lens)
+            key, sub = jax.random.split(key) if topk != 1 else (key, key)
+            nxt = sample_rows(logits[:, 0], sub)
         nxt = jnp.where(done, jnp.int32(eos_id), nxt)  # finished rows stay parked on EOS
         buf = lax.dynamic_update_slice(buf, nxt[:, None], (0, pos))
         return buf, pos + 1, caches, key, jnp.logical_or(done, nxt == eos_id)

@@ -48,6 +48,16 @@ def use_fused_layer(cache_len: int, hd: int) -> bool:
     return USE_FUSED_LAYER and use_decode_kernel(cache_len, hd)
 
 
+# fused greedy head (ops/greedy_head.py): argmax(x @ emb.T) without the
+# (B, V) logits round-trip. None = auto (on for TPU); True forces it
+# (interpret tests); False keeps the XLA logits+argmax path.
+USE_GREEDY_HEAD: bool | None = None
+
+
+def use_greedy_head() -> bool:
+    return _on_tpu() if USE_GREEDY_HEAD is None else USE_GREEDY_HEAD
+
+
 def use_decode_kernel(cache_len: int, hd: int = 128) -> bool:
     """Gate for the decode kernel at a given (static) cache length / H*D.
 
