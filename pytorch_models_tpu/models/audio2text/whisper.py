@@ -135,11 +135,17 @@ def _whisper_generate_body(params, cfg: WhisperConfig, memory, initial_tokens, m
                                     dtype=p["token_embs"].dtype, stacked=False)
     cross_caches = tfm.precompute_cross_caches(p, lc, memory)
 
-    def forward_chunk(tokens, caches, pos, s):
+    def forward_hidden(tokens, caches, pos, s):
         x = embed_rows(p["token_embs"], tokens)
         x = x + lax.dynamic_slice(p["pos_embs"], (pos, 0), (s, cfg.d_model)).astype(x.dtype)
         x, caches = tfm.decoder_apply(p, lc, x, self_caches=caches, cross_caches=cross_caches, pos=pos)
-        return _decoder_head(p, x), caches
+        return layer_norm(p["norm"], x), caches
+
+    def forward_chunk(tokens, caches, pos, s):
+        hn, caches = forward_hidden(tokens, caches, pos, s)
+        from ...ops.layers import dot_precision
+
+        return jnp.matmul(hn, p["token_embs"].astype(hn.dtype).T, precision=dot_precision(hn)), caches
 
     buf = jnp.zeros((max_tokens,), jnp.int32)
     buf = lax.dynamic_update_slice(buf, initial_tokens.astype(jnp.int32), (0,))
@@ -152,11 +158,19 @@ def _whisper_generate_body(params, cfg: WhisperConfig, memory, initial_tokens, m
         _, pos, _, done = s
         return jnp.logical_and(jnp.logical_not(done), pos < max_tokens)
 
+    from ...ops import attention as _attn
+
     def body(s):
         buf, pos, caches, _ = s
         tok = lax.dynamic_slice(buf, (pos - 1,), (1,))
-        logits, caches = forward_chunk(tok, caches, pos - 1, 1)
-        nxt = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+        if _attn.use_greedy_head():
+            from ...ops.greedy_head import greedy_argmax_tied
+
+            hn, caches = forward_hidden(tok, caches, pos - 1, 1)
+            nxt = greedy_argmax_tied(hn, p["token_embs"].astype(hn.dtype))[0]
+        else:
+            logits, caches = forward_chunk(tok, caches, pos - 1, 1)
+            nxt = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
         buf = lax.dynamic_update_slice(buf, nxt[None], (pos,))
         return buf, pos + 1, caches, nxt == eot_id
 
@@ -179,11 +193,17 @@ def _whisper_generate_batch_body(params, cfg: WhisperConfig, memory, initial_tok
                                     dtype=p["token_embs"].dtype, stacked=False)
     cross_caches = tfm.precompute_cross_caches(p, lc, memory)
 
-    def forward_chunk(tokens, caches, pos, s):
+    def forward_hidden(tokens, caches, pos, s):
         x = embed_rows(p["token_embs"], tokens)
         x = x + lax.dynamic_slice(p["pos_embs"], (pos, 0), (s, cfg.d_model)).astype(x.dtype)
         x, caches = tfm.decoder_apply(p, lc, x, self_caches=caches, cross_caches=cross_caches, pos=pos)
-        return _decoder_head(p, x), caches
+        return layer_norm(p["norm"], x), caches
+
+    def forward_chunk(tokens, caches, pos, s):
+        hn, caches = forward_hidden(tokens, caches, pos, s)
+        from ...ops.layers import dot_precision
+
+        return jnp.matmul(hn, p["token_embs"].astype(hn.dtype).T, precision=dot_precision(hn)), caches
 
     buf = jnp.zeros((b, max_tokens), jnp.int32)
     init_rows = jnp.broadcast_to(initial_tokens.astype(jnp.int32), (b, n_init))
@@ -197,11 +217,19 @@ def _whisper_generate_batch_body(params, cfg: WhisperConfig, memory, initial_tok
         _, pos, _, done = s
         return jnp.logical_and(jnp.logical_not(jnp.all(done)), pos < max_tokens)
 
+    from ...ops import attention as _attn
+
     def body(s):
         buf, pos, caches, done = s
         tok = lax.dynamic_slice(buf, (0, pos - 1), (b, 1))
-        logits, caches = forward_chunk(tok, caches, pos - 1, 1)
-        nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        if _attn.use_greedy_head():
+            from ...ops.greedy_head import greedy_argmax_tied
+
+            hn, caches = forward_hidden(tok, caches, pos - 1, 1)
+            nxt = greedy_argmax_tied(hn[:, 0], p["token_embs"].astype(hn.dtype))
+        else:
+            logits, caches = forward_chunk(tok, caches, pos - 1, 1)
+            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, jnp.int32(eot_id), nxt)
         buf = lax.dynamic_update_slice(buf, nxt[:, None], (0, pos))
         return buf, pos + 1, caches, jnp.logical_or(done, nxt == eot_id)

@@ -26,6 +26,7 @@ from jax import lax
 
 from ... import transformer as tfm
 from ...ops import ACT_FNS, linear
+from ...ops import attention as _attn
 from ...ops.gather import embed_rows
 from ...utils import StateDict, stack_layers
 from pytorch_models_tpu.utils.module import InferenceModel
@@ -278,8 +279,12 @@ def _t5_generate(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int, pad_
 
         h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, None, pos)
         h = rms_norm(dec["norm"], h)
-        logits = linear(params["classifier"], h)[0]
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if _attn.use_greedy_head():
+            from ...ops.greedy_head import greedy_argmax
+
+            nxt = greedy_argmax(h, params["classifier"]["w"].astype(h.dtype))[0]
+        else:
+            nxt = jnp.argmax(linear(params["classifier"], h)[0], axis=-1).astype(jnp.int32)
         buf = lax.dynamic_update_slice(buf, nxt[None], (pos + 1,))
         return buf, pos + 1, caches, nxt == eos_id
 
@@ -322,8 +327,12 @@ def _t5_generate_batch_body(params, cfg: T5Config, enc_tokens, n_enc, max_tokens
 
         h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, None, pos)
         h = rms_norm(dec["norm"], h)
-        logits = linear(params["classifier"], h)[:, 0]
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if _attn.use_greedy_head():
+            from ...ops.greedy_head import greedy_argmax
+
+            nxt = greedy_argmax(h[:, 0], params["classifier"]["w"].astype(h.dtype))
+        else:
+            nxt = jnp.argmax(linear(params["classifier"], h)[:, 0], axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, jnp.int32(eos_id), nxt)
         buf = lax.dynamic_update_slice(buf, nxt[:, None], (0, pos + 1))
         return buf, pos + 1, caches, jnp.logical_or(done, nxt == eos_id)

@@ -25,11 +25,13 @@ CHUNK_BYTES = 3 * 1024 * 1024  # per vocab block; x2 when pallas double-buffers
 INT_MAX = jnp.iinfo(jnp.int32).max
 
 
-def _kernel(x_ref, emb_ref, o_ref, best_val, best_idx, *, v: int, cv: int, prec):
+def _kernel(x_ref, emb_ref, o_ref, best_val, best_idx, *, v: int, cv: int, prec,
+            tied: bool = True):
     i = pl.program_id(0)
     nv = pl.num_programs(0)
 
-    s = lax.dot_general(x_ref[...], emb_ref[...], (((1,), (1,)), ((), ())),
+    dims = (((1,), (1,)), ((), ())) if tied else (((1,), (0,)), ((), ()))
+    s = lax.dot_general(x_ref[...], emb_ref[...], dims,
                         preferred_element_type=jnp.float32, precision=prec)  # (B, cv)
     if x_ref.dtype == jnp.bfloat16:
         # round like XLA's bf16 head matmul so the argmax winner is identical
@@ -56,24 +58,37 @@ def _kernel(x_ref, emb_ref, o_ref, best_val, best_idx, *, v: int, cv: int, prec)
         o_ref[...] = best_idx[...]
 
 
-@jax.jit
-def greedy_argmax_tied(x, emb):
-    """``x`` (B, d), ``emb`` (V, d) -> (B,) int32 = argmax(x @ emb.T, axis=-1)."""
+def _greedy_argmax(x, w, tied: bool):
     b, d = x.shape
-    v = emb.shape[0]
-    chunk = max((CHUNK_BYTES // (d * jnp.dtype(emb.dtype).itemsize)) // 8 * 8, 8)
-    cv = min(chunk, -(-v // 8) * 8)
+    v = w.shape[0] if tied else w.shape[1]
+    # chunk sized to the dtype (a fp32 (4096, d) block double-buffered blows
+    # the 16 MB scoped-vmem limit); lane chunks for (d, V) weights use 128s
+    align = 8 if tied else 128
+    chunk = max((CHUNK_BYTES // (d * jnp.dtype(w.dtype).itemsize)) // align * align, align)
+    cv = min(chunk, -(-v // align) * align)
     nv = -(-v // cv)
     prec = lax.Precision.HIGHEST if x.dtype == jnp.float32 else lax.Precision.DEFAULT
+    w_spec = (pl.BlockSpec((cv, d), lambda i: (i, 0)) if tied
+              else pl.BlockSpec((d, cv), lambda i: (0, i)))
     out = pl.pallas_call(
-        functools.partial(_kernel, v=v, cv=cv, prec=prec),
+        functools.partial(_kernel, v=v, cv=cv, prec=prec, tied=tied),
         grid=(nv,),
-        in_specs=[
-            pl.BlockSpec((b, d), lambda i: (0, 0)),
-            pl.BlockSpec((cv, d), lambda i: (i, 0)),
-        ],
+        in_specs=[pl.BlockSpec((b, d), lambda i: (0, 0)), w_spec],
         out_specs=pl.BlockSpec((b, 1), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
         scratch_shapes=[pltpu.VMEM((b, 1), jnp.float32), pltpu.VMEM((b, 1), jnp.int32)],
-    )(x, emb)
+    )(x, w)
     return out[:, 0]
+
+
+@jax.jit
+def greedy_argmax_tied(x, emb):
+    """``x`` (B, d), ``emb`` (V, d) -> (B,) int32 = argmax(x @ emb.T, axis=-1)."""
+    return _greedy_argmax(x, emb, tied=True)
+
+
+@jax.jit
+def greedy_argmax(x, w):
+    """``x`` (B, d), ``w`` (d, V) -> (B,) int32 = argmax(x @ w, axis=-1)
+    (separate classifier head, e.g. T5)."""
+    return _greedy_argmax(x, w, tied=False)
