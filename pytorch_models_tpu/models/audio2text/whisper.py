@@ -163,7 +163,7 @@ def _whisper_generate_body(params, cfg: WhisperConfig, memory, initial_tokens, m
     def body(s):
         buf, pos, caches, _ = s
         tok = lax.dynamic_slice(buf, (pos - 1,), (1,))
-        if _attn.use_greedy_head():
+        if _attn.use_greedy_head(1):
             from ...ops.greedy_head import greedy_argmax_tied
 
             hn, caches = forward_hidden(tok, caches, pos - 1, 1)
@@ -222,7 +222,7 @@ def _whisper_generate_batch_body(params, cfg: WhisperConfig, memory, initial_tok
     def body(s):
         buf, pos, caches, done = s
         tok = lax.dynamic_slice(buf, (0, pos - 1), (b, 1))
-        if _attn.use_greedy_head():
+        if _attn.use_greedy_head(b):
             from ...ops.greedy_head import greedy_argmax_tied
 
             hn, caches = forward_hidden(tok, caches, pos - 1, 1)

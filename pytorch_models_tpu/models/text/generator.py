@@ -67,7 +67,7 @@ def _generate(params, cfg, prompt_buf, n_prompt, limit, topk, eos_id, key):
     def body(s):
         buf, pos, caches, key, _ = s
         tok = lax.dynamic_slice(buf, (pos - 1,), (1,))
-        if topk == 1 and _attn.use_greedy_head():
+        if topk == 1 and _attn.use_greedy_head(1):
             # fused head: argmax(hidden @ emb.T) with no (V,) logits round-trip
             from ...ops.greedy_head import greedy_argmax_tied
 
@@ -134,7 +134,7 @@ def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id,
         buf, pos, caches, key, done = s
         tok = lax.dynamic_slice(buf, (0, pos - 1), (b, 1))
         p_ids = (pos - 1 - pad_lens)[:, None]
-        if topk == 1 and _attn.use_greedy_head():
+        if topk == 1 and _attn.use_greedy_head(b):
             # fused head: argmax(hidden @ emb.T), no (B, V) logits round-trip
             from ...ops.greedy_head import greedy_argmax_tied
 

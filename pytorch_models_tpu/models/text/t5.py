@@ -279,7 +279,7 @@ def _t5_generate(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int, pad_
 
         h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, None, pos)
         h = rms_norm(dec["norm"], h)
-        if _attn.use_greedy_head():
+        if _attn.use_greedy_head(1):
             from ...ops.greedy_head import greedy_argmax
 
             nxt = greedy_argmax(h, params["classifier"]["w"].astype(h.dtype))[0]
@@ -327,7 +327,7 @@ def _t5_generate_batch_body(params, cfg: T5Config, enc_tokens, n_enc, max_tokens
 
         h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, None, pos)
         h = rms_norm(dec["norm"], h)
-        if _attn.use_greedy_head():
+        if _attn.use_greedy_head(b):
             from ...ops.greedy_head import greedy_argmax
 
             nxt = greedy_argmax(h[:, 0], params["classifier"]["w"].astype(h.dtype))

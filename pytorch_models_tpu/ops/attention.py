@@ -49,13 +49,16 @@ def use_fused_layer(cache_len: int, hd: int) -> bool:
 
 
 # fused greedy head (ops/greedy_head.py): argmax(x @ emb.T) without the
-# (B, V) logits round-trip. None = auto (on for TPU); True forces it
-# (interpret tests); False keeps the XLA logits+argmax path.
+# (B, V) logits round-trip. None = auto (on for TPU at batch >= 4 — at B=1
+# the chunked matmuls lose to XLA's single streamed head, measured ~10%
+# on whisper single-segment); True forces it (interpret tests); False off.
 USE_GREEDY_HEAD: bool | None = None
 
 
-def use_greedy_head() -> bool:
-    return _on_tpu() if USE_GREEDY_HEAD is None else USE_GREEDY_HEAD
+def use_greedy_head(batch: int = 4) -> bool:
+    if USE_GREEDY_HEAD is not None:
+        return USE_GREEDY_HEAD
+    return batch >= 4 and _on_tpu()
 
 
 def use_decode_kernel(cache_len: int, hd: int = 128) -> bool:
