@@ -348,10 +348,20 @@ def bench_vit(peak, bw):
     return best, best / roofline
 
 
+# Fraction of nominal peak matmul FLOP/s actually reachable through the
+# remote-TPU tunnel (measured: 148/197 TFLOP/s on an 8192^3 bf16 chain,
+# PERF.md). Compute-bound metrics also report vs_practical = fraction of this
+# practical ceiling so the artifact carries both MFU bases.
+PRACTICAL_MATMUL_FRAC = 0.75
+COMPUTE_BOUND = {"vit"}  # decode metrics are HBM-bound; the tunnel doesn't tax HBM
+
+
 def emit(which, value, vs_baseline, error=None):
     metric, unit = METRICS[which]
     line = {"metric": metric, "value": round(value, 4 if value < 1000 else 1),
             "unit": unit, "vs_baseline": round(vs_baseline, 4)}
+    if which in COMPUTE_BOUND:
+        line["vs_practical"] = round(min(vs_baseline / PRACTICAL_MATMUL_FRAC, 1.0), 4)
     if error:
         line["error"] = error
     print(json.dumps(line), flush=True)

@@ -94,8 +94,13 @@ def _kernel(ends_ref, pad_ref, q_ref, k_hbm, v_hbm, *rest, bk: int, scale: float
                         sem.at[slot, 2]))
             return cps
 
-        for cp in copies(first, lax.rem(first, 2)):
-            cp.start()
+        # degenerate packs (every row's [pad, end) empty, e.g. all-empty
+        # cross-attention valid_lens) must not start copies that are never
+        # waited — pending semaphores at run_scoped exit are UB on hardware
+        @pl.when(first < n_blocks)
+        def _():
+            for cp in copies(first, lax.rem(first, 2)):
+                cp.start()
 
         # head-expander: E[d_full, h] = 1 iff lane d_full belongs to head h
         col_head = lax.broadcasted_iota(jnp.int32, (hd, n_heads), 0) // d

@@ -66,6 +66,9 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """``table`` (V, D), ``idx`` (N,) int -> (N, D) rows via per-row DMA."""
     n = idx.shape[0]
     d = table.shape[-1]
+    # jnp.take clamps out-of-range ids; match it — an unclamped id would issue
+    # an out-of-bounds HBM DMA (garbage read on hardware)
+    idx = jnp.clip(idx, 0, table.shape[0] - 1)
     # pad V to a sublane multiple so every 8-row window is in bounds; the pad
     # is loop-invariant and hoisted out of decode loops by XLA's while LICM
     if table.shape[0] % 8:

@@ -18,16 +18,18 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _gelu_exact(x):
-    """Exact GELU — except for bf16 inputs, where tanh-GELU substitutes.
+# bf16 serving substitutes tanh-GELU for exact erf-GELU: XLA's erf is ~0.7
+# ms/layer of serialized VPU work at ViT-B/16 batch 128 (measured v5e: exact
+# 2.18 ms vs tanh 1.50 vs a no-transcendental floor of 1.40 per MLP), and
+# |tanh-GELU - erf-GELU| peaks at ~5e-4 near |x|=2 — an order below bf16's own
+# rounding. Set False for bf16 runs that must match reference erf-GELU
+# bit patterns; fp32 (the parity path) always keeps exact erf.
+FAST_GELU_BF16: bool = True
 
-    XLA's erf is ~0.7 ms/layer of serialized VPU work at ViT-B/16 batch 128
-    (measured v5e: exact 2.18 ms vs tanh 1.50 vs a no-transcendental floor of
-    1.40 per MLP). |tanh-GELU - erf-GELU| peaks at ~5e-4 near |x|=2 — an
-    order below bf16's own rounding — so bf16 SERVING takes the fast form;
-    fp32 (the parity path) keeps exact erf.
-    """
-    if x.dtype == jnp.bfloat16:
+
+def _gelu_exact(x):
+    """Exact (erf) GELU; bf16 serving takes tanh-GELU when FAST_GELU_BF16."""
+    if FAST_GELU_BF16 and x.dtype == jnp.bfloat16:
         return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)
 

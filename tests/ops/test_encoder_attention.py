@@ -30,6 +30,7 @@ def _oracle(q, k, v, h, causal):
         (1, 300, 1500, 8, 64, False),  # Whisper-base encoder (multi K block)
         (3, 600, 600, 4, 64, True),    # multi q AND k blocks, causal
         (2, 64, 64, 4, 32, True),      # head_dim 32
+        (2, 384, 384, 6, 64, True),    # nq=2 with the single-K-block path (BERT-384)
     ],
 )
 def test_encoder_attention_parity(b, lq, lk, h, d, causal):
