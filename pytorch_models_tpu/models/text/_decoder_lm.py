@@ -126,6 +126,50 @@ def decoder_lm_hidden_cached_batch(params, cfg: DecoderLMConfig, tokens, pos_ids
     return _final_hidden(params, cfg, x), caches
 
 
+def decoder_lm_fused_ok(params, cfg: DecoderLMConfig) -> bool:
+    """Static gate for the one-kernel fused decode step (ops/decode_step.py)."""
+    from ...ops import attention as _attn
+    from ...ops.decode_step import fused_step_eligible
+    from ...transformer import padded_cache_len
+
+    if not _attn.use_fused_step() or not cfg.pre_norm:
+        return False
+    return fused_step_eligible(params["decoder"]["layers"], cfg.layer,
+                               padded_cache_len(cfg.max_seq_len))
+
+
+def decoder_lm_pack(params: dict, cfg: DecoderLMConfig):
+    """Pack the layer stack for the fused step (once per generate call; the
+    concat/cast is hoisted out of the decode loop)."""
+    from ...ops.decode_step import pack_decode_weights
+
+    return pack_decode_weights(params["decoder"]["layers"], params["token_embs"].dtype)
+
+
+def decoder_lm_hidden_fused_batch(params, packed, cfg: DecoderLMConfig, tokens, pos_ids,
+                                  caches, pos, pad_lens):
+    """One fused decode step: embeddings -> ONE Pallas call over the whole
+    layer stack -> final norm. ``caches`` is the layer-stacked dict
+    ``{"k","v"}: (L, B, Lmax, H*D)`` holding positions ``[0, pos)``; the new
+    K/V for ``pos`` are written back with one dynamic_update_slice per cache
+    (all layers at once). Returns ``(hidden (B, 1, d), caches)``.
+    """
+    from ...ops.decode_step import fused_decode_step
+    from ...ops.gather import embed_rows
+
+    x = embed_rows(params["token_embs"], tokens[:, 0])  # (B, d)
+    x = x + embed_rows(params["pos_embs"], pos_ids[:, 0]).astype(x.dtype)
+    lc = cfg.layer
+    x, k_new, v_new = fused_decode_step(x, packed, caches["k"], caches["v"], pos, pad_lens,
+                                        n_heads=lc.n_heads, act=lc.act, eps=cfg.norm_eps)
+    start = (0, 0, pos, 0)
+    caches = {
+        "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
+        "v": lax.dynamic_update_slice(caches["v"], v_new[:, :, None, :].astype(caches["v"].dtype), start),
+    }
+    return _final_hidden(params, cfg, x)[:, None, :], caches
+
+
 def decoder_lm_hidden_cached(params, cfg: DecoderLMConfig, tokens, caches, pos):
     """Unbatched single-chunk variant of :func:`decoder_lm_hidden_cached_batch`."""
     from ...ops.gather import embed_rows

@@ -20,9 +20,12 @@ from jax import lax
 from ._decoder_lm import (
     decoder_lm_forward_cached,
     decoder_lm_forward_cached_batch,
+    decoder_lm_fused_ok,
     decoder_lm_hidden_cached,
     decoder_lm_hidden_cached_batch,
+    decoder_lm_hidden_fused_batch,
     decoder_lm_make_cache,
+    decoder_lm_pack,
 )
 
 PROMPT_BUCKET = 64  # prompts are right-padded to a multiple of this to bound recompiles
@@ -86,7 +89,7 @@ def _generate(params, cfg, prompt_buf, n_prompt, limit, topk, eos_id, key):
     return tokens_buf, length
 
 
-def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id, key):
+def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id, key, fused=False):
     """Batched greedy/top-k generation over LEFT-padded prompts.
 
     Beyond the reference (single-prompt only, text/generator.py:17-37):
@@ -104,7 +107,11 @@ def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id,
     pos_ids = jnp.clip(jnp.arange(p_len)[None, :] - pad_lens[:, None], 0, None)
 
     cache_dtype = params["token_embs"].dtype
-    caches = decoder_lm_make_cache(cfg, (b,), dtype=cache_dtype, stacked=False)
+    # the fused one-kernel decode step wants layer-stacked caches; the per-op
+    # path decodes faster against a LIST of per-layer caches (no layer-slice
+    # read-modify-write inside the scan)
+    caches = decoder_lm_make_cache(cfg, (b,), dtype=cache_dtype, stacked=fused)
+    packed = decoder_lm_pack(params, cfg) if fused else None
     logits, caches = decoder_lm_forward_cached_batch(params, cfg, prompt_buf, pos_ids, caches, 0, pad_lens)
     last = logits[:, -1]  # rows are right-aligned: slot P-1 is each row's last prompt token
 
@@ -134,13 +141,26 @@ def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id,
         buf, pos, caches, key, done = s
         tok = lax.dynamic_slice(buf, (0, pos - 1), (b, 1))
         p_ids = (pos - 1 - pad_lens)[:, None]
-        if topk == 1 and _attn.use_greedy_head(b):
+        if fused:
+            hidden, caches = decoder_lm_hidden_fused_batch(params, packed, cfg, tok, p_ids,
+                                                           caches, pos - 1, pad_lens)
+        elif topk == 1 and _attn.use_greedy_head(b):
+            hidden, caches = decoder_lm_hidden_cached_batch(params, cfg, tok, p_ids, caches,
+                                                            pos - 1, pad_lens)
+        else:
+            hidden = None
+        if hidden is not None and topk == 1 and _attn.use_greedy_head(b):
             # fused head: argmax(hidden @ emb.T), no (B, V) logits round-trip
             from ...ops.greedy_head import greedy_argmax_tied
 
-            hidden, caches = decoder_lm_hidden_cached_batch(params, cfg, tok, p_ids, caches,
-                                                            pos - 1, pad_lens)
             nxt = greedy_argmax_tied(hidden[:, 0], params["token_embs"].astype(hidden.dtype))
+        elif hidden is not None:
+            from ...ops.layers import dot_precision
+
+            logits = jnp.matmul(hidden, params["token_embs"].astype(hidden.dtype).T,
+                                precision=dot_precision(hidden))
+            key, sub = jax.random.split(key) if topk != 1 else (key, key)
+            nxt = sample_rows(logits[:, 0], sub)
         else:
             logits, caches = decoder_lm_forward_cached_batch(params, cfg, tok, p_ids, caches,
                                                              pos - 1, pad_lens)
@@ -162,7 +182,7 @@ def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id,
     return buf, lengths
 
 
-_generate_batch = partial(jax.jit, static_argnums=(1, 5))(_generate_batch_body)
+_generate_batch = partial(jax.jit, static_argnums=(1, 5, 8))(_generate_batch_body)
 
 
 class DecoderGenerator:
@@ -227,7 +247,7 @@ class DecoderGenerator:
         limit = min(pad + max_tokens, cfg.max_seq_len)
         out, lengths = _generate_batch(
             self.model.params, cfg, jnp.asarray(buf), jnp.asarray(pad_lens), limit, topk, eos,
-            jax.random.PRNGKey(seed),
+            jax.random.PRNGKey(seed), decoder_lm_fused_ok(self.model.params, cfg),
         )
         out, lengths = np.asarray(out), np.asarray(lengths)
         return [out[i, pad_lens[i]: lengths[i]].tolist() for i in range(b)]

@@ -48,6 +48,19 @@ def use_fused_layer(cache_len: int, hd: int) -> bool:
     return USE_FUSED_LAYER and use_decode_kernel(cache_len, hd)
 
 
+# fused decode step (ops/decode_step.py): the ENTIRE per-token layer stack in
+# one Pallas call with double-buffered weight-tile DMA. None = auto (currently
+# OFF pending hardware validation — flip to _on_tpu() once measured to win);
+# True forces it (interpret tests); False forces the per-op path.
+USE_FUSED_STEP: bool | None = None
+
+
+def use_fused_step() -> bool:
+    if USE_FUSED_STEP is not None:
+        return USE_FUSED_STEP
+    return False
+
+
 # fused greedy head (ops/greedy_head.py): argmax(x @ emb.T) without the
 # (B, V) logits round-trip. None = auto (on for TPU at batch >= 4 — at B=1
 # the chunked matmuls lose to XLA's single streamed head, measured ~10%

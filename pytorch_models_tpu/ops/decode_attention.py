@@ -55,10 +55,13 @@ BB_MAX = 8  # max batch rows packed per program
 
 def _kernel(ends_ref, pad_ref, q_ref, k_hbm, v_hbm, *rest, bk: int, scale: float,
             n_heads: int, d: int, prec, bias_shared: bool = False, bb: int = 1):
-    """``bb`` batch rows per program (statically unrolled): at decode batch
-    sizes the per-program launch overhead (~2 µs × B × n_layers per step)
-    otherwise dominates the step — packing rows cut the measured GPT-2
-    batch-32 decode loop from 1.11 to well under a ms/step."""
+    """``bb`` batch rows per program: at decode batch sizes the per-program
+    launch overhead (~2 µs × B × n_layers per step) otherwise dominates the
+    step — packing rows cut the measured GPT-2 batch-32 decode loop from 1.11
+    to well under a ms/step. All packed rows are processed by ONE batched
+    ``(bb*bk, ·)`` dot per block: per-row ``(1, ·)`` dots are MXU
+    fill-dominated (a 128-cycle weight-tile load amortized over 1 streamed
+    row) and were the dominant cost of the round-2 kernel."""
     if len(rest) == 2:  # (bias_hbm, o_ref) — additive per-key bias (T5 rel-pos)
         bias_hbm, o_ref = rest
     else:
@@ -102,12 +105,23 @@ def _kernel(ends_ref, pad_ref, q_ref, k_hbm, v_hbm, *rest, bk: int, scale: float
             for cp in copies(first, lax.rem(first, 2)):
                 cp.start()
 
-        # head-expander: E[d_full, h] = 1 iff lane d_full belongs to head h
+        # head-expander: E[d_full, h] = 1 iff lane d_full belongs to head h.
+        # Kept in the COMPUTE dtype: bf16 serving feeds the MXU bf16 operands
+        # directly (0/1 entries are exact in any dtype).
+        cdt = jnp.float32 if q_ref.dtype == jnp.float32 else q_ref.dtype
         col_head = lax.broadcasted_iota(jnp.int32, (hd, n_heads), 0) // d
         head_id = lax.broadcasted_iota(jnp.int32, (hd, n_heads), 1)
-        e_mat = (col_head == head_id).astype(jnp.float32)  # (H*D, H)
+        e_mat = (col_head == head_id).astype(cdt)  # (H*D, H)
 
-        qs = [q_ref[r].astype(jnp.float32) * scale for r in range(bb)]  # (1, H*D) each
+        # scale in fp32 (exact for bf16 inputs), then drop to compute dtype
+        q_all = (q_ref[:, 0, :].astype(jnp.float32) * scale).astype(cdt)  # (bb, H*D)
+
+        # per-row valid ranges as (bb, 1, 1) vectors (assembled from the
+        # prefetched SMEM scalars once, outside the block loop)
+        ends_v = jnp.concatenate(
+            [jnp.full((1, 1, 1), ends_ref[b0 + r], jnp.int32) for r in range(bb)], 0)
+        pad_v = jnp.concatenate(
+            [jnp.full((1, 1, 1), pad_ref[b0 + r], jnp.int32) for r in range(bb)], 0)
 
         def step(i, carry):
             ms, ls, accs = carry  # (bb,H), (bb,H), (bb,H*D) fp32
@@ -121,48 +135,48 @@ def _kernel(ends_ref, pad_ref, q_ref, k_hbm, v_hbm, *rest, bk: int, scale: float
             for cp in copies(i, slot):
                 cp.wait()
 
-            k_idx = i * bk + lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
-            m_out, l_out, acc_out = [], [], []
-            for r in range(bb):
-                m_prev, l_prev, acc = ms[r:r + 1], ls[r:r + 1], accs[r:r + 1]
-                k = k_scratch[slot, r].astype(jnp.float32)  # (bk, H*D)
-                s = lax.dot_general(k * qs[r], e_mat, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32, precision=prec)  # (bk, H)
-                if bias_hbm is not None:
-                    # bias is lane-padded to 128 (DMA slices must be lane-
-                    # aligned); reading the first H lanes is a plain VMEM load
-                    s = s + bias_scratch[slot, 0 if bias_shared else r][:, :n_heads].astype(jnp.float32)
-                valid = jnp.logical_and(k_idx < ends_ref[b0 + r], k_idx >= pad_ref[b0 + r])
-                s = jnp.where(valid, s, NEG_INF)
+            # all rows' scores in one MXU pass: s[b,i,h] = sum_d k*q*E
+            kq = (k_scratch[slot].astype(cdt) * q_all[:, None, :]).reshape(bb * bk, hd)
+            s = lax.dot_general(kq, e_mat, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec).reshape(bb, bk, n_heads)
+            if bias_hbm is not None:
+                # bias is lane-padded to 128 (DMA slices must be lane-
+                # aligned); reading the first H lanes is a plain VMEM load
+                if bias_shared:
+                    s = s + bias_scratch[slot, 0][:, :n_heads].astype(jnp.float32)[None]
+                else:
+                    s = s + bias_scratch[slot][:, :, :n_heads].astype(jnp.float32)
+            k_idx = i * bk + lax.broadcasted_iota(jnp.int32, (1, bk, 1), 1)
+            valid = jnp.logical_and(k_idx < ends_v, k_idx >= pad_v)  # (bb, bk, 1)
+            s = jnp.where(valid, s, NEG_INF)
 
-                m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))  # (1, H)
-                # safe max: with shared block range a row may see an all-masked
-                # block (exp(s - m) must underflow to 0, not become exp(0))
-                m_safe = jnp.maximum(m_new, jnp.float32(NEG_INF / 2))
-                p = jnp.exp(s - m_safe)
-                alpha = jnp.exp(m_prev - m_safe)  # (1, H)
-                l_out.append(alpha * l_prev + jnp.sum(p, axis=0, keepdims=True))
+            m_new = jnp.maximum(ms, jnp.max(s, axis=1))  # (bb, H)
+            # safe max: with shared block range a row may see an all-masked
+            # block (exp(s - m) must underflow to 0, not become exp(0))
+            m_safe = jnp.maximum(m_new, jnp.float32(NEG_INF / 2))
+            p = jnp.exp(s - m_safe[:, None, :])  # (bb, bk, H) fp32
+            alpha = jnp.exp(ms - m_safe)  # (bb, H)
+            l_new = alpha * ls + jnp.sum(p, axis=1)
 
-                p_full = lax.dot_general(p, e_mat, (((1,), (1,)), ((), ())),
+            # broadcast softmax back to merged-head lanes and accumulate V
+            p_full = lax.dot_general(p.astype(cdt).reshape(bb * bk, n_heads), e_mat,
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=prec).reshape(bb, bk, hd)
+            alpha_full = lax.dot_general(alpha, e_mat.astype(jnp.float32), (((1,), (1,)), ((), ())),
                                          preferred_element_type=jnp.float32, precision=prec)
-                alpha_full = lax.dot_general(alpha, e_mat, (((1,), (1,)), ((), ())),
-                                             preferred_element_type=jnp.float32, precision=prec)
-                acc_out.append(acc * alpha_full + jnp.sum(
-                    p_full * v_scratch[slot, r].astype(jnp.float32), axis=0, keepdims=True))
-                m_out.append(m_new)
-            return (jnp.concatenate(m_out, 0), jnp.concatenate(l_out, 0),
-                    jnp.concatenate(acc_out, 0))
+            pv = jnp.sum(p_full * v_scratch[slot].astype(jnp.float32), axis=1)  # (bb, H*D)
+            return m_new, l_new, accs * alpha_full + pv
 
         init = (jnp.full((bb, n_heads), NEG_INF, jnp.float32),
                 jnp.zeros((bb, n_heads), jnp.float32),
                 jnp.zeros((bb, hd), jnp.float32))
         ms, ls, accs = lax.fori_loop(first, n_blocks, step, init)
         ls = jnp.where(ls == 0.0, 1.0, ls)
-        l_full = lax.dot_general(ls, e_mat, (((1,), (1,)), ((), ())),
+        l_full = lax.dot_general(ls, e_mat.astype(jnp.float32), (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32, precision=prec)  # (bb, H*D)
-        out = (accs / l_full).astype(o_ref.dtype)
-        for r in range(bb):
-            o_ref[r] = out[r:r + 1]
+        o_ref[...] = (accs / l_full).astype(o_ref.dtype)[:, None, :]
 
     bias_minor = bias_hbm.shape[-1] if bias_hbm is not None else 128
     pl.run_scoped(
