@@ -152,6 +152,163 @@ def test_t5_flan_small_golden_string():
     assert out == "Welches ist Ihres Namen?"
 
 
+def test_maxvit_tiny_real_weights():
+    """MaxViT-tiny via the pure-Python TF reader vs the torch reference on the
+    same google checkpoint (ref tests/image/test_maxvit.py:23-36 checks vs
+    timm; here the mounted reference is the oracle)."""
+    pm = require_reference()
+    import torch
+
+    from pytorch_models_tpu.models.image import MaxViT
+
+    ours = MaxViT.from_google("tiny", pretrained=True)
+    ref = pm.image.MaxViT.from_google("tiny", pretrained=True).eval()
+
+    x = rng(10).standard_normal((1, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(t(x)).numpy()
+    assert max_abs_diff(np.asarray(ours(x)), expected) < NORTH_STAR
+
+
+def test_convnext_tiny_real_weights():
+    """ConvNeXt-tiny fb_in22k (ref tests/image/test_convnext.py:22-31)."""
+    pm = require_reference()
+    import torch
+
+    from pytorch_models_tpu.models.image import ConvNeXt
+
+    ours = ConvNeXt.from_facebook("tiny", pretrained=True)
+    ref = pm.image.ConvNeXt.from_facebook("tiny", pretrained=True).eval()
+
+    x = rng(11).standard_normal((1, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(t(x)).numpy()
+    assert max_abs_diff(np.asarray(ours(x)), expected) < NORTH_STAR
+
+
+def test_mobilevit_xxs_real_weights():
+    """MobileViT-xxs cvnets (BGR flip folded; ref tests/image/test_mobile_vit.py:22-31)."""
+    pm = require_reference()
+    import torch
+
+    from pytorch_models_tpu.models.image import MobileViT
+
+    ours = MobileViT.from_apple("xxs", pretrained=True)
+    ref = pm.image.MobileViT.from_apple("xxs", pretrained=True).eval()
+
+    x = rng(12).standard_normal((1, 3, 256, 256)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(t(x)).numpy()
+    assert max_abs_diff(np.asarray(ours(x)), expected) < NORTH_STAR
+
+
+def test_mlp_mixer_b16_real_weights():
+    """Mixer-B/16 imagenet21k (ref tests/image/test_mlp_mixer.py:12-20)."""
+    pm = require_reference()
+    import torch
+
+    from pytorch_models_tpu.models.image import MLPMixer
+
+    ours = MLPMixer.from_google("B/16_imagenet21k", pretrained=True)
+    ref = pm.image.MLPMixer.from_google("B/16_imagenet21k", pretrained=True).eval()
+
+    x = rng(13).standard_normal((1, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(t(x)).numpy()
+    assert max_abs_diff(np.asarray(ours(x)), expected) < NORTH_STAR
+
+
+def test_detr_resnet50_real_weights():
+    """DETR-R50 logits/boxes vs the reference (ref tests/image/test_detr.py:26-37)."""
+    pm = require_reference()
+    import torch
+
+    from pytorch_models_tpu.models.image import DETR
+
+    ours = DETR.from_facebook("resnet50", pretrained=True)
+    ref = pm.image.DETR.from_facebook("resnet50", pretrained=True).eval()
+
+    x = rng(14).standard_normal((1, 3, 224, 224)).astype(np.float32)
+    logits, boxes = ours(x)
+    with torch.no_grad():
+        ref_logits, ref_boxes = ref(t(x))
+    assert max_abs_diff(np.asarray(logits), ref_logits.numpy()) < NORTH_STAR
+    assert max_abs_diff(np.asarray(boxes), ref_boxes.numpy()) < NORTH_STAR
+
+
+def test_detr_pipeline_coco_golden():
+    """The exact COCO golden of the reference (tests/image/test_detr.py:40-48):
+    two remotes, a couch, and two cats."""
+    require_reference()
+    import requests
+    from PIL import Image
+
+    from pytorch_models_tpu.models.image import DETR, DETRPipeline
+
+    m = DETR.from_facebook("resnet50", pretrained=True)
+    pipeline = DETRPipeline(m)
+    url = "http://images.cocodataset.org/val2017/000000039769.jpg"
+    image = Image.open(requests.get(url, stream=True, timeout=30).raw)
+    img = np.asarray(image).transpose(2, 0, 1).astype(np.float32) / 255
+    out = pipeline([img])[0]
+    assert out[0] == ["remote", "remote", "couch", "cat", "cat"]
+
+
+@pytest.mark.parametrize("family,model_id", [
+    ("wav2vec2", "facebook/wav2vec2-base"),
+    ("sew", "asapp/sew-tiny-100k"),
+    ("data2vec", "facebook/data2vec-audio-base"),
+])
+def test_wav2vec2_family_real_weights(family, model_id):
+    """wav2vec2/SEW/data2vec vs the reference on the same HF checkpoints
+    (ref tests/audio/test_wav2vec2.py:36-46, test_sew.py:27-35,
+    test_data2vec_audio.py:27-35)."""
+    pm = require_reference()
+    import torch
+
+    cls_ours = {
+        "wav2vec2": "Wav2Vec2", "sew": "SEW", "data2vec": "Data2VecAudio",
+    }[family]
+    import pytorch_models_tpu.audio as our_audio
+
+    ours = getattr(our_audio, cls_ours).from_hf(model_id, pretrained=True)
+    ref = getattr(pm.audio, cls_ours).from_hf(model_id, pretrained=True).eval()
+
+    x = rng(15).standard_normal((2, 6400)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        expected = ref(t(x)).numpy()
+    assert max_abs_diff(np.asarray(ours(x)), expected) < NORTH_STAR
+
+
+def test_gpt1_real_weights_and_generation():
+    """GPT-1 logits parity + greedy generation vs the reference
+    (ref tests/text/test_gpt.py:26-51)."""
+    pm = require_reference()
+    import torch
+
+    from pytorch_models_tpu.models.text import GPT, DecoderGenerator
+
+    ours = GPT.from_openai(pretrained=True)
+    ref = pm.text.GPT.from_openai(pretrained=True).eval()
+
+    tokens = rng(16).integers(3, 2000, (16,)).astype(np.int64)
+    with torch.no_grad():
+        expected = ref(t(tokens[None])).numpy()
+    assert max_abs_diff(np.asarray(ours(tokens)), expected[0]) < NORTH_STAR
+
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained("openai-gpt")
+    gen = DecoderGenerator(ours, tok)
+    out_tokens = gen.generate_tokens(tok.encode("Today is a good day"), max_tokens=10)
+    ref_tokens = list(tok.encode("Today is a good day"))
+    with torch.no_grad():
+        for _ in range(10):
+            logits = ref(t(np.asarray(ref_tokens)[None]))
+            ref_tokens.append(int(logits[0, -1].argmax()))
+    assert out_tokens == ref_tokens
+
+
 def test_gpt2_tokenizer_real_vocab():
     """GPT2Tokenizer must match transformers' GPT-2 tokenizer id-for-id."""
     from transformers import GPT2TokenizerFast
