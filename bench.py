@@ -371,6 +371,16 @@ def _child_main(which):
     """The actual measurement; runs under the parent's per-attempt timeout."""
     import jax
 
+    # persistent compilation cache: the fused decode-step Mosaic compiles run
+    # 3-6 minutes at T5/GPT-2 scale; caching makes retries and driver re-runs
+    # start hot (first-ever run still pays the compile)
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as e:  # cache is an optimization, never a requirement
+        print(f"compilation cache unavailable: {e}", file=sys.stderr)
+
     if os.environ.get("BENCH_PLATFORM"):  # CI/debug: e.g. "cpu" (JAX_PLATFORMS is ignored under axon)
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 

@@ -125,6 +125,40 @@ def whisper_decode(params, cfg: WhisperConfig, tokens: jnp.ndarray, memory: jnp.
     return _decoder_head(p, x)
 
 
+def _whisper_fused_ok(p: dict, cfg: WhisperConfig, max_tokens: int) -> bool:
+    """Trace-time gate for the one-kernel fused decode step (ops/decode_step.py)."""
+    from ...ops import attention as _attn
+    from ...ops.decode_step import fused_step_eligible
+
+    if not _attn.use_fused_step():
+        return False
+    return fused_step_eligible(p["layers"], cfg.dec_layer,
+                               tfm.padded_cache_len(max_tokens), cross=True)
+
+
+def _fused_whisper_step(p, packed, head, head_v, cfg: WhisperConfig, tok, caches, cross, pos):
+    """One fused decode step for the whisper decoder: embeddings -> ONE Pallas
+    call over the whole layer stack (self + cross attention + MLP + final LN
+    + streamed greedy argmax head). ``caches``/``cross`` leaves are
+    (L, B, Lmax|Lx, H*D); returns ``(next_token (B,), caches)``."""
+    from ...ops.decode_step import fused_cross_decode_step
+
+    x = embed_rows(p["token_embs"], tok[:, 0])  # (B, d)
+    x = x + lax.dynamic_slice(p["pos_embs"], (pos, 0), (1, cfg.d_model)).astype(x.dtype)
+    lc = cfg.dec_layer
+    _, k_new, v_new, nxt = fused_cross_decode_step(
+        x, packed, caches["k"], caches["v"],
+        cross["k"].astype(x.dtype), cross["v"].astype(x.dtype), cross["len"][0],
+        pos, None, n_heads=lc.n_heads, act=lc.act, eps=lc.norm_eps, norm="ln",
+        head=head, head_v=head_v)
+    start = (0, 0, pos, 0)
+    caches = {
+        "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
+        "v": lax.dynamic_update_slice(caches["v"], v_new[:, :, None, :].astype(caches["v"].dtype), start),
+    }
+    return nxt, caches
+
+
 def _whisper_generate_body(params, cfg: WhisperConfig, memory, initial_tokens, max_tokens: int, eot_id):
     """KV-cached greedy transcription over one encoded segment (unbatched)."""
     p = params["decoder"]
@@ -189,9 +223,15 @@ def _whisper_generate_batch_body(params, cfg: WhisperConfig, memory, initial_tok
     b = memory.shape[0]
     n_init = initial_tokens.shape[0]
 
+    fused = _whisper_fused_ok(p, cfg, max_tokens)
     self_caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, max_tokens, lc.head_dim,
-                                    dtype=p["token_embs"].dtype, stacked=False)
+                                    dtype=p["token_embs"].dtype, stacked=fused)
     cross_caches = tfm.precompute_cross_caches(p, lc, memory)
+    if fused:
+        from ...ops.decode_step import pack_decode_weights, pack_greedy_head
+
+        packed = pack_decode_weights(p["layers"], p["token_embs"].dtype, cross=True)
+        head, head_v = pack_greedy_head(p["token_embs"], p["norm"], p["token_embs"].dtype)
 
     def forward_hidden(tokens, caches, pos, s):
         x = embed_rows(p["token_embs"], tokens)
@@ -222,7 +262,11 @@ def _whisper_generate_batch_body(params, cfg: WhisperConfig, memory, initial_tok
     def body(s):
         buf, pos, caches, done = s
         tok = lax.dynamic_slice(buf, (0, pos - 1), (b, 1))
-        if _attn.use_greedy_head(b):
+        if fused:
+            # layer stack + cross-attn + final LN + greedy argmax in ONE kernel
+            nxt, caches = _fused_whisper_step(p, packed, head, head_v, cfg, tok,
+                                              caches, cross_caches, pos - 1)
+        elif _attn.use_greedy_head(b):
             from ...ops.greedy_head import greedy_argmax_tied
 
             hn, caches = forward_hidden(tok, caches, pos - 1, 1)
@@ -396,6 +440,13 @@ class WhisperGenerator:
         else:
             audio = np.asarray(audio, np.float32)[: self.N_SAMPLES]
             wav = jnp.asarray(np.pad(audio, (0, self.N_SAMPLES - len(audio)))[None])
+        if _whisper_fused_ok(self.model.params["decoder"], self.model.cfg, max_tokens):
+            # the fused one-kernel decode step runs on batched (L, B, ...) cache
+            # layouts — serve a single segment as batch-of-1 through it
+            buf, lengths = self._transcribe_full_batch(
+                self.model.params, wav, max_tokens, jnp.asarray(initial_tokens, jnp.int32), eot_id
+            )
+            return np.asarray(buf)[0][: int(np.asarray(lengths)[0])].tolist()
         buf, length = self._transcribe_full(
             self.model.params, wav, max_tokens, jnp.asarray(initial_tokens, jnp.int32), eot_id
         )

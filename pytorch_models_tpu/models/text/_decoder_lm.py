@@ -139,11 +139,40 @@ def decoder_lm_fused_ok(params, cfg: DecoderLMConfig) -> bool:
 
 
 def decoder_lm_pack(params: dict, cfg: DecoderLMConfig):
-    """Pack the layer stack for the fused step (once per generate call; the
-    concat/cast is hoisted out of the decode loop)."""
-    from ...ops.decode_step import pack_decode_weights
+    """Pack the layer stack + tied greedy head for the fused step (once per
+    generate call; the concat/cast/pad is hoisted out of the decode loop).
+    Returns ``(packed, head, head_v)``."""
+    from ...ops.decode_step import pack_decode_weights, pack_greedy_head
 
-    return pack_decode_weights(params["decoder"]["layers"], params["token_embs"].dtype)
+    dtype = params["token_embs"].dtype
+    packed = pack_decode_weights(params["decoder"]["layers"], dtype)
+    fnorm = params["norm"] if cfg.final_norm else {
+        "scale": jnp.ones((cfg.d_model,), jnp.float32)}
+    head, head_v = pack_greedy_head(params["token_embs"], fnorm, dtype)
+    return packed, head, head_v
+
+
+def decoder_lm_fused_tok_batch(params, packed, head, head_v, cfg: DecoderLMConfig,
+                               tokens, pos_ids, caches, pos, pad_lens):
+    """Fused decode step INCLUDING the greedy head phase: embeddings -> one
+    Pallas call (layer stack + final norm + streamed argmax) -> next token
+    ids. Returns ``(tok (B,), caches)``; the (B, V) logits never leave the
+    chip."""
+    from ...ops.decode_step import fused_decode_step
+    from ...ops.gather import embed_rows
+
+    x = embed_rows(params["token_embs"], tokens[:, 0])
+    x = x + embed_rows(params["pos_embs"], pos_ids[:, 0]).astype(x.dtype)
+    lc = cfg.layer
+    _, k_new, v_new, tok = fused_decode_step(
+        x, packed, caches["k"], caches["v"], pos, pad_lens,
+        n_heads=lc.n_heads, act=lc.act, eps=cfg.norm_eps, head=head, head_v=head_v)
+    start = (0, 0, pos, 0)
+    caches = {
+        "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
+        "v": lax.dynamic_update_slice(caches["v"], v_new[:, :, None, :].astype(caches["v"].dtype), start),
+    }
+    return tok, caches
 
 
 def decoder_lm_hidden_fused_batch(params, packed, cfg: DecoderLMConfig, tokens, pos_ids,

@@ -21,6 +21,7 @@ from ._decoder_lm import (
     decoder_lm_forward_cached,
     decoder_lm_forward_cached_batch,
     decoder_lm_fused_ok,
+    decoder_lm_fused_tok_batch,
     decoder_lm_hidden_cached,
     decoder_lm_hidden_cached_batch,
     decoder_lm_hidden_fused_batch,
@@ -111,7 +112,7 @@ def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id,
     # path decodes faster against a LIST of per-layer caches (no layer-slice
     # read-modify-write inside the scan)
     caches = decoder_lm_make_cache(cfg, (b,), dtype=cache_dtype, stacked=fused)
-    packed = decoder_lm_pack(params, cfg) if fused else None
+    packed, head, head_v = decoder_lm_pack(params, cfg) if fused else (None, None, None)
     logits, caches = decoder_lm_forward_cached_batch(params, cfg, prompt_buf, pos_ids, caches, 0, pad_lens)
     last = logits[:, -1]  # rows are right-aligned: slot P-1 is each row's last prompt token
 
@@ -141,6 +142,13 @@ def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id,
         buf, pos, caches, key, done = s
         tok = lax.dynamic_slice(buf, (0, pos - 1), (b, 1))
         p_ids = (pos - 1 - pad_lens)[:, None]
+        if fused and topk == 1:
+            # greedy: layer stack + final norm + argmax in ONE kernel
+            nxt, caches = decoder_lm_fused_tok_batch(params, packed, head, head_v, cfg,
+                                                     tok, p_ids, caches, pos - 1, pad_lens)
+            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            buf = lax.dynamic_update_slice(buf, nxt[:, None], (0, pos))
+            return buf, pos + 1, caches, key, jnp.logical_or(done, nxt == eos_id)
         if fused:
             hidden, caches = decoder_lm_hidden_fused_batch(params, packed, cfg, tok, p_ids,
                                                            caches, pos - 1, pad_lens)

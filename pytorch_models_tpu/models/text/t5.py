@@ -228,6 +228,49 @@ def t5_decode(params, cfg: T5Config, tokens, memory):
 # ---------------------------------------------------------------------------
 
 
+def _t5_fused_ok(dec: dict, cfg: "T5Config", max_tokens: int) -> bool:
+    """Trace-time gate for the one-kernel fused decode step (ops/decode_step.py)."""
+    from ...ops import attention as _attn
+    from ...ops.decode_step import fused_step_eligible
+
+    if not _attn.use_fused_step():
+        return False
+    return fused_step_eligible(dec["layers"], cfg.layer, tfm.padded_cache_len(max_tokens),
+                               cross=True, gated=True)
+
+
+def _t5_key_major_bias(bias_table: jnp.ndarray) -> jnp.ndarray:
+    """(H, P, L) rel-pos decode bias -> key-major (P, L, 128) fp32 for the
+    fused kernel (lane-padded: Mosaic wants 128-lane minor dims)."""
+    km = jnp.transpose(bias_table, (1, 2, 0)).astype(jnp.float32)
+    return jnp.pad(km, ((0, 0), (0, 0), (0, 128 - km.shape[-1])))
+
+
+def _fused_t5_step(dec, packed, head, head_v, cfg: "T5Config", h, caches, cross_caches,
+                   bias_km, pos):
+    """One fused decode step for the T5 decoder (RMSNorm + rel-pos bias +
+    cross-attention + GEGLU + final RMSNorm + streamed greedy argmax, one
+    Pallas call). ``h``: (B, 1, d); ``bias_km``: (P, L, 128) key-major
+    decode-bias table; ``caches`` the layer-stacked dict. Returns
+    ``(next_token (B,), caches)``."""
+    from ...ops.decode_step import fused_cross_decode_step
+
+    lc = cfg.layer
+    sbias = lax.dynamic_slice(bias_km, (pos, 0, 0), (1,) + bias_km.shape[1:])[0]
+    _, k_new, v_new, nxt = fused_cross_decode_step(
+        h[:, 0, :], packed, caches["k"], caches["v"],
+        cross_caches["k"].astype(h.dtype), cross_caches["v"].astype(h.dtype),
+        cross_caches["len"][0], pos, None, n_heads=lc.n_heads,
+        act="approximate_gelu", eps=1e-5, norm="rms", gated=True, sbias=sbias,
+        head=head, head_v=head_v)
+    start = (0, 0, pos, 0)
+    caches = {
+        "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
+        "v": lax.dynamic_update_slice(caches["v"], v_new[:, :, None, :].astype(caches["v"].dtype), start),
+    }
+    return nxt, caches
+
+
 def _t5_decode_layers(dec, cfg: T5Config, h, caches, cross_caches, bias, ca_bias, pos):
     """One decode step through all layers, unrolled with per-layer list caches
     (avoids the dynamic_index cache-slice copy; see transformer.decoder_apply)."""
@@ -309,8 +352,9 @@ def _t5_generate_batch_body(params, cfg: T5Config, enc_tokens, n_enc, max_tokens
 
     dec = params["decoder"]
     lc = cfg.layer
+    fused = _t5_fused_ok(dec, cfg, max_tokens)
     self_caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, max_tokens, lc.head_dim,
-                                    dtype=params["token_embs"].dtype, stacked=False)
+                                    dtype=params["token_embs"].dtype, stacked=fused)
     cross_caches = tfm.precompute_cross_caches(dec, lc, memory, valid_lens=n_enc)
 
     out_buf = jnp.zeros((b, max_tokens), jnp.int32).at[:, 0].set(pad_id)
@@ -318,13 +362,27 @@ def _t5_generate_batch_body(params, cfg: T5Config, enc_tokens, n_enc, max_tokens
     l_pad = tfm.padded_cache_len(max_tokens)
     bias_table = relative_position_bias(
         dec["attn_bias"], jnp.arange(max_tokens), jnp.arange(l_pad), False, cfg)
+    if fused:
+        from ...ops.decode_step import pack_decode_weights, pack_greedy_head
+
+        dtype = params["token_embs"].dtype
+        packed = pack_decode_weights(dec["layers"], dtype, gated=True, cross=True, norm="rms")
+        head, head_v = pack_greedy_head(params["classifier"]["w"], dec["norm"], dtype, tied=False)
+        bias_km = _t5_key_major_bias(bias_table)
 
     def step(carry):
         buf, pos, caches, done = carry
         tok = lax.dynamic_slice(buf, (0, pos), (b, 1))
         h = embed_rows(params["token_embs"], tok)
-        bias = lax.dynamic_slice(bias_table, (0, pos, 0), (bias_table.shape[0], 1, l_pad))
 
+        if fused:
+            # layer stack + cross-attn + final RMSNorm + argmax in ONE kernel
+            nxt, caches = _fused_t5_step(dec, packed, head, head_v, cfg, h, caches,
+                                         cross_caches, bias_km, pos)
+            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            buf = lax.dynamic_update_slice(buf, nxt[:, None], (0, pos + 1))
+            return buf, pos + 1, caches, jnp.logical_or(done, nxt == eos_id)
+        bias = lax.dynamic_slice(bias_table, (0, pos, 0), (bias_table.shape[0], 1, l_pad))
         h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, None, pos)
         h = rms_norm(dec["norm"], h)
         if _attn.use_greedy_head(b):
@@ -497,6 +555,13 @@ class T5Generator:
         pad = -(-n // ENC_BUCKET) * ENC_BUCKET
         buf = np.zeros((pad,), np.int32)
         buf[:n] = token_ids
+        if _t5_fused_ok(self.model.params["decoder"], self.model.cfg, max_tokens):
+            # the fused one-kernel decode step runs on batched (L, B, ...)
+            # cache layouts — serve a single prompt as batch-of-1 through it
+            out, lengths = _t5_generate_batch(
+                self.model.params, self.model.cfg, jnp.asarray(buf)[None],
+                jnp.asarray([n], jnp.int32), max_tokens, pad_id, eos_id)
+            return np.asarray(out)[0][: int(np.asarray(lengths)[0])].tolist()
         out, length = _t5_generate(self.model.params, self.model.cfg, jnp.asarray(buf), n, max_tokens, pad_id, eos_id)
         return np.asarray(out)[: int(length)].tolist()
 

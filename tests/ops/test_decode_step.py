@@ -82,6 +82,215 @@ def test_fused_step_pos_zero():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_fused_step_with_head_phase():
+    """The in-kernel greedy head (final norm + streamed argmax) must pick the
+    same token as the reference head path."""
+    from pytorch_models_tpu.ops.decode_step import fused_decode_step, pack_greedy_head
+
+    r = rng(196)
+    b, d, n_layers, l_max, pos, v = 4, 128, 2, 128, 17, 300
+    cfg, params = _setup(b=b, d=d, n_layers=n_layers, l_max=l_max)
+    hd = cfg.n_heads * cfg.head_dim
+    x = jnp.asarray(r.standard_normal((b, d)), jnp.float32)
+    caches = {
+        "k": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+        "v": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+    }
+    emb = jnp.asarray(r.standard_normal((v, d)), jnp.float32)
+    fnorm = {"scale": jnp.asarray(1 + 0.1 * r.standard_normal(d), jnp.float32),
+             "bias": jnp.asarray(0.1 * r.standard_normal(d), jnp.float32)}
+
+    packed = pack_decode_weights(params["layers"], jnp.float32)
+    head, head_v = pack_greedy_head(emb, fnorm, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        x_out, _, _, tok = fused_decode_step(
+            x, packed, caches["k"], caches["v"], pos, None,
+            n_heads=cfg.n_heads, act=cfg.act, eps=cfg.norm_eps,
+            head=head, head_v=head_v)
+
+    attn_mod.USE_DECODE_KERNEL = False
+    try:
+        ref, _ = tfm.decoder_apply(params, cfg, x[:, None, :],
+                                   self_caches=dict(caches), pos=pos)
+    finally:
+        attn_mod.USE_DECODE_KERNEL = None
+    from pytorch_models_tpu.ops import layer_norm
+
+    logits = layer_norm(fnorm, ref[:, 0, :]) @ emb.T
+    np.testing.assert_array_equal(np.asarray(tok), np.argmax(np.asarray(logits), axis=-1))
+    assert tok.shape == (b,) and tok.dtype == jnp.int32
+
+
+def test_fused_cross_step_matches_layer_stack():
+    """Whisper-style decoder: self-attn + cross-attn over padded memory."""
+    from pytorch_models_tpu.ops.decode_step import fused_cross_decode_step
+
+    r = rng(193)
+    b, d, n_layers, l_max, pos, l_mem = 4, 128, 2, 128, 21, 40
+    cfg = tfm.LayerConfig.make(d, n_heads=2, cross_attn=True)
+    params = tfm.decoder_init(jax.random.PRNGKey(1), n_layers, cfg)
+    hd = cfg.n_heads * cfg.head_dim
+
+    x = jnp.asarray(r.standard_normal((b, d)), jnp.float32)
+    caches = {
+        "k": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+        "v": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+    }
+    memory = jnp.asarray(r.standard_normal((b, l_mem, d)), jnp.float32)
+    valid = jnp.asarray([40, 17, 3, 40], jnp.int32)
+    cross = tfm.precompute_cross_caches(params, cfg, memory, valid_lens=valid)
+    pads = jnp.asarray([0, 2, 0, 1], jnp.int32)
+
+    packed = pack_decode_weights(params["layers"], jnp.float32, cross=True)
+    with pltpu.force_tpu_interpret_mode():
+        x_out, k_new, v_new = fused_cross_decode_step(
+            x, packed, caches["k"], caches["v"], cross["k"], cross["v"],
+            cross["len"][0], pos, pads, n_heads=cfg.n_heads, act=cfg.act,
+            eps=cfg.norm_eps, norm="ln")
+
+    attn_mod.USE_DECODE_KERNEL = False
+    try:
+        ref, new_caches = tfm.decoder_apply(
+            params, cfg, x[:, None, :], self_caches=dict(caches),
+            cross_caches=cross, pos=pos, pad_lens=pads)
+    finally:
+        attn_mod.USE_DECODE_KERNEL = None
+    np.testing.assert_allclose(np.asarray(x_out), np.asarray(ref[:, 0, :]),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(k_new), np.asarray(new_caches["k"][:, :, pos, :]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_t5_step_matches_block_stack():
+    """T5-style decoder: RMSNorm, bias-free projections, GEGLU, rel-pos bias."""
+    from pytorch_models_tpu.models.text.t5 import (
+        T5Config,
+        relative_position_bias,
+        t5_block_apply,
+        t5_stack_init,
+    )
+    from pytorch_models_tpu.ops.decode_step import fused_cross_decode_step
+
+    r = rng(194)
+    b, pos, l_mem = 3, 13, 24
+    cfg = T5Config(vocab_size=100, dim=128, n_heads=2, n_layers=2, mlp_dim=256)
+    lc = cfg.layer
+    hd = lc.n_heads * lc.head_dim
+    l_max = tfm.padded_cache_len(48)
+    dec = t5_stack_init(jax.random.PRNGKey(2), cfg, cross_attn=True)
+
+    x = jnp.asarray(r.standard_normal((b, 1, cfg.dim)), jnp.float32)
+    caches = [
+        {"k": jnp.asarray(r.standard_normal((b, l_max, hd)), jnp.float32),
+         "v": jnp.asarray(r.standard_normal((b, l_max, hd)), jnp.float32)}
+        for _ in range(cfg.n_layers)
+    ]
+    memory = jnp.asarray(r.standard_normal((b, l_mem, cfg.dim)), jnp.float32)
+    valid = jnp.asarray([24, 9, 24], jnp.int32)
+    cross = tfm.precompute_cross_caches(dec, lc, memory, valid_lens=valid)
+
+    bias_table = relative_position_bias(
+        dec["attn_bias"], jnp.arange(48), jnp.arange(l_max), False, cfg)
+    bias = jax.lax.dynamic_slice(bias_table, (0, pos, 0),
+                                 (bias_table.shape[0], 1, l_max))  # (H, 1, L)
+
+    # oracle: per-layer t5 blocks with list caches (the production decode path)
+    attn_mod.USE_DECODE_KERNEL = False
+    try:
+        h = x
+        new_caches = []
+        for i in range(cfg.n_layers):
+            lp = jax.tree.map(lambda a: a[i], dec["layers"])
+            cc = jax.tree.map(lambda a: a[i], cross)
+            h, nc = t5_block_apply(lp, cfg, h, attn_bias=bias, self_cache=caches[i],
+                                   cross_cache=cc, pos=pos)
+            new_caches.append(nc)
+    finally:
+        attn_mod.USE_DECODE_KERNEL = None
+
+    packed = pack_decode_weights(dec["layers"], jnp.float32, gated=True,
+                                 cross=True, norm="rms")
+    kc = jnp.stack([c["k"] for c in caches])
+    vc = jnp.stack([c["v"] for c in caches])
+    sbias = jnp.moveaxis(bias[:, 0, :], 0, -1)  # (L, H) key-major
+    sbias = jnp.pad(sbias, ((0, 0), (0, 128 - sbias.shape[-1]))).astype(jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        x_out, k_new, v_new = fused_cross_decode_step(
+            x[:, 0, :], packed, kc, vc, cross["k"], cross["v"], cross["len"][0],
+            pos, None, n_heads=lc.n_heads, act="approximate_gelu", eps=1e-5,
+            norm="rms", gated=True, sbias=sbias)
+
+    np.testing.assert_allclose(np.asarray(x_out), np.asarray(h[:, 0, :]),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(k_new[0]), np.asarray(new_caches[0]["k"][:, pos, :]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_whisper_end_to_end_generation():
+    """Whisper batched greedy decode through the fused cross step == per-op."""
+    jax.clear_caches()
+    from pytorch_models_tpu.models.audio2text.whisper import (
+        Whisper,
+        _whisper_generate_batch_body,
+    )
+
+    m = Whisper(vocab_size=64, n_layers=2, d_model=128)
+    r = rng(195)
+    memory = jnp.asarray(r.standard_normal((2, 64, 128)) * 0.3, jnp.float32)
+    init = jnp.asarray([3, 5], jnp.int32)
+
+    attn_mod.USE_FUSED_STEP = False
+    attn_mod.USE_DECODE_KERNEL = False
+    try:
+        base_buf, base_len = _whisper_generate_batch_body(
+            m.params, m.cfg, memory, init, 16, eot_id=-1)
+        base_buf, base_len = np.asarray(base_buf), np.asarray(base_len)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        attn_mod.USE_DECODE_KERNEL = None
+
+    attn_mod.USE_FUSED_STEP = True
+    try:
+        jax.clear_caches()
+        with pltpu.force_tpu_interpret_mode():
+            f_buf, f_len = _whisper_generate_batch_body(
+                m.params, m.cfg, memory, init, 16, eot_id=-1)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(f_buf), base_buf)
+    np.testing.assert_array_equal(np.asarray(f_len), base_len)
+
+
+def test_fused_t5_end_to_end_generation():
+    """T5 greedy generation through the fused step (single prompt routes as
+    batch-of-1) == the per-op path."""
+    jax.clear_caches()
+    from pytorch_models_tpu.models.text.t5 import T5Generator, T5Model
+
+    m = T5Model(vocab_size=100, dim=128, n_heads=2, n_layers=2, mlp_dim=256)
+    gen = T5Generator(model=m, tokenizer=object())
+    prompt = [7, 8, 9, 4, 5]
+
+    attn_mod.USE_FUSED_STEP = False
+    attn_mod.USE_DECODE_KERNEL = False
+    try:
+        baseline = gen.generate_tokens(prompt, 12, 0, 1)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        attn_mod.USE_DECODE_KERNEL = None
+
+    attn_mod.USE_FUSED_STEP = True
+    try:
+        jax.clear_caches()
+        with pltpu.force_tpu_interpret_mode():
+            fused_out = gen.generate_tokens(prompt, 12, 0, 1)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        jax.clear_caches()
+    assert fused_out == baseline
+
+
 def test_fused_step_end_to_end_batched_generation():
     """LEFT-padded batched generation through the fused step == per-op path."""
     jax.clear_caches()
