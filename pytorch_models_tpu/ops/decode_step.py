@@ -60,10 +60,12 @@ TILE_BYTES = 2 * 1024 * 1024  # target weight-tile size per ring slot
 
 
 def _pick_rows(n_rows: int, n_cols: int, itemsize: int) -> int:
-    """Largest row count (multiple of 8, dividing n_rows) with tile bytes <=
-    TILE_BYTES; falls back to the smallest valid divisor."""
+    """Largest row count (multiple of the dtype's sublane tile, dividing
+    n_rows) with tile bytes <= TILE_BYTES; falls back to the smallest valid
+    divisor. int8 tiles need 32-row alignment (T(32,128) tiling)."""
+    align = 32 if itemsize == 1 else 8
     best = None
-    for rows in range(8, n_rows + 1, 8):
+    for rows in range(align, n_rows + 1, align):
         if n_rows % rows:
             continue
         if best is None:
@@ -90,7 +92,7 @@ def _norm(x, scale, bias, eps, kind):
 def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             rows: dict, bkv: int, act: str, eps: float, scale: float, prec,
             cross: bool, norm_kind: str, gated: bool, has_sbias: bool, b: int,
-            head_v: int | None = None):
+            head_v: int | None = None, wt_int8: bool = False):
     refs = list(refs)
     with_head = head_v is not None
 
@@ -104,6 +106,11 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
     lnc_s = lnc_b = bqc_r = boc_r = sbias_r = None
     if cross:
         lnc_s, lnc_b, bqc_r, boc_r = pop(4)
+    s_qkv = s_o = s_1 = s_2 = s_qc = s_oc = None
+    if wt_int8:  # per-output-channel dequant scales (commute with the dot)
+        s_qkv, s_o, s_1, s_2 = pop(4)
+        if cross:
+            s_qc, s_oc = pop(2)
     if has_sbias:
         (sbias_r,) = pop(1)
     fn_s = fn_b = emb_hbm = tok_out = emb_scr = emb_sem = None
@@ -196,8 +203,13 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                 wdma(hbm, scr, sem, l, t + 2, r, t % 2).start()
             if t == max(0, n_tiles - 2) and next_warmup is not None:
                 next_warmup()
+            w_tile = scr[t % 2]
+            if w_tile.dtype != x_act.dtype:
+                # int8 tiles: cast-only dequant — the per-output-channel scale
+                # is applied ONCE to the accumulated result (it commutes)
+                w_tile = w_tile.astype(x_act.dtype)
             acc = acc + lax.dot_general(
-                x_act[:, t * r:(t + 1) * r], scr[t % 2],
+                x_act[:, t * r:(t + 1) * r], w_tile,
                 (((1,), (0,)), ((), ())), preferred_element_type=f32, precision=prec)
         return acc
 
@@ -284,6 +296,8 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                 wdma(wo_hbm, wo_scr, wo_sem, l, to, rows["o"], to % 2).start()
 
         qkv_acc = stream(h1, wqkv_hbm, qkv_scr, qkv_sem, rows["qkv"], n_qkv, 3 * hd, wo_warmup)
+        if wt_int8:
+            qkv_acc = qkv_acc * s_qkv[0].astype(f32)
         qkv = (qkv_acc + bqkv_r[0].astype(f32)).astype(cdt)
         q, k_new, v_new = qkv[:, :hd], qkv[:, hd:2 * hd], qkv[:, 2 * hd:]
         knew_ref[0] = k_new
@@ -310,6 +324,8 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                     wdma(w1_hbm, w1_scr, w1_sem, l, t1, rows["w1"], t1 % 2).start()
 
         o_acc = stream(ctx, wo_hbm, wo_scr, wo_sem, rows["o"], n_o, d, after_o)
+        if wt_int8:
+            o_acc = o_acc * s_o[0].astype(f32)
         xv = xv + (o_acc + bo_r[0].astype(f32)).astype(cdt)
 
         # ---- cross-attention block (Whisper/T5 decode) ------------------------
@@ -321,6 +337,8 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                     wdma(woc_hbm, oc_scr, oc_sem, l, to, rows["oc"], to % 2).start()
 
             qc_acc = stream(hc, wqc_hbm, qc_scr, qc_sem, rows["qc"], n_qc, hd, oc_warmup)
+            if wt_int8:
+                qc_acc = qc_acc * s_qc[0].astype(f32)
             q_c = (qc_acc + bqc_r[0].astype(f32)).astype(cdt)
 
             xlen_v = jnp.concatenate(
@@ -333,6 +351,8 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                     wdma(w1_hbm, w1_scr, w1_sem, l, t1, rows["w1"], t1 % 2).start()
 
             oc_acc = stream(ctx_c, woc_hbm, oc_scr, oc_sem, rows["oc"], n_oc, d, w1_warmup)
+            if wt_int8:
+                oc_acc = oc_acc * s_oc[0].astype(f32)
             xv = xv + (oc_acc + boc_r[0].astype(f32)).astype(cdt)
 
         # ---- MLP block ---------------------------------------------------------
@@ -344,6 +364,8 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                 wdma(w2_hbm, w2_scr, w2_sem, l, t2, rows["w2"], t2 % 2).start()
 
         m_acc = stream(h2, w1_hbm, w1_scr, w1_sem, rows["w1"], n_1, w1_cols, w2_warmup)
+        if wt_int8:
+            m_acc = m_acc * s_1[0].astype(f32)
         if gated:  # GEGLU: act(x@wi) * (x@v) — T5 gated MLP (ref t5.py:29-37)
             h3 = ACT_FNS[act]((m_acc[:, :dff] + b1_r[0].astype(f32)).astype(cdt)) \
                 * m_acc[:, dff:].astype(cdt)
@@ -366,6 +388,8 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                                               emb_scr.at[t % 2], emb_sem.at[t % 2]).start()
 
         o2_acc = stream(h3, w2_hbm, w2_scr, w2_sem, rows["w2"], n_2, d, next_layer_warmup)
+        if wt_int8:
+            o2_acc = o2_acc * s_2[0].astype(f32)
         xv = xv + (o2_acc + b2_r[0].astype(f32)).astype(cdt)
 
         x_scr[...] = xv
@@ -418,12 +442,26 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
         layer_body()
 
 
-def _zeros_bias(p: dict, key: str, n: int):
-    import numpy as np
+def _is_int8(leaf: dict) -> bool:
+    return isinstance(leaf.get("w"), dict) and "w_q" in leaf["w"]
 
+
+def _w(leaf: dict):
+    """Raw weight array of a param leaf (int8-quantized leaves hold w_q)."""
+    w = leaf["w"]
+    return w["w_q"] if isinstance(w, dict) else w
+
+
+def _w_scale(leaf: dict):
+    """(L, out) per-output-channel scale of an int8 leaf."""
+    s = leaf["w"]["w_s"]  # (L, 1, out) from quantize_tree_int8's keepdims
+    return s.reshape(s.shape[0], s.shape[-1]).astype(jnp.float32)
+
+
+def _zeros_bias(p: dict, key: str, n: int):
     if "b" in p[key]:
         return p[key]["b"]
-    shape = p[key]["w"].shape[:1] + (n,)
+    shape = _w(p[key]).shape[:1] + (n,)
     return jnp.zeros(shape, jnp.float32)
 
 
@@ -442,8 +480,9 @@ def pack_decode_weights(layers_p: dict, dtype=jnp.bfloat16, gated: bool = False,
     """
     sa, mlp = layers_p["sa"], layers_p["mlp"]
     f32 = jnp.float32
-    hd = sa["q"]["w"].shape[-1]
-    d = sa["q"]["w"].shape[-2]
+    int8 = _is_int8(sa["q"])
+    hd = _w(sa["q"]).shape[-1]
+    d = _w(sa["q"]).shape[-2]
 
     def norm_p(name):
         np_ = layers_p[name]
@@ -453,36 +492,47 @@ def pack_decode_weights(layers_p: dict, dtype=jnp.bfloat16, gated: bool = False,
 
     ln1_s, ln1_b = norm_p("sa_norm")
     ln2_s, ln2_b = norm_p("mlp_norm")
+    wdt = jnp.int8 if int8 else dtype
     if gated:
-        w1 = jnp.concatenate([mlp["w"]["w"], mlp["v"]["w"]], axis=-1).astype(dtype)
-        dff = mlp["w"]["w"].shape[-1]
+        w1 = jnp.concatenate([_w(mlp["w"]), _w(mlp["v"])], axis=-1).astype(wdt)
+        dff = _w(mlp["w"]).shape[-1]
         b1 = jnp.zeros((w1.shape[0], dff), f32)
-        w2 = mlp["wo"]["w"].astype(dtype)
+        w2 = _w(mlp["wo"]).astype(wdt)
         b2 = jnp.zeros((w2.shape[0], d), f32)
     else:
-        w1 = mlp["fc1"]["w"].astype(dtype)
+        w1 = _w(mlp["fc1"]).astype(wdt)
         b1 = _zeros_bias(mlp, "fc1", w1.shape[-1]).astype(f32)
-        w2 = mlp["fc2"]["w"].astype(dtype)
+        w2 = _w(mlp["fc2"]).astype(wdt)
         b2 = _zeros_bias(mlp, "fc2", d).astype(f32)
     out = {
-        "wqkv": jnp.concatenate([sa["q"]["w"], sa["k"]["w"], sa["v"]["w"]], axis=-1).astype(dtype),
+        "wqkv": jnp.concatenate([_w(sa["q"]), _w(sa["k"]), _w(sa["v"])], axis=-1).astype(wdt),
         "bqkv": jnp.concatenate([_zeros_bias(sa, "q", hd), _zeros_bias(sa, "k", hd),
                                  _zeros_bias(sa, "v", hd)], axis=-1).astype(f32),
-        "wo": sa["o"]["w"].astype(dtype),
+        "wo": _w(sa["o"]).astype(wdt),
         "bo": _zeros_bias(sa, "o", d).astype(f32),
         "w1": w1, "b1": b1, "w2": w2, "b2": b2,
         "ln1_s": ln1_s, "ln1_b": ln1_b, "ln2_s": ln2_s, "ln2_b": ln2_b,
     }
+    if int8:  # per-output-channel dequant scales, applied post-accumulation
+        out["s_qkv"] = jnp.concatenate(
+            [_w_scale(sa["q"]), _w_scale(sa["k"]), _w_scale(sa["v"])], axis=-1)
+        out["s_o"] = _w_scale(sa["o"])
+        out["s_1"] = (jnp.concatenate([_w_scale(mlp["w"]), _w_scale(mlp["v"])], axis=-1)
+                      if gated else _w_scale(mlp["fc1"]))
+        out["s_2"] = _w_scale(mlp["wo"] if gated else mlp["fc2"])
     if cross:
         ca = layers_p["ca"]
         lnc_s, lnc_b = norm_p("ca_norm")
         out.update({
-            "wqc": ca["q"]["w"].astype(dtype),
+            "wqc": _w(ca["q"]).astype(wdt),
             "bqc": _zeros_bias(ca, "q", hd).astype(f32),
-            "woc": ca["o"]["w"].astype(dtype),
+            "woc": _w(ca["o"]).astype(wdt),
             "boc": _zeros_bias(ca, "o", d).astype(f32),
             "lnc_s": lnc_s, "lnc_b": lnc_b,
         })
+        if int8:
+            out["s_qc"] = _w_scale(ca["q"])
+            out["s_oc"] = _w_scale(ca["o"])
     return out
 
 
@@ -499,19 +549,33 @@ def fused_step_eligible(layers_p: dict, cfg, cache_len: int,
         return False
     sa = layers_p.get("sa", {})
     mlp = layers_p.get("mlp", {})
+    def ok_w(leaf):
+        w = leaf.get("w") if isinstance(leaf, dict) else None
+        if isinstance(w, dict):  # weight-only int8: streamed as int8 tiles
+            return isinstance(w.get("w_q"), jnp.ndarray) and "w_s" in w
+        return isinstance(w, jnp.ndarray)
+
+    # all projections must share the quantization state (one kernel dtype)
+    int8s = set()
     keys = ("q", "k", "v", "o")
     for k in keys:
-        if not isinstance(sa.get(k, {}).get("w"), jnp.ndarray):
+        if not ok_w(sa.get(k, {})):
             return False
-        if cross and not isinstance(layers_p.get("ca", {}).get(k, {}).get("w"), jnp.ndarray):
-            return False
+        int8s.add(_is_int8(sa[k]))
+        if cross:
+            if not ok_w(layers_p.get("ca", {}).get(k, {})):
+                return False
+            int8s.add(_is_int8(layers_p["ca"][k]))
     mlp_keys = ("w", "v", "wo") if gated else ("fc1", "fc2")
     for k in mlp_keys:
-        if not isinstance(mlp.get(k, {}).get("w"), jnp.ndarray):
+        if not ok_w(mlp.get(k, {})):
             return False
-    d = sa["q"]["w"].shape[1]
-    hd = sa["q"]["w"].shape[2]
-    dff = (mlp["w"] if gated else mlp["fc1"])["w"].shape[2]
+        int8s.add(_is_int8(mlp[k]))
+    if len(int8s) != 1:
+        return False
+    d = _w(sa["q"]).shape[1]
+    hd = _w(sa["q"]).shape[2]
+    dff = _w(mlp["w"] if gated else mlp["fc1"]).shape[2]
     if d % 128 or hd % 128 or dff % 128:
         return False
     if cache_len % KV_BLOCK:
@@ -532,6 +596,10 @@ def pack_greedy_head(w, norm_p: dict, dtype=jnp.bfloat16, tied: bool = True):
     ``w``: (V, d) tied embedding or (d, V) classifier (``tied=False``).
     Returns ``(head_dict, v)`` — pass as ``head=head_dict, head_v=v``.
     """
+    if isinstance(w, dict):  # int8-quantized head: dequantize (head stays bf16
+        # — its read is shared with the embedding gather and argmax rounding
+        # must keep matching the XLA bf16-logits winner)
+        w = w["w_q"].astype(jnp.float32) * w["w_s"].astype(jnp.float32)
     emb = w if tied else w.T
     v, d = emb.shape
     tv = head_tile_rows(d, dtype)
@@ -558,6 +626,7 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
         dff = packed["w1"].shape[-1]
     head_dim = hd // n_heads
     wt_dtype = packed["wqkv"].dtype
+    wt_int8 = wt_dtype == jnp.int8
     itemsize = jnp.dtype(wt_dtype).itemsize
     assert l_max % KV_BLOCK == 0
 
@@ -595,6 +664,13 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
     if cross:
         in_specs += [small3(d), small3(d), small3(hd), small3(d)]
         small_keys += ["lnc_s", "lnc_b", "bqc", "boc"]
+    if wt_int8:
+        in_specs += [small3(3 * hd), small3(d),
+                     small3(2 * dff if gated else dff), small3(d)]
+        small_keys += ["s_qkv", "s_o", "s_1", "s_2"]
+        if cross:
+            in_specs += [small3(hd), small3(d)]
+            small_keys += ["s_qc", "s_oc"]
     operands = [x] + [packed[k][:, None, :] for k in small_keys]
     if sbias is not None:
         in_specs.append(pl.BlockSpec((sbias.shape[0], sbias.shape[1]), whole))
@@ -663,7 +739,7 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
         rows=rows, bkv=KV_BLOCK, act=act, eps=eps,
         scale=1.0 / (head_dim ** 0.5), prec=prec, cross=cross,
         norm_kind=norm, gated=gated, has_sbias=sbias is not None, b=b,
-        head_v=head_v)
+        head_v=head_v, wt_int8=wt_int8)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -1,5 +1,6 @@
 from .mesh import make_mesh
+from .pp_serving import PPDecoderGenerator
 from .serving import TPDecoderGenerator, TPT5Generator, TPWhisperGenerator
 from .sharding import shard_decoder_lm_params
 
-__all__ = ["make_mesh", "shard_decoder_lm_params", "TPDecoderGenerator", "TPT5Generator", "TPWhisperGenerator"]
+__all__ = ["make_mesh", "shard_decoder_lm_params", "PPDecoderGenerator", "TPDecoderGenerator", "TPT5Generator", "TPWhisperGenerator"]

@@ -291,6 +291,43 @@ def test_fused_t5_end_to_end_generation():
     assert fused_out == baseline
 
 
+def test_fused_step_int8_weights():
+    """int8 weight streaming: cast-only in-tile dequant + post-accumulation
+    per-channel scale must match the XLA dequantize-then-matmul path."""
+    from pytorch_models_tpu.utils.params import quantize_tree_int8
+
+    r = rng(197)
+    b, d, n_layers, l_max, pos = 4, 128, 2, 128, 33
+    cfg, params = _setup(b=b, d=d, n_layers=n_layers, l_max=l_max)
+    qparams = {"layers": quantize_tree_int8(params["layers"])}
+    hd = cfg.n_heads * cfg.head_dim
+    assert fused_step_eligible(qparams["layers"], cfg, l_max)
+
+    x = jnp.asarray(r.standard_normal((b, d)), jnp.float32)
+    caches = {
+        "k": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+        "v": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+    }
+    packed = pack_decode_weights(qparams["layers"], jnp.float32)
+    assert packed["wqkv"].dtype == jnp.int8 and "s_qkv" in packed
+    with pltpu.force_tpu_interpret_mode():
+        x_out, k_new, _ = fused_decode_step(
+            x, packed, caches["k"], caches["v"], pos, None,
+            n_heads=cfg.n_heads, act=cfg.act, eps=cfg.norm_eps)
+
+    # oracle: the per-op path on the SAME quantized tree (linear dequantizes
+    # w_q*w_s to bf16, so allow bf16-level tolerance)
+    attn_mod.USE_DECODE_KERNEL = False
+    try:
+        ref, _ = tfm.decoder_apply(qparams, cfg, x[:, None, :],
+                                   self_caches=dict(caches), pos=pos)
+    finally:
+        attn_mod.USE_DECODE_KERNEL = None
+    ref = np.asarray(ref[:, 0, :], np.float32)
+    scale = max(np.abs(ref).max(), 1.0)
+    assert np.abs(np.asarray(x_out, np.float32) - ref).max() / scale < 3e-2
+
+
 def test_fused_step_end_to_end_batched_generation():
     """LEFT-padded batched generation through the fused step == per-op path."""
     jax.clear_caches()
