@@ -456,18 +456,17 @@ class WhisperGenerator:
                    max_tokens: int = DEC_MAX_LEN, language: str = "en", task: str = "transcribe") -> str:
         """Waveform -> text. With a WhisperTokenizer attached, the initial
         token sequence (<|startoftranscript|><|lang|><|task|><|notimestamps|>)
-        and EOT id come from it; otherwise pass them explicitly (the
-        tokenizer-less fallback returns space-joined token ids)."""
+        and EOT id come from it; ``transcribe`` always returns decoded TEXT —
+        without a tokenizer use :meth:`transcribe_tokens` for raw ids."""
+        if self.tokenizer is None:
+            raise ValueError(
+                "transcribe() returns text and needs a tokenizer: construct with "
+                "WhisperGenerator(model, WhisperTokenizer.from_openai()), or call "
+                "transcribe_tokens(...) for raw token ids")
         if initial_tokens is None or eot_id is None:
-            if self.tokenizer is None:
-                raise ValueError(
-                    "pass initial_tokens/eot_id, or construct with "
-                    "WhisperGenerator(model, WhisperTokenizer.from_openai())")
             initial_tokens = self.tokenizer.sot_sequence(language, task)
             eot_id = self.tokenizer.eot
         tokens = self.transcribe_tokens(audio, initial_tokens, eot_id, max_tokens)
-        if self.tokenizer is None:
-            return " ".join(map(str, tokens))
         return self.tokenizer.decode(tokens)
 
     def transcribe_tokens_batch(self, audios, initial_tokens: list[int], eot_id: int,

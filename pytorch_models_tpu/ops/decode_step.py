@@ -100,9 +100,13 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
         out, refs[:n] = refs[:n], []
         return out
 
-    pos_ref, pad_ref = pop(2)
-    (xlen_ref,) = pop(1) if cross else (None,)
-    (x_in, ln1_s, ln1_b, bqkv_r, bo_r, ln2_s, ln2_b, b1_r, b2_r) = pop(9)
+    # prefetch scalars: pos and the PRE-REDUCED range bounds (min pad / max
+    # cross len computed outside — b-unrolled scalar chains in-kernel cost
+    # compile time); per-row pads/lens ride as (b, 1) VMEM columns
+    pos_ref, lims_ref = pop(2)
+    (x_in, pad_col) = pop(2)
+    (xlen_col,) = pop(1) if cross else (None,)
+    (ln1_s, ln1_b, bqkv_r, bo_r, ln2_s, ln2_b, b1_r, b2_r) = pop(8)
     lnc_s = lnc_b = bqc_r = boc_r = sbias_r = None
     if cross:
         lnc_s, lnc_b, bqc_r, boc_r = pop(4)
@@ -166,16 +170,10 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
         ]
 
     pos = pos_ref[0]
-    pad_min = pad_ref[0]
-    for r_ in range(1, b):
-        pad_min = jnp.minimum(pad_min, pad_ref[r_])
-    first_kv = pad_min // bkv
+    first_kv = lims_ref[0] // bkv  # lims[0] = min over rows of pad_lens
     n_kv = (pos + bkv - 1) // bkv  # cache keys [0, pos); current pos is in VMEM
     if cross:
-        xlen_max = xlen_ref[0]
-        for r_ in range(1, b):
-            xlen_max = jnp.maximum(xlen_max, xlen_ref[r_])
-        n_xkv = (xlen_max + bkv - 1) // bkv
+        n_xkv = (lims_ref[1] + bkv - 1) // bkv  # lims[1] = max cross len
 
     def layer_warmups():
         # ---- layer 0's first QKV tiles (later layers get theirs from the
@@ -304,8 +302,7 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
         vnew_ref[0] = v_new
 
         ends_v = pos * jnp.ones((b, 1, 1), jnp.int32)
-        pad_v = jnp.concatenate(
-            [jnp.full((1, 1, 1), pad_ref[r_], jnp.int32) for r_ in range(b)], 0)
+        pad_v = pad_col[...].reshape(b, 1, 1)
         ctx = attn_stream(q, kc_hbm, vc_hbm, first_kv, n_kv, ends_v, pad_v,
                           (k_new, v_new), sbias_r if has_sbias else None)
 
@@ -341,8 +338,7 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                 qc_acc = qc_acc * s_qc[0].astype(f32)
             q_c = (qc_acc + bqc_r[0].astype(f32)).astype(cdt)
 
-            xlen_v = jnp.concatenate(
-                [jnp.full((1, 1, 1), xlen_ref[r_], jnp.int32) for r_ in range(b)], 0)
+            xlen_v = xlen_col[...].reshape(b, 1, 1)
             zero_v = jnp.zeros((b, 1, 1), jnp.int32)
             ctx_c = attn_stream(q_c, kxc_hbm, vxc_hbm, 0, n_xkv, xlen_v, zero_v, None, None)
 
@@ -645,10 +641,13 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     pad_arr = (jnp.zeros((b,), jnp.int32) if pad_lens is None
                else jnp.broadcast_to(jnp.asarray(pad_lens, jnp.int32).reshape(-1), (b,)))
-    scalars = [pos_arr, pad_arr]
-    if cross:
-        scalars.append(jnp.broadcast_to(
-            jnp.asarray(cross_lens, jnp.int32).reshape(-1), (b,)))
+    xlen_arr = (jnp.broadcast_to(jnp.asarray(cross_lens, jnp.int32).reshape(-1), (b,))
+                if cross else None)
+    # pre-reduced range bounds (cheap XLA; b-unrolled scalar chains in the
+    # kernel cost Mosaic compile time): [min pad, max cross len]
+    lims = jnp.stack([jnp.min(pad_arr),
+                      jnp.max(xlen_arr) if cross else jnp.int32(0)]).astype(jnp.int32)
+    scalars = [pos_arr, lims]
 
     whole = lambda i, *refs: (0, 0)
     # clamp: the head grid step (i == n_layers) revisits the last layer's
@@ -658,8 +657,11 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
     any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
 
     in_specs = [pl.BlockSpec((b, d), whole),
-                small3(d), small3(d), small3(3 * hd), small3(d),
-                small3(d), small3(d), small3(dff), small3(d)]  # b1 is dff-wide even for GEGLU (act half only)
+                pl.BlockSpec((b, 1), whole)]  # per-row pad column
+    if cross:
+        in_specs += [pl.BlockSpec((b, 1), whole)]  # per-row cross-len column
+    in_specs += [small3(d), small3(d), small3(3 * hd), small3(d),
+                 small3(d), small3(d), small3(dff), small3(d)]  # b1 is dff-wide even for GEGLU (act half only)
     small_keys = ["ln1_s", "ln1_b", "bqkv", "bo", "ln2_s", "ln2_b", "b1", "b2"]
     if cross:
         in_specs += [small3(d), small3(d), small3(hd), small3(d)]
@@ -671,7 +673,10 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
         if cross:
             in_specs += [small3(hd), small3(d)]
             small_keys += ["s_qc", "s_oc"]
-    operands = [x] + [packed[k][:, None, :] for k in small_keys]
+    operands = [x, pad_arr[:, None]]
+    if cross:
+        operands += [xlen_arr[:, None]]
+    operands += [packed[k][:, None, :] for k in small_keys]
     if sbias is not None:
         in_specs.append(pl.BlockSpec((sbias.shape[0], sbias.shape[1]), whole))
         operands.append(sbias)

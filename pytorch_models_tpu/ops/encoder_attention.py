@@ -54,7 +54,9 @@ def _kernel_single(q_ref, k_ref, v_ref, o_ref, *, lq: int, lk: int, bq: int, bk:
     v_row_ok = lax.broadcasted_iota(jnp.int32, (bk, 1), 0) < lk
 
     for b in range(bb):
-        q = q_ref[b]      # (bq, HD); edge-block garbage rows produce garbage rows
+        # fold the softmax scale into q ONCE per row: (bq, HD) elements
+        # instead of a (bq, bk) fp32 multiply per head
+        q = (q_ref[b].astype(jnp.float32) * scale).astype(q_ref.dtype)
         k_blk = k_ref[b]  # (bk, HD)
         # zero padded rows: masked score cols give p == 0, but 0 * garbage-V
         # (NaN in interpret mode, arbitrary on hw) would still poison p @ V
@@ -64,7 +66,7 @@ def _kernel_single(q_ref, k_ref, v_ref, o_ref, *, lq: int, lk: int, bq: int, bk:
             q_h = q[:, h * d:(h + 1) * d]
             k_h = k_blk[:, h * d:(h + 1) * d]
             s = lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32, precision=prec) * scale
+                                preferred_element_type=jnp.float32, precision=prec)
             s = jnp.where(mask, s, NEG_INF)
             m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), jnp.float32(NEG_INF / 2))
             p = jnp.exp(s - m)
@@ -179,7 +181,11 @@ def encoder_attention(q, k, v, n_heads: int, causal: bool = False):
     if nk == 1:
         itemsize = jnp.dtype(q.dtype).itemsize
         bytes_per_row = (3 * bk + 2 * bq) * hd * itemsize
-        bb = max(1, min(BB_MAX, (2 * 1024 * 1024) // bytes_per_row))
+        # ~12 MB of pipelined blocks per step (x2 pipeline buffers lands well
+        # under the 100 MB limit below): at ViT-B/16 sizes this packs the
+        # full BB_MAX rows per program instead of one — the ~2 us per-program
+        # cost was ~25% of the measured block time at batch 128
+        bb = max(1, min(BB_MAX, (12 * 1024 * 1024) // bytes_per_row))
         while b % bb:
             bb -= 1
         out = pl.pallas_call(
@@ -192,6 +198,8 @@ def encoder_attention(q, k, v, n_heads: int, causal: bool = False):
             ],
             out_specs=pl.BlockSpec((bb, bq, hd), lambda i, j: (i, j, 0)),
             out_shape=jax.ShapeDtypeStruct((b, lq, hd), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )(q, k, v)
         return out[0] if unbatched else out
 

