@@ -210,6 +210,12 @@ class DecoderGenerator:
         n = len(tokens)
         if max_tokens <= 0 or n >= cfg.max_seq_len:
             return list(tokens)
+        if topk == 1 and decoder_lm_fused_ok(self.model.params, cfg):
+            # the fused one-kernel decode step runs on batched (L, B, ...)
+            # cache layouts — serve a single prompt as batch-of-1 through it
+            # (greedy only: the batch path threads sampling keys differently)
+            return self.generate_tokens_batch([tokens], max_tokens=max_tokens,
+                                              topk=1, seed=seed)[0]
         pad = -(-n // PROMPT_BUCKET) * PROMPT_BUCKET
         pad = min(pad, cfg.max_seq_len)
         assert n <= pad, f"prompt too long for context {cfg.max_seq_len}"

@@ -291,6 +291,77 @@ def test_fused_t5_end_to_end_generation():
     assert fused_out == baseline
 
 
+def test_fused_step_topk_sampling_path():
+    """topk>1 fused generation (hidden -> logits -> sample) == per-op path
+    (same PRNG key stream: both paths split once per sampled token)."""
+    jax.clear_caches()
+    from pytorch_models_tpu.models.text import GPT2, DecoderGenerator
+
+    class Tok:
+        eos_token_id = -1
+
+    GPT2.vocab_size, GPT2.max_seq_len = 128, 128
+    try:
+        m = GPT2(2, 128)
+    finally:
+        GPT2.vocab_size, GPT2.max_seq_len = 50257, 1024
+    gen = DecoderGenerator(m, Tok())
+    prompts = [[5, 6, 7], [9] * 12]
+
+    attn_mod.USE_FUSED_STEP = False
+    attn_mod.USE_DECODE_KERNEL = False
+    try:
+        baseline = gen.generate_tokens_batch(prompts, max_tokens=6, topk=4, seed=3)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        attn_mod.USE_DECODE_KERNEL = None
+
+    attn_mod.USE_FUSED_STEP = True
+    try:
+        jax.clear_caches()
+        with pltpu.force_tpu_interpret_mode():
+            fused_out = gen.generate_tokens_batch(prompts, max_tokens=6, topk=4, seed=3)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        jax.clear_caches()
+    assert fused_out == baseline
+
+
+def test_fused_step_single_prompt_routes_through_batch():
+    """Greedy single-prompt generation routes as batch-of-1 through the fused
+    step and must match the unbatched per-op path token-for-token."""
+    jax.clear_caches()
+    from pytorch_models_tpu.models.text import GPT2, DecoderGenerator
+
+    class Tok:
+        eos_token_id = -1
+
+    GPT2.vocab_size, GPT2.max_seq_len = 128, 128
+    try:
+        m = GPT2(2, 128)
+    finally:
+        GPT2.vocab_size, GPT2.max_seq_len = 50257, 1024
+    gen = DecoderGenerator(m, Tok())
+
+    attn_mod.USE_FUSED_STEP = False
+    attn_mod.USE_DECODE_KERNEL = False
+    try:
+        baseline = gen.generate_tokens([5, 6, 7], max_tokens=8)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        attn_mod.USE_DECODE_KERNEL = None
+
+    attn_mod.USE_FUSED_STEP = True
+    try:
+        jax.clear_caches()
+        with pltpu.force_tpu_interpret_mode():
+            fused_out = gen.generate_tokens([5, 6, 7], max_tokens=8)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        jax.clear_caches()
+    assert fused_out == baseline
+
+
 def test_fused_step_int8_weights():
     """int8 weight streaming: cast-only in-tile dequant + post-accumulation
     per-channel scale must match the XLA dequantize-then-matmul path."""
