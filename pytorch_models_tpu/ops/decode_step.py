@@ -57,6 +57,21 @@ from .layers import ACT_FNS
 NEG_INF = -1e30
 KV_BLOCK = 32  # keys streamed per cache block (multiple of 8)
 TILE_BYTES = 2 * 1024 * 1024  # target weight-tile size per ring slot
+KV_TARGET_BYTES = 256 * 1024  # minimum KV-block size the DMA engine amortizes
+
+
+def _pick_kv_block(cache_len: int, b: int, hd: int, itemsize: int) -> int:
+    """KV keys per streamed block: grow past KV_BLOCK while the block stays
+    under KV_TARGET_BYTES. At large batch a 32-key block is already ~1.5 MB
+    (bandwidth-bound — read only the valid prefix); at B=1 a 32-key block is
+    ~32 KB and the stream goes DMA-latency/VPU-loop-bound (measured 0.25 ms
+    vs an 0.08 ms floor for the whisper B=1 layer stack, PERF.md) — bigger
+    blocks amortize the issue cost and widen the per-block VPU ops."""
+    bkv = KV_BLOCK
+    while (bkv * 2 <= 512 and cache_len % (bkv * 2) == 0
+           and b * bkv * hd * itemsize < KV_TARGET_BYTES):
+        bkv *= 2
+    return bkv
 
 
 def _pick_rows(n_rows: int, n_cols: int, itemsize: int) -> int:
@@ -90,9 +105,9 @@ def _norm(x, scale, bias, eps, kind):
 
 
 def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
-            rows: dict, bkv: int, act: str, eps: float, scale: float, prec,
-            cross: bool, norm_kind: str, gated: bool, has_sbias: bool, b: int,
-            head_v: int | None = None, wt_int8: bool = False):
+            rows: dict, bkv: int, bkv_x: int, act: str, eps: float, scale: float,
+            prec, cross: bool, norm_kind: str, gated: bool, has_sbias: bool,
+            b: int, head_v: int | None = None, wt_int8: bool = False):
     refs = list(refs)
     with_head = head_v is not None
 
@@ -137,6 +152,9 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
     if cross:
         qc_scr, oc_scr = pop(2)
     k_scr, v_scr = pop(2)
+    kx_scr = vx_scr = kvx_sem = None
+    if cross:
+        kx_scr, vx_scr = pop(2)
     if with_head:
         (emb_scr,) = pop(1)
     qkv_sem, wo_sem, w1_sem, w2_sem = pop(4)
@@ -144,6 +162,8 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
     if cross:
         qc_sem, oc_sem = pop(2)
     (kv_sem,) = pop(1)
+    if cross:
+        (kvx_sem,) = pop(1)
     if with_head:
         (emb_sem,) = pop(1)
     assert not refs, f"{len(refs)} unconsumed refs"
@@ -161,19 +181,21 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
         return pltpu.make_async_copy(
             hbm.at[layer, pl.ds(t * r, r), :], scr.at[slot], sem.at[slot])
 
-    def kv_dma(khbm, vhbm, i, slot):
+    def kv_dma(khbm, vhbm, i, slot, scr2, sem2, blk):
+        ks, vs = scr2
         return [
-            pltpu.make_async_copy(khbm.at[l, :, pl.ds(i * bkv, bkv), :],
-                                  k_scr.at[slot], kv_sem.at[slot, 0]),
-            pltpu.make_async_copy(vhbm.at[l, :, pl.ds(i * bkv, bkv), :],
-                                  v_scr.at[slot], kv_sem.at[slot, 1]),
+            pltpu.make_async_copy(khbm.at[l, :, pl.ds(i * blk, blk), :],
+                                  ks.at[slot], sem2.at[slot, 0]),
+            pltpu.make_async_copy(vhbm.at[l, :, pl.ds(i * blk, blk), :],
+                                  vs.at[slot], sem2.at[slot, 1]),
         ]
 
     pos = pos_ref[0]
     first_kv = lims_ref[0] // bkv  # lims[0] = min over rows of pad_lens
     n_kv = (pos + bkv - 1) // bkv  # cache keys [0, pos); current pos is in VMEM
     if cross:
-        n_xkv = (lims_ref[1] + bkv - 1) // bkv  # lims[1] = max cross len
+        n_xkv = (lims_ref[1] + bkv_x - 1) // bkv_x  # lims[1] = max cross len
+        n_xkv_max = kxc_hbm.shape[-2] // bkv_x  # static bound for warmup slices
 
     def layer_warmups():
         # ---- layer 0's first QKV tiles (later layers get theirs from the
@@ -187,7 +209,8 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
         for w in range(2):
             @pl.when(first_kv + w < n_kv)
             def _(w=w):
-                for cp in kv_dma(kc_hbm, vc_hbm, first_kv + w, lax.rem(first_kv + w, 2)):
+                for cp in kv_dma(kc_hbm, vc_hbm, first_kv + w, lax.rem(first_kv + w, 2),
+                                 (k_scr, v_scr), kv_sem, bkv):
                     cp.start()
 
     def stream(x_act, hbm, scr, sem, r, n_tiles, n_cols, next_warmup):
@@ -221,10 +244,14 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
         return lax.dot_general(x, e_mat32 if mat is None else mat, (((1,), (1,)), ((), ())),
                                preferred_element_type=f32, precision=prec)
 
-    def attn_stream(q, khbm, vhbm, first, n_blk, ends_v, pad_v, cur_kv, bias_tab):
+    def attn_stream(q, khbm, vhbm, first, n_blk, ends_v, pad_v, cur_kv, bias_tab,
+                    scr2=None, sem2=None, blk=None):
         """Online-softmax over streamed KV blocks [first, n_blk), optionally
         folding a current-position K/V from VMEM and a key-major additive
         bias table. All rows in one batched (B*bk, ·) dot per block."""
+        scr2 = (k_scr, v_scr) if scr2 is None else scr2
+        sem2 = kv_sem if sem2 is None else sem2
+        blk = bkv if blk is None else blk
         q_s = (q.astype(f32) * scale).astype(cdt)
 
         def step(i, carry):
@@ -233,19 +260,19 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
 
             @pl.when(i + 2 < n_blk)
             def _():
-                for cp in kv_dma(khbm, vhbm, i + 2, lax.rem(i + 2, 2)):
+                for cp in kv_dma(khbm, vhbm, i + 2, lax.rem(i + 2, 2), scr2, sem2, blk):
                     cp.start()
 
-            for cp in kv_dma(khbm, vhbm, i, slot):
+            for cp in kv_dma(khbm, vhbm, i, slot, scr2, sem2, blk):
                 cp.wait()
 
-            kq = (k_scr[slot].astype(cdt) * q_s[:, None, :]).reshape(b * bkv, hd)
+            kq = (scr2[0][slot].astype(cdt) * q_s[:, None, :]).reshape(b * blk, hd)
             s = lax.dot_general(kq, e_mat, (((1,), (0,)), ((), ())),
                                 preferred_element_type=f32, precision=prec
-                                ).reshape(b, bkv, n_heads)
+                                ).reshape(b, blk, n_heads)
             if bias_tab is not None:
-                s = s + bias_tab[pl.ds(i * bkv, bkv), :n_heads].astype(f32)[None]
-            k_idx = i * bkv + lax.broadcasted_iota(jnp.int32, (1, bkv, 1), 1)
+                s = s + bias_tab[pl.ds(i * blk, blk), :n_heads].astype(f32)[None]
+            k_idx = i * blk + lax.broadcasted_iota(jnp.int32, (1, blk, 1), 1)
             valid = jnp.logical_and(k_idx < ends_v, k_idx >= pad_v)
             s = jnp.where(valid, s, NEG_INF)
 
@@ -255,11 +282,11 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             p = jnp.exp(s - m_safe[:, None, :])
             alpha = jnp.exp(ms - m_safe)
             l_new = alpha * ls + jnp.sum(p, axis=1)
-            p_full = lax.dot_general(p.astype(cdt).reshape(b * bkv, n_heads), e_mat,
+            p_full = lax.dot_general(p.astype(cdt).reshape(b * blk, n_heads), e_mat,
                                      (((1,), (1,)), ((), ())),
                                      preferred_element_type=f32, precision=prec
-                                     ).reshape(b, bkv, hd)
-            pv = jnp.sum(p_full * v_scr[slot].astype(f32), axis=1)
+                                     ).reshape(b, blk, hd)
+            pv = jnp.sum(p_full * scr2[1][slot].astype(f32), axis=1)
             return m_new, l_new, accs * expand(alpha) + pv
 
         init = (jnp.full((b, n_heads), NEG_INF, f32),
@@ -310,10 +337,11 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             def after_o():  # queue cross-q weights + the first cross-KV blocks
                 for tq in range(min(2, n_qc)):
                     wdma(wqc_hbm, qc_scr, qc_sem, l, tq, rows["qc"], tq % 2).start()
-                for w in range(2):
+                for w in range(min(2, n_xkv_max)):
                     @pl.when(w < n_xkv)
                     def _(w=w):
-                        for cp in kv_dma(kxc_hbm, vxc_hbm, w, w % 2):
+                        for cp in kv_dma(kxc_hbm, vxc_hbm, w, w % 2,
+                                         (kx_scr, vx_scr), kvx_sem, bkv_x):
                             cp.start()
         else:
             def after_o():
@@ -340,7 +368,8 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
 
             xlen_v = xlen_col[...].reshape(b, 1, 1)
             zero_v = jnp.zeros((b, 1, 1), jnp.int32)
-            ctx_c = attn_stream(q_c, kxc_hbm, vxc_hbm, 0, n_xkv, xlen_v, zero_v, None, None)
+            ctx_c = attn_stream(q_c, kxc_hbm, vxc_hbm, 0, n_xkv, xlen_v, zero_v, None, None,
+                                scr2=(kx_scr, vx_scr), sem2=kvx_sem, blk=bkv_x)
 
             def w1_warmup():
                 for t1 in range(min(2, n_1)):
@@ -625,6 +654,9 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
     wt_int8 = wt_dtype == jnp.int8
     itemsize = jnp.dtype(wt_dtype).itemsize
     assert l_max % KV_BLOCK == 0
+    kv_item = jnp.dtype(k_caches.dtype).itemsize
+    bkv = _pick_kv_block(l_max, b, hd, kv_item)
+    bkv_x = _pick_kv_block(cross_k.shape[-2], b, hd, kv_item) if cross else KV_BLOCK
 
     rows = {
         "qkv": _pick_rows(d, 3 * hd, itemsize),
@@ -709,12 +741,17 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
     if cross:
         scratch += [pltpu.VMEM((2, rows["qc"], hd), wt_dtype),
                     pltpu.VMEM((2, rows["oc"], d), wt_dtype)]
-    scratch += [pltpu.VMEM((2, b, KV_BLOCK, hd), k_caches.dtype),
-                pltpu.VMEM((2, b, KV_BLOCK, hd), v_caches.dtype)]
+    scratch += [pltpu.VMEM((2, b, bkv, hd), k_caches.dtype),
+                pltpu.VMEM((2, b, bkv, hd), v_caches.dtype)]
+    if cross:
+        scratch += [pltpu.VMEM((2, b, bkv_x, hd), cross_k.dtype),
+                    pltpu.VMEM((2, b, bkv_x, hd), cross_v.dtype)]
     if with_head:
         scratch += [pltpu.VMEM((2, rows["emb"], d), head["emb"].dtype)]
     scratch += [pltpu.SemaphoreType.DMA((2,))] * (6 if cross else 4)
     scratch += [pltpu.SemaphoreType.DMA((2, 2))]
+    if cross:
+        scratch += [pltpu.SemaphoreType.DMA((2, 2))]
     if with_head:
         scratch += [pltpu.SemaphoreType.DMA((2,))]
 
@@ -741,7 +778,7 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
     )
     kernel = functools.partial(
         _kernel, n_layers=n_layers, n_heads=n_heads, d=d, hd=hd, dff=dff,
-        rows=rows, bkv=KV_BLOCK, act=act, eps=eps,
+        rows=rows, bkv=bkv, bkv_x=bkv_x, act=act, eps=eps,
         scale=1.0 / (head_dim ** 0.5), prec=prec, cross=cross,
         norm_kind=norm, gated=gated, has_sbias=sbias is not None, b=b,
         head_v=head_v, wt_int8=wt_int8)

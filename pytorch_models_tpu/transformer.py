@@ -477,14 +477,14 @@ def decoder_apply(
 
 
 def padded_cache_len(max_len: int) -> int:
-    """KV-cache lengths are rounded up to the decode kernel's block multiple.
+    """KV-cache lengths are rounded up to a 128 multiple (>= the decode
+    kernels' 32-key block, and divisible by the larger block sizes the fused
+    step picks at small batch — ops/decode_step.py:_pick_kv_block).
 
     Slots beyond the true maximum are never attended (every read path masks
-    by position), they just make the cache streamable by the Pallas kernel.
+    by position), they just make the cache streamable by the Pallas kernels.
     """
-    from .ops.decode_attention import KV_BLOCK
-
-    return -(-max_len // KV_BLOCK) * KV_BLOCK
+    return -(-max_len // 128) * 128
 
 
 def make_kv_cache(n_layers: int, batch_shape: tuple, n_heads: int, max_len: int, head_dim: int, dtype=jnp.float32,
