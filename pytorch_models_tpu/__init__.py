@@ -7,8 +7,9 @@ in a thin class that keeps the reference's public API surface
 
 Design (TPU-first, see SURVEY.md §7):
 - layer stacks are `lax.scan` over stacked per-layer params (one compiled body),
-- attention dispatches to a Pallas flash-attention kernel on TPU with an XLA
-  einsum reference path,
+- attention dispatches to purpose-built Pallas kernels on TPU (merged-head
+  encoder attention, KV-cache decode attention, a whole-stack fused decode
+  step) with an XLA einsum reference path,
 - convolutions run NHWC/NLC via `lax.conv_general_dilated`,
 - autoregressive decode is a fixed-shape jitted step over a preallocated KV cache
   (the reference re-forwards the whole prefix per token, text/generator.py:23-24).

@@ -6,10 +6,12 @@ point serves every family: dense bidirectional (ViT/BERT), additive-bias
 (MaxViT windows, T5 relative bias), causal (GPT/GPT-2/Whisper-dec), and
 cross-attention (DETR/Whisper/T5-dec).
 
-Two implementations:
-- ``"xla"``  — einsum with fp32 softmax; the reference path and parity oracle.
-- ``"flash"`` — Pallas blockwise flash-attention kernel (ops/flash_attention.py),
-  used automatically on TPU for shapes where it wins.
+The head-split entry point (``sdpa``) is a single XLA einsum path — the
+Pallas kernels (encoder_attention, decode_attention, decode_step) are
+selected UPSTREAM in transformer.py on merged-head layouts, where they win.
+A head-split blockwise flash kernel existed through round 3 and was retired:
+measured slower than plain XLA at every model shape once inputs are in its
+native split layout (tools/attn_bench.py; PERF.md ledger #23).
 """
 
 from __future__ import annotations
@@ -93,7 +95,7 @@ def use_decode_kernel(cache_len: int, hd: int = 128) -> bool:
 
 # merged-head Pallas encoder attention (ops/encoder_attention.py). None =
 # auto (on for TPU: 1.66 -> 1.18 ms per ViT-B/16 attention block at batch
-# 128, v5e); True forces it (interpret-mode tests); False forces einsum/flash.
+# 128, v5e); True forces it (interpret-mode tests); False forces einsum.
 USE_ENCODER_KERNEL: bool | None = None
 
 
@@ -119,21 +121,9 @@ def sdpa(
     ``attn_bias`` is an additive mask/bias broadcastable to ``(..., H, Lq, Lk)``.
     ``causal`` masks key positions ``j > i`` (top-left aligned, torch semantics).
     """
-    if impl == "auto":
-        impl = "flash" if _flash_eligible(q, k, v) else "xla"
-    if impl == "flash":
-        from .flash_attention import flash_sdpa
-
-        return flash_sdpa(q, k, v, attn_bias=attn_bias, causal=causal)
+    if impl not in ("auto", "xla"):
+        raise ValueError(f"unknown attention impl {impl!r} (expected 'auto' or 'xla')")
     return _sdpa_xla(q, k, v, attn_bias, causal)
-
-
-def _flash_eligible(q, k, v) -> bool:
-    if not _on_tpu():
-        return False
-    from .flash_attention import flash_eligible
-
-    return flash_eligible(q, k, v)
 
 
 def _sdpa_xla(q, k, v, attn_bias, causal):
@@ -159,9 +149,9 @@ def _sdpa_xla(q, k, v, attn_bias, causal):
     else:
         # bf16 serving: scores stay bf16 (the HBM-traffic win) but the
         # normalization accumulates in fp32 — a bf16 sum over 1024+ terms
-        # carries ~3-significant-digit error, and this matches the flash
-        # kernel's fp32 online softmax so numerics don't jump at the flash
-        # eligibility boundary. The fp32 intermediates fuse away in XLA.
+        # carries ~3-significant-digit error, and this matches the Pallas
+        # kernels' fp32 online softmax so numerics don't jump at kernel
+        # eligibility boundaries. The fp32 intermediates fuse away in XLA.
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         denom = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)

@@ -35,6 +35,11 @@ NEG_INF = -1e30
 Q_BLOCK = 256
 K_BLOCK = 512
 BB_MAX = 8  # max batch rows per grid step (nk == 1 path)
+# VMEM budget for one grid step's pipelined q/k/v/o blocks (nk == 1 path).
+# Same-session A/B at ViT-B/16 batch 128: 2 MB (bb=1) 3,635 img/s vs 12 MB
+# (bb=4) 3,566 — bigger blocks reduce fetch/compute overlap, so the ~2 us
+# per-program saving loses. Env override ENC_BB_BUDGET_MB for A/B sweeps.
+BB_BUDGET_BYTES = int(__import__("os").environ.get("ENC_BB_BUDGET_MB", "2")) * 1024 * 1024
 VMEM_LIMIT_BYTES = 10 * 1024 * 1024
 
 
@@ -181,11 +186,7 @@ def encoder_attention(q, k, v, n_heads: int, causal: bool = False):
     if nk == 1:
         itemsize = jnp.dtype(q.dtype).itemsize
         bytes_per_row = (3 * bk + 2 * bq) * hd * itemsize
-        # ~12 MB of pipelined blocks per step (x2 pipeline buffers lands well
-        # under the 100 MB limit below): at ViT-B/16 sizes this packs the
-        # full BB_MAX rows per program instead of one — the ~2 us per-program
-        # cost was ~25% of the measured block time at batch 128
-        bb = max(1, min(BB_MAX, (12 * 1024 * 1024) // bytes_per_row))
+        bb = max(1, min(BB_MAX, BB_BUDGET_BYTES // bytes_per_row))
         while b % bb:
             bb -= 1
         out = pl.pallas_call(

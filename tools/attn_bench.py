@@ -1,9 +1,25 @@
-"""Attention micro-benchmark: XLA einsum vs Pallas kernels at model shapes.
+"""Attention micro-benchmark: XLA einsum vs the merged-head Pallas kernel.
 
-Usage (real TPU): python tools/attn_bench.py [bf16|fp32]
+Usage (real TPU): PYTHONPATH=.:$PYTHONPATH python tools/attn_bench.py [bf16|fp32]
 Times a batched on-device loop (fori_loop with iteration-dependent inputs —
 block_until_ready does not fence reliably through the axon tunnel) for each
-(model shape, impl) pair and prints ms/call. Informs the flash_eligible gate.
+(model shape, impl) pair and prints ms/call.
+
+Round-3 retirement record (v5e, bf16) — the head-split blockwise flash
+kernel measured slower than plain XLA at EVERY model shape on its native
+split-head inputs, and slower than the merged-head kernel on production
+layouts, so it was deleted:
+
+    vit_b16      xla 2.15  flash 3.57  enc 2.38
+    maxvit_win   xla 1.61  flash 1.68  enc 1.61
+    whisper_enc  xla 3.47  flash 4.64  enc 3.95
+    bert_512     xla 2.24  flash 2.65  enc 2.01
+    gpt2_prefill xla 2.38  flash 2.68  enc 2.40
+
+(The enc column pays nothing for layout in production — projections emit
+merged-head — while the xla column would additionally pay merged<->split
+relayouts inside a model, which is why the encoder kernel stays the
+production default despite the micro numbers above.)
 """
 
 import sys
@@ -14,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from pytorch_models_tpu.ops.attention import _sdpa_xla
-from pytorch_models_tpu.ops.flash_attention import flash_sdpa
 
 # (name, B, H, Lq, Lk, D, causal)
 SHAPES = [
@@ -54,20 +69,25 @@ def main():
         flops = 2 * 2 * b * h * lq * lk * d / (2 if causal else 1)
         row = [f"{name:>14} (BH={b*h}, L={lq}, d={d}{', causal' if causal else ''})"]
 
-        def enc_fn(q, k, v, bias, causal, h=h):
+        # production feeds the encoder kernel MERGED-HEAD (B, L, H*D) inputs
+        # straight from the projections — pre-merge OUTSIDE the timed loop so
+        # the enc column times the kernel, not layout conversion. (The xla
+        # column gets head-split inputs, its native layout; in a full model
+        # XLA additionally pays merged<->split relayouts around the sdpa.)
+        def premerge(x):  # (B, H, L, D) -> (B, L, H*D)
+            return jnp.swapaxes(x, 1, 2).reshape(x.shape[0], x.shape[2], -1)
+
+        qm, km, vm = premerge(q), premerge(k), premerge(v)
+
+        def enc_fn(qm, km, vm, bias, causal, h=h):
             from pytorch_models_tpu.ops.encoder_attention import encoder_attention
 
-            def merge(x):  # (B, H, L, D) -> (B, L, H*D)
-                return jnp.swapaxes(x, 1, 2).reshape(x.shape[0], x.shape[2], -1)
+            return encoder_attention(qm, km, vm, h, causal)
 
-            out = encoder_attention(merge(q), merge(k), merge(v), h, causal)
-            return out  # summed by the loop; layout doesn't matter for timing
-
-        for impl, fn in (("xla", lambda *a: _sdpa_xla(*a)),
-                         ("flash", lambda *a: flash_sdpa(*a[:3], attn_bias=a[3], causal=a[4])),
-                         ("enc", enc_fn)):
+        for impl, fn, args in (("xla", lambda *a: _sdpa_xla(*a), (q, k, v)),
+                               ("enc", enc_fn, (qm, km, vm))):
             try:
-                ms = bench_one(fn, q, k, v, causal)
+                ms = bench_one(fn, *args, causal)
                 row.append(f"{impl} {ms:7.2f} ms ({flops / (ms * 1e-3) / 1e12:5.1f} TF/s)")
             except Exception as e:
                 row.append(f"{impl} FAILED: {type(e).__name__}")
