@@ -56,7 +56,10 @@ from .layers import ACT_FNS
 
 NEG_INF = -1e30
 KV_BLOCK = 32  # keys streamed per cache block (multiple of 8)
-TILE_BYTES = 2 * 1024 * 1024  # target weight-tile size per ring slot
+# target weight-tile size per ring slot; env override DECODE_TILE_MB for
+# A/B sweeps (bigger tiles = fewer DMA issues/waits serialized with compute,
+# more VMEM per stream)
+TILE_BYTES = int(float(__import__("os").environ.get("DECODE_TILE_MB", "2")) * 1024 * 1024)
 KV_TARGET_BYTES = 256 * 1024  # minimum KV-block size the DMA engine amortizes
 
 
