@@ -60,7 +60,9 @@ KV_BLOCK = 32  # keys streamed per cache block (multiple of 8)
 # A/B sweeps (bigger tiles = fewer DMA issues/waits serialized with compute,
 # more VMEM per stream)
 TILE_BYTES = int(float(__import__("os").environ.get("DECODE_TILE_MB", "2")) * 1024 * 1024)
-KV_TARGET_BYTES = 256 * 1024  # minimum KV-block size the DMA engine amortizes
+# minimum KV-block size the DMA engine amortizes; env override
+# DECODE_KV_TARGET_KB for A/B sweeps (bigger = fewer DMA issues at B=1)
+KV_TARGET_BYTES = int(__import__("os").environ.get("DECODE_KV_TARGET_KB", "256")) * 1024
 
 
 def _pick_kv_block(cache_len: int, b: int, hd: int, itemsize: int) -> int:

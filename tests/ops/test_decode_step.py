@@ -161,6 +161,52 @@ def test_fused_cross_step_matches_layer_stack():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_fused_cross_step_b1_large_kv_blocks():
+    """B=1 with 512-slot self cache and 512-key cross memory: _pick_kv_block
+    grows both streams to the 512-key cap (one block each) — the whisper
+    single-segment serving configuration (PERF.md ledger #21)."""
+    from pytorch_models_tpu.ops.decode_step import _pick_kv_block, fused_cross_decode_step
+
+    # f32 at B=1: 32-key block = 16 KB, so the picker should hit the cap
+    assert _pick_kv_block(512, 1, 128, 4) == 512
+    assert _pick_kv_block(512, 1, 128, 2) == 512
+
+    r = rng(311)
+    b, d, n_layers, l_max, pos, l_mem = 1, 128, 2, 512, 37, 512
+    cfg = tfm.LayerConfig.make(d, n_heads=2, cross_attn=True)
+    params = tfm.decoder_init(jax.random.PRNGKey(7), n_layers, cfg)
+    hd = cfg.n_heads * cfg.head_dim
+
+    x = jnp.asarray(r.standard_normal((b, d)), jnp.float32)
+    caches = {
+        "k": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+        "v": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+    }
+    memory = jnp.asarray(r.standard_normal((b, l_mem, d)), jnp.float32)
+    valid = jnp.asarray([409], jnp.int32)  # partial validity inside one big block
+    cross = tfm.precompute_cross_caches(params, cfg, memory, valid_lens=valid)
+    pads = jnp.zeros((b,), jnp.int32)
+
+    packed = pack_decode_weights(params["layers"], jnp.float32, cross=True)
+    with pltpu.force_tpu_interpret_mode():
+        x_out, k_new, v_new = fused_cross_decode_step(
+            x, packed, caches["k"], caches["v"], cross["k"], cross["v"],
+            cross["len"][0], pos, pads, n_heads=cfg.n_heads, act=cfg.act,
+            eps=cfg.norm_eps, norm="ln")
+
+    attn_mod.USE_DECODE_KERNEL = False
+    try:
+        ref, new_caches = tfm.decoder_apply(
+            params, cfg, x[:, None, :], self_caches=dict(caches),
+            cross_caches=cross, pos=pos, pad_lens=pads)
+    finally:
+        attn_mod.USE_DECODE_KERNEL = None
+    np.testing.assert_allclose(np.asarray(x_out), np.asarray(ref[:, 0, :]),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(k_new), np.asarray(new_caches["k"][:, :, pos, :]),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_fused_t5_step_matches_block_stack():
     """T5-style decoder: RMSNorm, bias-free projections, GEGLU, rel-pos bias."""
     from pytorch_models_tpu.models.text.t5 import (
