@@ -2,7 +2,9 @@ from .bert import BERT
 from .generator import DecoderGenerator
 from .gpt import GPT
 from .gpt2 import GPT2
+from .speculative import SpeculativeDecoderGenerator
 from .t5 import T5Generator, T5Model
 from .tokenizer import GPT2Tokenizer
 
-__all__ = ["BERT", "DecoderGenerator", "GPT", "GPT2", "GPT2Tokenizer", "T5Generator", "T5Model"]
+__all__ = ["BERT", "DecoderGenerator", "GPT", "GPT2", "GPT2Tokenizer",
+           "SpeculativeDecoderGenerator", "T5Generator", "T5Model"]
