@@ -2,7 +2,8 @@
 
 API-compatible with the reference ``DecoderGenerator`` (reference
 text/generator.py:11-37): greedy (``topk=1``) or top-k sampling, EOS stop,
-same tokenizer protocol. The implementation is TPU-native instead of the
+same tokenizer protocol — plus top-p/nucleus sampling and a temperature
+knob (extensions; the reference has top-k only). The implementation is TPU-native instead of the
 reference's per-token full re-forward + ``.item()`` host sync: one jitted
 prefill over the (bucket-padded) prompt fills the KV cache, then a single
 ``lax.while_loop`` generates tokens on-device with no host round-trips.
@@ -32,23 +33,55 @@ from ._decoder_lm import (
 PROMPT_BUCKET = 64  # prompts are right-padded to a multiple of this to bound recompiles
 
 
-def _sample(logits: jnp.ndarray, key, topk: int) -> jnp.ndarray:
-    """Greedy or top-k sampling over 1D logits (ref generator.py:26-31)."""
-    if topk == 1:
+def _check_sampling(topk: int, top_p, temperature) -> None:
+    assert topk >= 1, f"topk must be >= 1, got {topk}"
+    assert top_p is None or 0.0 < top_p <= 1.0, f"top_p must be in (0, 1], got {top_p}"
+    assert temperature > 0.0, f"temperature must be > 0 (use topk=1 for greedy), got {temperature}"
+
+
+def _is_greedy(topk: int, top_p) -> bool:
+    return topk == 1 and top_p is None
+
+
+def _nucleus_mask(vals: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Mask DESC-sorted logits outside the smallest set with prob mass >= top_p.
+
+    The token that crosses the threshold is kept (standard nucleus rule), so
+    at least one token always survives.
+    """
+    probs = jax.nn.softmax(vals.astype(jnp.float32), axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < top_p
+    return jnp.where(keep, vals, jnp.finfo(vals.dtype).min)
+
+
+def _sample(logits: jnp.ndarray, key, topk: int, top_p=None, temperature=1.0) -> jnp.ndarray:
+    """Greedy / top-k (ref generator.py:26-31) / top-p / combined sampling.
+
+    Works on (..., V) logits; temperature is a dynamic scalar, topk/top_p are
+    static (they change the sampling graph). ``topk == 1`` with ``top_p``
+    set means nucleus-only sampling over the full vocabulary.
+    """
+    if _is_greedy(topk, top_p):
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    vals, idx = lax.top_k(logits, topk)
-    choice = jax.random.categorical(key, vals)
-    return idx[choice].astype(jnp.int32)
+    k = topk if topk > 1 else (logits.shape[-1] if top_p is not None else topk)
+    vals, idx = lax.top_k(logits / temperature, k)
+    if top_p is not None:
+        vals = _nucleus_mask(vals, top_p)
+    choice = jax.random.categorical(key, vals, axis=-1)
+    return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0].astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnums=(1, 5))
-def _generate(params, cfg, prompt_buf, n_prompt, limit, topk, eos_id, key):
+@partial(jax.jit, static_argnums=(1, 5, 8))
+def _generate(params, cfg, prompt_buf, n_prompt, limit, topk, eos_id, key,
+              top_p=None, temperature=1.0):
     """Prefill + while_loop decode, fully on device.
 
     ``prompt_buf``: (P,) right-padded prompt, P a static bucket multiple.
     ``limit``: total token budget (prompt + max_tokens, ≤ cfg.max_seq_len).
     Returns ``(tokens_buf (max_seq_len,), length)``.
     """
+    greedy = _is_greedy(topk, top_p)
     cache_dtype = params["token_embs"].dtype
     caches = decoder_lm_make_cache(cfg, dtype=cache_dtype, stacked=False)
     logits, caches = decoder_lm_forward_cached(params, cfg, prompt_buf, caches, 0)
@@ -57,8 +90,8 @@ def _generate(params, cfg, prompt_buf, n_prompt, limit, topk, eos_id, key):
     tokens_buf = jnp.zeros((cfg.max_seq_len,), jnp.int32)
     tokens_buf = lax.dynamic_update_slice(tokens_buf, prompt_buf.astype(jnp.int32), (0,))
 
-    key, sub = jax.random.split(key) if topk != 1 else (key, key)
-    first = _sample(last_logits, sub, topk)
+    key, sub = (key, key) if greedy else jax.random.split(key)
+    first = _sample(last_logits, sub, topk, top_p, temperature)
     tokens_buf = lax.dynamic_update_slice(tokens_buf, first[None], (n_prompt,))
     state = (tokens_buf, n_prompt + 1, caches, key, first == eos_id)
 
@@ -71,7 +104,7 @@ def _generate(params, cfg, prompt_buf, n_prompt, limit, topk, eos_id, key):
     def body(s):
         buf, pos, caches, key, _ = s
         tok = lax.dynamic_slice(buf, (pos - 1,), (1,))
-        if topk == 1 and _attn.use_greedy_head(1):
+        if greedy and _attn.use_greedy_head(1):
             # fused head: argmax(hidden @ emb.T) with no (V,) logits round-trip
             from ...ops.greedy_head import greedy_argmax_tied
 
@@ -81,8 +114,8 @@ def _generate(params, cfg, prompt_buf, n_prompt, limit, topk, eos_id, key):
             return (buf, pos + 1, caches, key, nxt == eos_id)
         logits, caches = decoder_lm_forward_cached(params, cfg, tok, caches, pos - 1)
         # greedy never consumes randomness: skip the per-step threefry split
-        key, sub = jax.random.split(key) if topk != 1 else (key, key)
-        nxt = _sample(logits[0], sub, topk)
+        key, sub = (key, key) if greedy else jax.random.split(key)
+        nxt = _sample(logits[0], sub, topk, top_p, temperature)
         buf = lax.dynamic_update_slice(buf, nxt[None], (pos,))
         return (buf, pos + 1, caches, key, nxt == eos_id)
 
@@ -90,7 +123,8 @@ def _generate(params, cfg, prompt_buf, n_prompt, limit, topk, eos_id, key):
     return tokens_buf, length
 
 
-def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id, key, fused=False):
+def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id, key,
+                         fused=False, top_p=None, temperature=1.0):
     """Batched greedy/top-k generation over LEFT-padded prompts.
 
     Beyond the reference (single-prompt only, text/generator.py:17-37):
@@ -103,6 +137,7 @@ def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id,
     ``(tokens (B, max_seq_len), lengths (B,))`` where row i's output occupies
     slots ``[pad_i, len_i)``.
     """
+    greedy = _is_greedy(topk, top_p)
     b, p_len = prompt_buf.shape
     l_max = cfg.max_seq_len
     pos_ids = jnp.clip(jnp.arange(p_len)[None, :] - pad_lens[:, None], 0, None)
@@ -120,13 +155,9 @@ def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id,
     buf = lax.dynamic_update_slice(buf, prompt_buf.astype(jnp.int32), (0, 0))
 
     def sample_rows(lg, key):
-        if topk == 1:
-            return jnp.argmax(lg, axis=-1).astype(jnp.int32)
-        vals, idx = lax.top_k(lg, topk)
-        choice = jax.random.categorical(key, vals, axis=-1)
-        return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0].astype(jnp.int32)
+        return _sample(lg, key, topk, top_p, temperature)
 
-    key, sub = jax.random.split(key) if topk != 1 else (key, key)
+    key, sub = (key, key) if greedy else jax.random.split(key)
     nxt = sample_rows(last, sub)
     buf = buf.at[:, p_len].set(nxt)
     done = nxt == eos_id
@@ -142,7 +173,7 @@ def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id,
         buf, pos, caches, key, done = s
         tok = lax.dynamic_slice(buf, (0, pos - 1), (b, 1))
         p_ids = (pos - 1 - pad_lens)[:, None]
-        if fused and topk == 1:
+        if fused and greedy:
             # greedy: layer stack + final norm + argmax in ONE kernel
             nxt, caches = decoder_lm_fused_tok_batch(params, packed, head, head_v, cfg,
                                                      tok, p_ids, caches, pos - 1, pad_lens)
@@ -152,12 +183,12 @@ def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id,
         if fused:
             hidden, caches = decoder_lm_hidden_fused_batch(params, packed, cfg, tok, p_ids,
                                                            caches, pos - 1, pad_lens)
-        elif topk == 1 and _attn.use_greedy_head(b):
+        elif greedy and _attn.use_greedy_head(b):
             hidden, caches = decoder_lm_hidden_cached_batch(params, cfg, tok, p_ids, caches,
                                                             pos - 1, pad_lens)
         else:
             hidden = None
-        if hidden is not None and topk == 1 and _attn.use_greedy_head(b):
+        if hidden is not None and greedy and _attn.use_greedy_head(b):
             # fused head: argmax(hidden @ emb.T), no (B, V) logits round-trip
             from ...ops.greedy_head import greedy_argmax_tied
 
@@ -167,12 +198,12 @@ def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id,
 
             logits = jnp.matmul(hidden, params["token_embs"].astype(hidden.dtype).T,
                                 precision=dot_precision(hidden))
-            key, sub = jax.random.split(key) if topk != 1 else (key, key)
+            key, sub = (key, key) if greedy else jax.random.split(key)
             nxt = sample_rows(logits[:, 0], sub)
         else:
             logits, caches = decoder_lm_forward_cached_batch(params, cfg, tok, p_ids, caches,
                                                              pos - 1, pad_lens)
-            key, sub = jax.random.split(key) if topk != 1 else (key, key)
+            key, sub = (key, key) if greedy else jax.random.split(key)
             nxt = sample_rows(logits[:, 0], sub)
         nxt = jnp.where(done, jnp.int32(eos_id), nxt)  # finished rows stay parked on EOS
         buf = lax.dynamic_update_slice(buf, nxt[:, None], (0, pos))
@@ -190,7 +221,7 @@ def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id,
     return buf, lengths
 
 
-_generate_batch = partial(jax.jit, static_argnums=(1, 5, 8))(_generate_batch_body)
+_generate_batch = partial(jax.jit, static_argnums=(1, 5, 8, 9))(_generate_batch_body)
 
 
 class DecoderGenerator:
@@ -200,17 +231,24 @@ class DecoderGenerator:
         self.model = model
         self.tokenizer = tokenizer
 
-    def generate(self, prompt: str, max_tokens: int = 100, topk: int = 1, seed: int = 0) -> str:
+    def generate(self, prompt: str, max_tokens: int = 100, topk: int = 1, seed: int = 0,
+                 top_p: float | None = None, temperature: float = 1.0) -> str:
         tokens = self.tokenizer.encode(prompt)
-        out = self.generate_tokens(tokens, max_tokens=max_tokens, topk=topk, seed=seed)
+        out = self.generate_tokens(tokens, max_tokens=max_tokens, topk=topk, seed=seed,
+                                   top_p=top_p, temperature=temperature)
         return self.tokenizer.decode(out)
 
-    def generate_tokens(self, tokens: list[int], max_tokens: int = 100, topk: int = 1, seed: int = 0) -> list[int]:
+    def generate_tokens(self, tokens: list[int], max_tokens: int = 100, topk: int = 1, seed: int = 0,
+                        top_p: float | None = None, temperature: float = 1.0) -> list[int]:
+        """Greedy (default), top-k (ref generator.py:26-31), top-p/nucleus,
+        or combined sampling; ``temperature`` rescales logits when sampling
+        (top-p and temperature are extensions beyond the reference)."""
+        _check_sampling(topk, top_p, temperature)
         cfg = self.model.cfg
         n = len(tokens)
         if max_tokens <= 0 or n >= cfg.max_seq_len:
             return list(tokens)
-        if topk == 1 and decoder_lm_fused_ok(self.model.params, cfg):
+        if _is_greedy(topk, top_p) and decoder_lm_fused_ok(self.model.params, cfg):
             # the fused one-kernel decode step runs on batched (L, B, ...)
             # cache layouts — serve a single prompt as batch-of-1 through it
             # (greedy only: the batch path threads sampling keys differently)
@@ -227,19 +265,24 @@ class DecoderGenerator:
             eos = -1  # never matches
         limit = min(n + max_tokens, cfg.max_seq_len)
         buf, length = _generate(
-            self.model.params, cfg, jnp.asarray(prompt_buf), n, limit, topk, eos, jax.random.PRNGKey(seed)
+            self.model.params, cfg, jnp.asarray(prompt_buf), n, limit, topk, eos,
+            jax.random.PRNGKey(seed), top_p, temperature,
         )
         length = int(length)
         return np.asarray(buf)[:length].tolist()
 
-    def generate_batch(self, prompts: list[str], max_tokens: int = 100, topk: int = 1, seed: int = 0) -> list[str]:
+    def generate_batch(self, prompts: list[str], max_tokens: int = 100, topk: int = 1, seed: int = 0,
+                       top_p: float | None = None, temperature: float = 1.0) -> list[str]:
         """Batched generation over multiple prompts (new vs the reference)."""
         token_lists = [self.tokenizer.encode(p) for p in prompts]
-        outs = self.generate_tokens_batch(token_lists, max_tokens=max_tokens, topk=topk, seed=seed)
+        outs = self.generate_tokens_batch(token_lists, max_tokens=max_tokens, topk=topk, seed=seed,
+                                          top_p=top_p, temperature=temperature)
         return [self.tokenizer.decode(o) for o in outs]
 
     def generate_tokens_batch(self, token_lists: list[list[int]], max_tokens: int = 100, topk: int = 1,
-                              seed: int = 0) -> list[list[int]]:
+                              seed: int = 0, top_p: float | None = None,
+                              temperature: float = 1.0) -> list[list[int]]:
+        _check_sampling(topk, top_p, temperature)
         cfg = self.model.cfg
         if max_tokens <= 0:
             return [list(ts) for ts in token_lists]
@@ -262,6 +305,7 @@ class DecoderGenerator:
         out, lengths = _generate_batch(
             self.model.params, cfg, jnp.asarray(buf), jnp.asarray(pad_lens), limit, topk, eos,
             jax.random.PRNGKey(seed), decoder_lm_fused_ok(self.model.params, cfg),
+            top_p, temperature,
         )
         out, lengths = np.asarray(out), np.asarray(lengths)
         return [out[i, pad_lens[i]: lengths[i]].tolist() for i in range(b)]
