@@ -398,6 +398,14 @@ class WhisperPreprocessor(MelSpectrogram):
         return (x + 4) / 4
 
 
+def _strip_generated(tokens: list[int], n_prompt: int, eot_id: int) -> list[int]:
+    """Drop the initial prompt and the trailing EOT from a decode result."""
+    gen = tokens[n_prompt:]
+    if gen and gen[-1] == eot_id:
+        gen = gen[:-1]
+    return gen
+
+
 class WhisperGenerator:
     """Greedy KV-cached transcription (new vs reference; decode API modeled on
     T5Generator, ref t5.py:211-227)."""
@@ -486,3 +494,75 @@ class WhisperGenerator:
         )
         buf, lengths = np.asarray(buf), np.asarray(lengths)
         return [buf[i, : lengths[i]].tolist() for i in range(len(audios))]
+
+    # ---------------------------------------------------------------- long-form
+
+    def _split_windows(self, audio) -> np.ndarray:
+        """Waveform (n,) -> (n_windows, N_SAMPLES) fixed 30 s windows, last padded."""
+        audio = np.asarray(audio, np.float32)
+        assert audio.ndim == 1, f"long-form transcription takes a single (n,) waveform, got {audio.shape}"
+        n_w = max(1, -(-len(audio) // self.N_SAMPLES))
+        padded = np.zeros((n_w * self.N_SAMPLES,), np.float32)
+        padded[: len(audio)] = audio
+        return padded.reshape(n_w, self.N_SAMPLES)
+
+    def transcribe_long_tokens(self, audio, initial_tokens: list[int], eot_id: int,
+                               sot_prev_id: int | None = None, ctx_tokens: int = 64,
+                               max_tokens: int = DEC_MAX_LEN,
+                               batch_size: int = 8) -> list[list[int]]:
+        """Long-form (>30 s) greedy transcription; returns per-window GENERATED
+        token ids (initial prompt and EOT stripped). New vs the reference
+        (which has no transcription driver at all).
+
+        Two modes:
+        - ``sot_prev_id=None``: windows are independent -> ALL windows decode
+          in batched slices of ``batch_size`` (the TPU throughput path; one
+          compile for the shared prompt).
+        - ``sot_prev_id`` given: sequential decoding where each window is
+          conditioned on previous text OpenAI-style via
+          ``[<|startofprev|>] + context + initial_tokens``. To bound jit
+          recompiles (the fused decode kernel costs minutes per shape
+          variant), the context is a FIXED slice: the last ``ctx_tokens``
+          generated tokens, applied only once that many have accumulated —
+          exactly two trace shapes total.
+        """
+        windows = self._split_windows(audio)
+        if sot_prev_id is None:
+            outs: list[list[int]] = []
+            for i in range(0, len(windows), batch_size):
+                sl = windows[i: i + batch_size]
+                n_real = len(sl)
+                if n_real < batch_size and len(windows) > batch_size:
+                    # pad the tail slice to the full batch (repeat the last
+                    # window) so only ONE batched trace shape ever compiles
+                    sl = np.concatenate([sl, np.repeat(sl[-1:], batch_size - n_real, 0)])
+                outs += self.transcribe_tokens_batch(sl, initial_tokens, eot_id,
+                                                     max_tokens)[:n_real]
+            return [_strip_generated(o, len(initial_tokens), eot_id) for o in outs]
+
+        results: list[list[int]] = []
+        text_accum: list[int] = []
+        for w in windows:
+            if len(text_accum) >= ctx_tokens:
+                prompt = [sot_prev_id] + text_accum[-ctx_tokens:] + list(initial_tokens)
+            else:
+                prompt = list(initial_tokens)
+            out = self.transcribe_tokens(jnp.asarray(w), prompt, eot_id, max_tokens)
+            gen = _strip_generated(out, len(prompt), eot_id)
+            results.append(gen)
+            text_accum += gen
+        return results
+
+    def transcribe_long(self, audio, language: str = "en", task: str = "transcribe",
+                        condition_on_previous_text: bool = True, ctx_tokens: int = 64,
+                        max_tokens: int = DEC_MAX_LEN, batch_size: int = 8) -> str:
+        """Long-form waveform -> text via fixed 30 s windows (needs a tokenizer)."""
+        if self.tokenizer is None:
+            raise ValueError("transcribe_long() returns text and needs a tokenizer; "
+                             "use transcribe_long_tokens(...) for raw ids")
+        initial_tokens = self.tokenizer.sot_sequence(language, task)
+        sot_prev = (self.tokenizer.special_tokens["<|startofprev|>"]
+                    if condition_on_previous_text else None)
+        outs = self.transcribe_long_tokens(audio, initial_tokens, self.tokenizer.eot,
+                                           sot_prev, ctx_tokens, max_tokens, batch_size)
+        return "".join(self.tokenizer.decode(o) for o in outs)
