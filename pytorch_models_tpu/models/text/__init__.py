@@ -1,4 +1,5 @@
 from .bert import BERT
+from .continuous import ContinuousBatchingGenerator
 from .generator import DecoderGenerator
 from .gpt import GPT
 from .gpt2 import GPT2
@@ -6,5 +7,5 @@ from .speculative import SpeculativeDecoderGenerator
 from .t5 import T5Generator, T5Model
 from .tokenizer import GPT2Tokenizer
 
-__all__ = ["BERT", "DecoderGenerator", "GPT", "GPT2", "GPT2Tokenizer",
-           "SpeculativeDecoderGenerator", "T5Generator", "T5Model"]
+__all__ = ["BERT", "ContinuousBatchingGenerator", "DecoderGenerator", "GPT", "GPT2",
+           "GPT2Tokenizer", "SpeculativeDecoderGenerator", "T5Generator", "T5Model"]

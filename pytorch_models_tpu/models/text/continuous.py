@@ -1,0 +1,257 @@
+"""Continuous batching: dynamic request admission into a running batched
+greedy decode (the serving-engine pattern; new vs the reference, whose
+generator is single-prompt, text/generator.py:11-37).
+
+Static batching decodes a fixed cohort and waits for the SLOWEST row before
+any new work starts; with mixed output lengths most rows idle parked on EOS.
+Here a fixed pool of B cache slots runs one shared decode loop, and whenever
+a slot finishes its request a new one is admitted mid-flight — the other
+rows never stop. Decode stays on the exact batched fast path (the fused
+one-kernel decode step on TPU): per-row left-pad masking makes each slot's
+math identical to a fresh left-padded batch row, so outputs are
+token-identical to ``DecoderGenerator.generate_tokens`` per request.
+
+How admission works on fixed shapes (no paging):
+- All rows share one monotic cache position ``pos``. A request with n prompt
+  tokens admitted at ``pos`` occupies buffer/cache slots ``[pos-n, pos)`` and
+  sets ``pad_lens[row] = pos - n``: every earlier slot — including the
+  PREVIOUS request's stale KV — is masked by the standard left-pad rule
+  (transformer.py mha_apply), so no cache eviction is needed.
+- The admit prefill re-forwards one fixed-size chunk ``[pos-1-P, pos-1)``
+  through the stack for that row only (its cache rows are sliced out and
+  written back); the admitting step then decodes from the last prompt token
+  like any other row. Exactly TWO jitted programs run ever (steps + admit):
+  shapes never vary, so the minutes-long Mosaic megakernel compile happens
+  once.
+- ``pos`` never rewinds mid-epoch. When the head-of-queue request no longer
+  fits (``pos + max_tokens > max_seq_len``) the pool drains and ``pos``
+  resets to the prompt bucket — an "epoch reset". Stale buffers need no
+  clearing (masked as above).
+
+Greedy only, like the speculative decoder: the equivalence oracle is the
+plain greedy loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ._decoder_lm import (
+    decoder_lm_forward_cached_batch,
+    decoder_lm_fused_ok,
+    decoder_lm_fused_tok_batch,
+    decoder_lm_hidden_cached_batch,
+    decoder_lm_make_cache,
+    decoder_lm_pack,
+)
+from .generator import PROMPT_BUCKET
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _cb_admit(params, cfg, buf, caches, pad_lens, limits, done,
+              row, pos, n, prompt_chunk, max_new):
+    """Admit one request into slot ``row`` at global position ``pos``.
+
+    ``prompt_chunk``: (P,) with the n prompt tokens RIGHT-aligned. Writes the
+    prompt into ``buf[row, pos-n:pos)``, prefills the row's KV cache for the
+    first n-1 prompt tokens (chunk ``[c0, c0+P)`` with ``c0 = max(0,
+    pos-1-P)``; slots below ``pos-n`` and above ``pos-1`` hold garbage that
+    the pad/length masks hide and later steps overwrite), and arms the row:
+    ``pad_lens[row] = pos-n``, ``limits[row] = pos+max_new``, done cleared.
+    Requires (host-enforced): n >= 1, n <= P <= pos, pos+1 <= max_seq_len.
+    """
+    p = prompt_chunk.shape[0]
+    pad_len = pos - n
+
+    old = lax.dynamic_slice(buf, (row, pos - p), (1, p))[0]
+    merged = jnp.where(jnp.arange(p) >= p - n, prompt_chunk.astype(jnp.int32), old)
+    buf = lax.dynamic_update_slice(buf, merged[None], (row, pos - p))
+
+    c0 = jnp.maximum(pos - 1 - p, 0)
+    chunk = lax.dynamic_slice(buf, (row, c0), (1, p))
+    p_ids = jnp.clip(jnp.arange(p)[None, :] + c0 - pad_len, 0, None)
+    n_layers = caches["k"].shape[0]
+    l_max, width = caches["k"].shape[2], caches["k"].shape[3]
+    row_caches = {
+        kv: lax.dynamic_slice(caches[kv], (0, row, 0, 0), (n_layers, 1, l_max, width))
+        for kv in ("k", "v")
+    }
+    _, row_caches = decoder_lm_hidden_cached_batch(
+        params, cfg, chunk, p_ids, row_caches, c0, pad_len[None])
+    caches = {kv: lax.dynamic_update_slice(caches[kv], row_caches[kv], (0, row, 0, 0))
+              for kv in ("k", "v")}
+
+    pad_lens = lax.dynamic_update_slice(pad_lens, pad_len[None], (row,))
+    limits = lax.dynamic_update_slice(limits, (pos + max_new)[None], (row,))
+    done = lax.dynamic_update_slice(done, jnp.zeros((1,), bool), (row,))
+    return buf, caches, pad_lens, limits, done
+
+
+@partial(jax.jit, static_argnums=(1, 8, 14))
+def _cb_steps(params, cfg, buf, pad_lens, limits, ends, caches, pos, fused,
+              done, n_steps, eos_id, packed=None, head=None, head_v=None):
+    """Up to ``n_steps`` greedy decode steps over the whole pool (early exit
+    when every row is done). Finished rows park writing EOS; a row's ``ends``
+    is latched to pos+1 the step it finishes (EOS emitted or per-row limit
+    reached). ``packed/head/head_v`` are the pre-packed fused-step weights
+    (hoisted to the host so they aren't re-packed every scheduling chunk).
+    Returns ``(buf, ends, caches, pos, done)``.
+    """
+    b = buf.shape[0]
+    l_max = cfg.max_seq_len
+
+    def cond(s):
+        _, _, _, pos, done, i = s
+        return jnp.logical_and(i < n_steps,
+                               jnp.logical_and(jnp.logical_not(jnp.all(done)), pos < l_max))
+
+    from ...ops import attention as _attn
+
+    def body(s):
+        buf, ends, caches, pos, done, i = s
+        tok = lax.dynamic_slice(buf, (0, pos - 1), (b, 1))
+        p_ids = (pos - 1 - pad_lens)[:, None]
+        if fused:
+            nxt, caches = decoder_lm_fused_tok_batch(params, packed, head, head_v, cfg,
+                                                     tok, p_ids, caches, pos - 1, pad_lens)
+        elif _attn.use_greedy_head(b):
+            from ...ops.greedy_head import greedy_argmax_tied
+
+            hidden, caches = decoder_lm_hidden_cached_batch(params, cfg, tok, p_ids, caches,
+                                                            pos - 1, pad_lens)
+            nxt = greedy_argmax_tied(hidden[:, 0], params["token_embs"].astype(hidden.dtype))
+        else:
+            logits, caches = decoder_lm_forward_cached_batch(params, cfg, tok, p_ids, caches,
+                                                             pos - 1, pad_lens)
+            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+        new_done = jnp.logical_or(done, jnp.logical_or(nxt == eos_id, pos + 1 >= limits))
+        ends = jnp.where(jnp.logical_and(new_done, jnp.logical_not(done)), pos + 1, ends)
+        buf = lax.dynamic_update_slice(buf, nxt[:, None], (0, pos))
+        return buf, ends, caches, pos + 1, new_done, i + 1
+
+    buf, ends, caches, pos, done, _ = lax.while_loop(
+        cond, body, (buf, ends, caches, pos, done, jnp.int32(0)))
+    return buf, ends, caches, pos, done
+
+
+class ContinuousBatchingGenerator:
+    """Greedy serving over a fixed pool of ``batch_size`` KV-cache slots with
+    mid-flight request admission. Per-request outputs are token-identical to
+    ``DecoderGenerator(model, tok).generate_tokens(prompt, max_tokens)``.
+
+    ``prompt_bucket`` caps prompt length (one admit-chunk shape = one
+    compile); ``check_every`` is how many decode steps run between host
+    scheduling points — larger amortizes the host/tunnel round-trip, smaller
+    admits waiting requests sooner (finished slots park up to
+    ``check_every - 1`` steps).
+    """
+
+    def __init__(self, model, tokenizer, batch_size: int = 8,
+                 prompt_bucket: int = PROMPT_BUCKET, check_every: int = 16) -> None:
+        assert batch_size >= 1 and prompt_bucket >= 1 and check_every >= 1
+        self.model = model
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.prompt_bucket = prompt_bucket
+        self.check_every = check_every
+
+    def generate_many(self, prompts: list[str], max_tokens: int | list[int] = 100) -> list[str]:
+        outs = self.generate_tokens_many([self.tokenizer.encode(p) for p in prompts], max_tokens)
+        return [self.tokenizer.decode(o) for o in outs]
+
+    def generate_tokens_many(self, requests: list[list[int]],
+                             max_tokens: int | list[int] = 100) -> list[list[int]]:
+        """Schedule all ``requests`` (admitted in order as slots free up) and
+        return each request's full prompt+generated token list, in order."""
+        cfg = self.model.cfg
+        params = self.model.params
+        n_req = len(requests)
+        if n_req == 0:
+            return []
+        budgets = [max_tokens] * n_req if isinstance(max_tokens, int) else list(max_tokens)
+        assert len(budgets) == n_req
+        p_bucket = self.prompt_bucket
+        l_max = cfg.max_seq_len
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        if eos is None:
+            eos = -1
+
+        plans = []  # (tokens, effective max_new) with the plain generator's clamp
+        for toks, m in zip(requests, budgets):
+            n = len(toks)
+            assert 1 <= n <= p_bucket, (
+                f"prompt length {n} exceeds prompt_bucket={p_bucket}; raise prompt_bucket "
+                f"(one-time recompile) or use DecoderGenerator for this request")
+            m_eff = min(m, l_max - n)  # plain generator: limit = min(n+max_tokens, L)
+            assert m_eff >= 1 and p_bucket + m_eff <= l_max, (
+                f"request (n={n}, max_tokens={m}) cannot fit a fresh epoch "
+                f"(bucket {p_bucket} + {m_eff} > max_seq_len {l_max})")
+            plans.append((toks, m_eff))
+
+        b = self.batch_size
+        fused = decoder_lm_fused_ok(params, cfg)
+        packed, head, head_v = decoder_lm_pack(params, cfg) if fused else (None, None, None)
+        dtype = params["token_embs"].dtype
+        caches = decoder_lm_make_cache(cfg, (b,), dtype=dtype, stacked=True)
+        buf = jnp.zeros((b, l_max), jnp.int32)
+        pad_lens = jnp.zeros((b,), jnp.int32)
+        limits = jnp.zeros((b,), jnp.int32)
+        ends = jnp.zeros((b,), jnp.int32)
+        done = jnp.ones((b,), bool)
+
+        pos = p_bucket  # host-tracked; device copies flow through the jits
+        next_req = 0
+        slot_req = [None] * b  # request index occupying each slot
+        slot_pad = [0] * b
+        outputs: list[list[int] | None] = [None] * n_req
+        done_h = np.ones((b,), bool)
+
+        while next_req < n_req or any(r is not None for r in slot_req):
+            # ---- harvest finished slots, admit queued requests in order
+            for row in range(b):
+                if slot_req[row] is not None and done_h[row]:
+                    end = int(np.asarray(ends[row]))
+                    outputs[slot_req[row]] = np.asarray(buf[row, slot_pad[row]: end]).tolist()
+                    slot_req[row] = None
+                if slot_req[row] is None and next_req < n_req:
+                    toks, m_eff = plans[next_req]
+                    if pos + m_eff > l_max or pos + 1 > l_max:
+                        continue  # head-of-queue doesn't fit this epoch
+                    chunk = np.zeros((p_bucket,), np.int32)
+                    chunk[p_bucket - len(toks):] = toks
+                    buf, caches, pad_lens, limits, done = _cb_admit(
+                        params, cfg, buf, caches, pad_lens, limits, done,
+                        jnp.int32(row), jnp.int32(pos), jnp.int32(len(toks)),
+                        jnp.asarray(chunk), jnp.int32(m_eff))
+                    done_h[row] = False
+                    slot_req[row] = next_req
+                    slot_pad[row] = pos - len(toks)
+                    next_req += 1
+
+            if all(r is None for r in slot_req):
+                if next_req < n_req:
+                    # epoch reset: pool drained, head-of-queue didn't fit.
+                    # pad_lens/limits must be zeroed so parked rows don't
+                    # compute negative position ids against the rewound pos
+                    # (their stale cache/buffer stays — admission masks it).
+                    pos = p_bucket
+                    pad_lens = jnp.zeros_like(pad_lens)
+                    limits = jnp.zeros_like(limits)
+                    continue
+                break
+
+            # ---- run a chunk of decode steps, then sync the scheduler view
+            buf, ends, caches, pos_d, done = _cb_steps(
+                params, cfg, buf, pad_lens, limits, ends, caches, jnp.int32(pos),
+                fused, done, jnp.int32(self.check_every), eos, packed, head, head_v)
+            pos = int(np.asarray(pos_d))
+            done_h = np.array(done)  # np.asarray of a device array is read-only
+
+        assert all(o is not None for o in outputs)
+        return outputs  # type: ignore[return-value]

@@ -1,0 +1,149 @@
+"""Continuous batching must be token-identical, per request, to the plain
+greedy generator — including requests admitted mid-flight into slots whose
+caches hold a previous request's stale state, and across epoch resets.
+"""
+
+from types import SimpleNamespace
+
+import jax
+import pytest
+
+from pytorch_models_tpu.models.text._decoder_lm import DecoderLMConfig, decoder_lm_init
+from pytorch_models_tpu.text import ContinuousBatchingGenerator, DecoderGenerator
+
+
+class _Tok:
+    def __init__(self, eos=-1):
+        self.eos_token_id = eos
+
+    def encode(self, s):
+        return [ord(c) % 512 for c in s]
+
+    def decode(self, ids):
+        return " ".join(map(str, ids))
+
+
+def _model(seed=0, max_seq_len=256):
+    cfg = DecoderLMConfig(vocab_size=512, max_seq_len=max_seq_len, n_layers=2,
+                          d_model=128, pre_norm=True, final_norm=True)
+    return SimpleNamespace(cfg=cfg, params=decoder_lm_init(jax.random.PRNGKey(seed), cfg))
+
+
+@pytest.fixture(scope="module")
+def model():
+    return _model()
+
+
+PROMPTS = [
+    [3, 1, 4, 1, 5],
+    [2, 7],
+    [9, 2, 6, 5, 3, 5, 8, 9, 7],
+    [11],
+    [8, 6, 7, 5, 3, 0, 9],
+    [1, 2, 3],
+    [31, 41, 59],
+    [27, 18, 28, 18],
+]
+
+
+def _oracle(model, tok, requests, budgets):
+    gen = DecoderGenerator(model, tok)
+    return [gen.generate_tokens(r, max_tokens=m) for r, m in zip(requests, budgets)]
+
+
+def test_staggered_budgets_match_plain(model):
+    """More requests than slots + per-request budgets: slots free at
+    different steps, so later requests are admitted mid-flight."""
+    tok = _Tok()
+    budgets = [17, 5, 29, 9, 3, 21, 7, 13]
+    cb = ContinuousBatchingGenerator(model, tok, batch_size=3, prompt_bucket=16,
+                                     check_every=4)
+    outs = cb.generate_tokens_many(PROMPTS, budgets)
+    assert outs == _oracle(model, tok, PROMPTS, budgets)
+
+
+def test_eos_finish_matches_plain(model):
+    """EOS-terminated rows free their slot early; outputs keep the EOS token
+    exactly like the plain loop."""
+    base = DecoderGenerator(model, _Tok()).generate_tokens(PROMPTS[0], max_tokens=24)
+    eos = base[len(PROMPTS[0]) + 4]  # 5th generated token of request 0
+    tok = _Tok(eos=eos)
+    budgets = [24, 8, 24, 8]
+    reqs = PROMPTS[:4]
+    cb = ContinuousBatchingGenerator(model, tok, batch_size=2, prompt_bucket=16,
+                                     check_every=3)
+    outs = cb.generate_tokens_many(reqs, budgets)
+    assert outs == _oracle(model, tok, reqs, budgets)
+    assert outs[0][-1] == eos and len(outs[0]) < len(PROMPTS[0]) + 24
+
+
+def test_epoch_reset(model):
+    """max_seq_len small enough that the position budget runs out mid-queue:
+    the pool must drain, rewind, and continue correctly on stale buffers."""
+    small = _model(seed=3, max_seq_len=64)
+    tok = _Tok()
+    budgets = [30, 30, 30, 30, 30]
+    reqs = PROMPTS[:5]
+    # bucket 16 + 30 new <= 64, but two requests back-to-back in one slot
+    # exceed 64 -> at least one reset must happen
+    cb = ContinuousBatchingGenerator(small, tok, batch_size=2, prompt_bucket=16,
+                                     check_every=8)
+    outs = cb.generate_tokens_many(reqs, budgets)
+    assert outs == _oracle(small, tok, reqs, budgets)
+
+
+def test_uniform_budget_and_text_api(model):
+    tok = _Tok()
+    cb = ContinuousBatchingGenerator(model, tok, batch_size=4, prompt_bucket=16)
+    outs = cb.generate_many(["abc", "defg"], max_tokens=6)
+    plain = DecoderGenerator(model, tok)
+    assert outs == [plain.generate(p, max_tokens=6) for p in ["abc", "defg"]]
+
+
+def test_single_slot_pool(model):
+    """batch_size=1 degenerates to sequential serving; still exact."""
+    tok = _Tok()
+    budgets = [7, 11, 5]
+    reqs = PROMPTS[:3]
+    cb = ContinuousBatchingGenerator(model, tok, batch_size=1, prompt_bucket=16,
+                                     check_every=5)
+    assert cb.generate_tokens_many(reqs, budgets) == _oracle(model, tok, reqs, budgets)
+
+
+def test_rejects_oversized_request(model):
+    cb = ContinuousBatchingGenerator(model, _Tok(), batch_size=2, prompt_bucket=8)
+    with pytest.raises(AssertionError, match="prompt_bucket"):
+        cb.generate_tokens_many([[1] * 9], 4)
+    big = ContinuousBatchingGenerator(model, _Tok(), batch_size=2, prompt_bucket=64)
+    with pytest.raises(AssertionError, match="fresh epoch"):
+        big.generate_tokens_many([[1] * 4], 10_000)  # bucket 64 + 255 > 256? clamp -> 64+251>256
+
+
+def test_empty_queue(model):
+    cb = ContinuousBatchingGenerator(model, _Tok(), batch_size=2)
+    assert cb.generate_tokens_many([], 8) == []
+
+
+def test_fused_step_path_matches_plain(model):
+    """The TPU route: _cb_steps through the fused one-kernel decode step
+    (interpret mode), with a mid-flight admission against a stale cache."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pytorch_models_tpu.ops import attention as attn_mod
+
+    tok = _Tok()
+    reqs, budgets = PROMPTS[:3], [9, 4, 6]
+    base = _oracle(model, tok, reqs, budgets)
+    attn_mod.USE_FUSED_STEP = True
+    attn_mod.USE_DECODE_KERNEL = True
+    try:
+        jax.clear_caches()
+        with pltpu.force_tpu_interpret_mode():
+            cb = ContinuousBatchingGenerator(model, tok, batch_size=2,
+                                             prompt_bucket=16, check_every=3)
+            outs = cb.generate_tokens_many(reqs, budgets)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        attn_mod.USE_DECODE_KERNEL = None
+        jax.clear_caches()
+    assert outs == base
