@@ -271,6 +271,23 @@ class DecoderGenerator:
         length = int(length)
         return np.asarray(buf)[:length].tolist()
 
+    def beam_search(self, prompt: str, max_tokens: int = 100, beam_width: int = 4,
+                    length_penalty: float = 0.0) -> str:
+        tokens = self.tokenizer.encode(prompt)
+        out = self.beam_search_tokens(tokens, max_tokens, beam_width, length_penalty)
+        return self.tokenizer.decode(out)
+
+    def beam_search_tokens(self, tokens: list[int], max_tokens: int = 100, beam_width: int = 4,
+                           length_penalty: float = 0.0, return_all: bool = False):
+        """Beam-search decoding (extension; the reference is greedy/top-k
+        only). Returns the best sequence, or ``(sequences, scores)`` with
+        ``return_all`` — see models/text/beam.py."""
+        from .beam import beam_search_tokens
+
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        return beam_search_tokens(self.model, tokens, max_tokens, beam_width,
+                                  -1 if eos is None else eos, length_penalty, return_all)
+
     def generate_batch(self, prompts: list[str], max_tokens: int = 100, topk: int = 1, seed: int = 0,
                        top_p: float | None = None, temperature: float = 1.0) -> list[str]:
         """Batched generation over multiple prompts (new vs the reference)."""
