@@ -286,6 +286,77 @@ def _whisper_generate_batch_body(params, cfg: WhisperConfig, memory, initial_tok
     return buf, lengths
 
 
+def _whisper_beam_body(params, cfg: WhisperConfig, memory, initial_tokens,
+                       max_tokens: int, eot_id, beam_width: int, alpha):
+    """Beam-search transcription over ONE encoded segment (``memory`` (T, d)).
+
+    The W beams ride the batched decode path — the fused one-kernel step on
+    TPU, headless (beam needs full logits, not the in-kernel argmax) — via
+    the model-agnostic loop in models/text/beam.py. Cross-attention K/V are
+    projected once and broadcast across beams (identical for every beam);
+    only the self caches reorder by parent beam each step. Returns
+    ``(seqs (W, max_tokens), scores (W,), lengths (W,))`` best-first;
+    lengths count prompt + generated + EOT like the greedy paths.
+    """
+    from ...ops.layers import dot_precision
+    from ..text.beam import beam_decode_loop
+
+    p = params["decoder"]
+    lc = cfg.dec_layer
+    w = beam_width
+    n_init = initial_tokens.shape[0]
+
+    fused = _whisper_fused_ok(p, cfg, max_tokens)
+    self_caches = tfm.make_kv_cache(cfg.n_layers, (w,), lc.n_heads, max_tokens, lc.head_dim,
+                                    dtype=p["token_embs"].dtype, stacked=fused)
+    cross_caches = jax.tree.map(
+        lambda c: jnp.broadcast_to(c, (c.shape[0], w, *c.shape[2:])),
+        tfm.precompute_cross_caches(p, lc, memory[None]))
+    if fused:
+        from ...ops.decode_step import fused_cross_decode_step, pack_decode_weights
+
+        packed = pack_decode_weights(p["layers"], p["token_embs"].dtype, cross=True)
+
+    def forward_hidden(tokens, caches, pos, s):
+        x = embed_rows(p["token_embs"], tokens)
+        x = x + lax.dynamic_slice(p["pos_embs"], (pos, 0), (s, cfg.d_model)).astype(x.dtype)
+        x, caches = tfm.decoder_apply(p, lc, x, self_caches=caches, cross_caches=cross_caches, pos=pos)
+        return layer_norm(p["norm"], x), caches
+
+    def logits_of(hn):
+        return jnp.matmul(hn, p["token_embs"].astype(hn.dtype).T, precision=dot_precision(hn))
+
+    init_rows = jnp.broadcast_to(initial_tokens.astype(jnp.int32), (w, n_init))
+    hn, self_caches = forward_hidden(init_rows, self_caches, 0, n_init)
+    last_logits = logits_of(hn[0, -1])
+
+    buf = jnp.zeros((w, max_tokens), jnp.int32)
+    buf = lax.dynamic_update_slice(buf, init_rows, (0, 0))
+
+    def forward(tok, caches, pos):
+        if fused:
+            x = embed_rows(p["token_embs"], tok[:, 0])
+            x = x + lax.dynamic_slice(p["pos_embs"], (pos - 1, 0), (1, cfg.d_model)).astype(x.dtype)
+            x, k_new, v_new = fused_cross_decode_step(
+                x, packed, caches["k"], caches["v"],
+                cross_caches["k"].astype(x.dtype), cross_caches["v"].astype(x.dtype),
+                cross_caches["len"][0], pos - 1, None,
+                n_heads=lc.n_heads, act=lc.act, eps=lc.norm_eps, norm="ln")
+            start = (0, 0, pos - 1, 0)
+            caches = {
+                "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
+                "v": lax.dynamic_update_slice(caches["v"], v_new[:, :, None, :].astype(caches["v"].dtype), start),
+            }
+            return logits_of(layer_norm(p["norm"], x)), caches
+        hn, caches = forward_hidden(tok, caches, pos - 1, 1)
+        return logits_of(hn[:, 0]), caches
+
+    axis = 1 if fused else 0  # stacked caches: (L, W, ...); list: (W, ...)
+    gather = lambda caches, idx: jax.tree.map(lambda c: jnp.take(c, idx, axis=axis), caches)
+    return beam_decode_loop(forward, gather, self_caches, last_logits, buf,
+                            n_init, max_tokens, w, eot_id, alpha)
+
+
 class Whisper(InferenceModel):
     def __init__(self, vocab_size: int, n_layers: int, d_model: int, n_mels: int = 80,
                  dropout: float = 0.0, rng: int = 0) -> None:
@@ -435,19 +506,30 @@ class WhisperGenerator:
             memory = _whisper_encode_body(params, cfg, mel)
             return _whisper_generate_batch_body(params, cfg, memory, initial_tokens, max_tokens, eot_id)
 
+        @partial(jax.jit, static_argnums=(2, 5))
+        def _transcribe_beam(params, audio, max_tokens, initial_tokens, eot_id, beam_width, alpha):
+            mel = pre_fwd(audio)
+            memory = _whisper_encode_body(params, cfg, mel)[0]
+            return _whisper_beam_body(params, cfg, memory, initial_tokens,
+                                      max_tokens, eot_id, beam_width, alpha)
+
         self._transcribe_full = _transcribe_full
         self._transcribe_full_batch = _transcribe_full_batch
+        self._transcribe_beam_jit = _transcribe_beam
+
+    def _stage_segment(self, audio) -> jnp.ndarray:
+        """Waveform -> (1, N_SAMPLES) device array; pre-staged arrays pass through."""
+        if isinstance(audio, jnp.ndarray) and audio.shape == (self.N_SAMPLES,):
+            return audio.astype(jnp.float32)[None]  # skip host pad + re-upload
+        audio = np.asarray(audio, np.float32)[: self.N_SAMPLES]
+        return jnp.asarray(np.pad(audio, (0, self.N_SAMPLES - len(audio)))[None])
 
     def transcribe_tokens(self, audio, initial_tokens: list[int], eot_id: int, max_tokens: int = DEC_MAX_LEN):
         """Waveform (n,) -> transcribed token ids (greedy, single 30 s segment)."""
         assert max_tokens <= DEC_MAX_LEN, (
             f"max_tokens={max_tokens} exceeds the decoder position table ({DEC_MAX_LEN}); "
             "dynamic_slice would silently clamp into the last position embedding")
-        if isinstance(audio, jnp.ndarray) and audio.shape == (self.N_SAMPLES,):
-            wav = audio.astype(jnp.float32)[None]  # pre-staged: skip host pad + re-upload
-        else:
-            audio = np.asarray(audio, np.float32)[: self.N_SAMPLES]
-            wav = jnp.asarray(np.pad(audio, (0, self.N_SAMPLES - len(audio)))[None])
+        wav = self._stage_segment(audio)
         if _whisper_fused_ok(self.model.params["decoder"], self.model.cfg, max_tokens):
             # the fused one-kernel decode step runs on batched (L, B, ...) cache
             # layouts — serve a single segment as batch-of-1 through it
@@ -476,6 +558,41 @@ class WhisperGenerator:
             eot_id = self.tokenizer.eot
         tokens = self.transcribe_tokens(audio, initial_tokens, eot_id, max_tokens)
         return self.tokenizer.decode(tokens)
+
+    def transcribe_beam_tokens(self, audio, initial_tokens: list[int], eot_id: int,
+                               max_tokens: int = DEC_MAX_LEN, beam_width: int = 4,
+                               length_penalty: float = 0.0, return_all: bool = False):
+        """Beam-search transcription of one 30 s segment (new vs reference).
+        Returns the best token sequence (prompt + generated + EOT, like
+        :meth:`transcribe_tokens`), or ``(sequences, scores)`` for all
+        ``beam_width`` beams when ``return_all`` (best first; scores are
+        length-penalized log-probs — see models/text/beam.py)."""
+        assert max_tokens <= DEC_MAX_LEN, (
+            f"max_tokens={max_tokens} exceeds the decoder position table ({DEC_MAX_LEN})")
+        assert beam_width >= 1
+        assert length_penalty >= 0.0, "negative length_penalty breaks the early-stop bound"
+        assert len(initial_tokens) < max_tokens, "prompt leaves no room to generate"
+        seqs, scores, lens = self._transcribe_beam_jit(
+            self.model.params, self._stage_segment(audio), max_tokens,
+            jnp.asarray(initial_tokens, jnp.int32), eot_id, beam_width,
+            float(length_penalty))
+        seqs, scores, lens = np.asarray(seqs), np.asarray(scores), np.asarray(lens)
+        outs = [seqs[i, : lens[i]].tolist() for i in range(beam_width)]
+        if return_all:
+            return outs, scores.tolist()
+        return outs[0]
+
+    def transcribe_beam(self, audio, language: str = "en", task: str = "transcribe",
+                        beam_width: int = 4, length_penalty: float = 0.0,
+                        max_tokens: int = DEC_MAX_LEN) -> str:
+        """Waveform -> text via beam search (needs a tokenizer)."""
+        if self.tokenizer is None:
+            raise ValueError("transcribe_beam() returns text and needs a tokenizer; "
+                             "use transcribe_beam_tokens(...) for raw ids")
+        initial_tokens = self.tokenizer.sot_sequence(language, task)
+        out = self.transcribe_beam_tokens(audio, initial_tokens, self.tokenizer.eot,
+                                          max_tokens, beam_width, length_penalty)
+        return self.tokenizer.decode(out)
 
     def transcribe_tokens_batch(self, audios, initial_tokens: list[int], eot_id: int,
                                 max_tokens: int = DEC_MAX_LEN) -> list[list[int]]:

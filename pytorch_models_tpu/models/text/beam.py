@@ -1,5 +1,5 @@
-"""Fixed-shape batched beam search for decoder LMs (new vs the reference,
-whose generator is greedy/top-k only, text/generator.py:26-31).
+"""Fixed-shape batched beam search (new vs the reference, whose generator is
+greedy/top-k only, text/generator.py:26-31).
 
 TPU-shaped algorithm (the t5x/flaxformer pattern): the W alive beams ARE a
 batch — each step forwards all W rows through the same KV-cached decode path
@@ -11,11 +11,14 @@ beam with one gather along the batch axis. Everything is static-shape inside
 one ``lax.while_loop``; early exit once no alive beam's optimistic score can
 beat the worst kept finished beam.
 
+The loop core (:func:`beam_decode_loop`) is model-agnostic — it takes the
+per-step forward and a cache-gather callback — so Whisper/T5 beam decoding
+reuses it (models/audio2text/whisper.py).
+
 Scoring: sum of token log-probs; ``length_penalty`` alpha divides by
 ``len_generated ** alpha`` (HF convention; alpha=0 -> pure log-prob).
-2W candidates guarantee >= W non-EOS continuations, so the alive set never
-collapses (at most W of 2W can end in EOS... one per parent beam's argmax-EOS
-plus runners-up; the 2W bound is the standard sufficient margin).
+2W candidates guarantee >= W non-EOS continuations (each parent beam
+contributes exactly one EOS candidate, so at most W of the 2W end in EOS).
 """
 
 from __future__ import annotations
@@ -36,46 +39,36 @@ from ._decoder_lm import (
 )
 from .generator import PROMPT_BUCKET
 
-NEG_INF = jnp.float32(-1e30)  # finite: -inf would NaN through masked softmax rows
+# finite (-inf would NaN through masked softmax rows); a Python float, NOT a
+# jnp scalar: a module-level device array becomes a hoisted closure constant
+# whose presence varies across beam_width traces, and jax 0.9's dispatch
+# fastpath then supplies the wrong buffer count to sibling cache entries of
+# the same jit ("Execution supplied N buffers but compiled program expected M")
+NEG_INF = -1e30
 
 
 def _length_penalty(n_gen, alpha: float):
     return jnp.power(jnp.maximum(n_gen, 1).astype(jnp.float32), alpha)
 
 
-@partial(jax.jit, static_argnums=(1, 5, 8, 9))
-def _beam_search(params, cfg, prompt_buf, n_prompt, limit, beam_width, eos_id,
-                 alpha, fused, p_len):
-    """Returns ``(seqs (W, max_seq_len), scores (W,), lengths (W,))`` sorted
-    best-first; sequences are left-padded like the batched greedy path (row
-    content at ``[p_len - n_prompt, length)``). Unfinished beams are merged
-    in at the end with the length penalty applied at their current length.
+def beam_decode_loop(forward, gather_caches, caches, last_logits, buf,
+                     p_len: int, limit, w: int, eos_id, alpha):
+    """Model-agnostic beam loop. ``forward(tok (W,1), caches, pos) ->
+    (logits (W, V), caches)``; ``gather_caches(caches, idx (W,)) -> caches``
+    reorders the per-beam state by parent. ``last_logits``: (V,) logits for
+    the last prompt token (the prompt is shared: one row's suffice);
+    ``buf``: (W, L) int32 pre-filled with the prompt at ``[?, :p_len)``.
+    Returns ``(seqs (W, L), scores (W,), lengths (W,))`` best-first, with
+    still-alive beams merged in at the limit (HF behavior).
     """
-    w = beam_width
-    v = cfg.vocab_size
-    l_max = cfg.max_seq_len
-    from ...ops.layers import dot_precision
-
-    pad = p_len - n_prompt
-    pad_lens = jnp.full((w,), pad, jnp.int32)
-    pos_ids = jnp.clip(jnp.arange(p_len)[None, :] - pad, 0, None)
-    rows = jnp.broadcast_to(prompt_buf.astype(jnp.int32), (w, p_len))
-
-    dtype = params["token_embs"].dtype
-    caches = decoder_lm_make_cache(cfg, (w,), dtype=dtype, stacked=fused)
-    packed = decoder_lm_pack(params, cfg)[0] if fused else None
-    logits, caches = decoder_lm_forward_cached_batch(
-        params, cfg, rows, jnp.broadcast_to(pos_ids, (w, p_len)), caches, 0, pad_lens)
-
-    buf = jnp.zeros((w, l_max), jnp.int32)
-    buf = lax.dynamic_update_slice(buf, rows, (0, 0))
+    v = last_logits.shape[-1]
 
     # first expansion: all rows are the same beam — take the top W distinct
-    # first tokens from row 0 (an EOS here finishes immediately)
-    logp0 = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
+    # first tokens from the shared prompt (an EOS here finishes immediately)
+    logp0 = jax.nn.log_softmax(last_logits.astype(jnp.float32))
     scores, toks = lax.top_k(logp0, w)
     buf = buf.at[:, p_len].set(toks.astype(jnp.int32))
-    fin_buf = jnp.zeros((w, l_max), jnp.int32)
+    fin_buf = jnp.zeros_like(buf)
     fin_scores = jnp.full((w,), NEG_INF)
     fin_lens = jnp.zeros((w,), jnp.int32)
     is_eos0 = toks == eos_id
@@ -96,16 +89,7 @@ def _beam_search(params, cfg, prompt_buf, n_prompt, limit, beam_width, eos_id,
     def body(s):
         buf, scores, fin_buf, fin_scores, fin_lens, caches, pos = s
         tok = lax.dynamic_slice(buf, (0, pos - 1), (w, 1))
-        p_ids = (pos - 1 - pad_lens)[:, None]
-        if fused:
-            hidden, caches = decoder_lm_hidden_fused_batch(
-                params, packed, cfg, tok, p_ids, caches, pos - 1, pad_lens)
-            logits = jnp.matmul(hidden[:, 0], params["token_embs"].astype(hidden.dtype).T,
-                                precision=dot_precision(hidden))
-        else:
-            lg, caches = decoder_lm_forward_cached_batch(
-                params, cfg, tok, p_ids, caches, pos - 1, pad_lens)
-            logits = lg[:, 0]
+        logits, caches = forward(tok, caches, pos)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
         flat = (scores[:, None] + logp).reshape(w * v)
@@ -131,9 +115,7 @@ def _beam_search(params, cfg, prompt_buf, n_prompt, limit, beam_width, eos_id,
         alive_cand = jnp.where(is_eos, NEG_INF, top_scores)
         scores, sel = lax.top_k(alive_cand, w)
         buf = jnp.take(cand_buf, sel, axis=0)
-        sel_parents = jnp.take(parents, sel)
-        axis = 1 if fused else 0  # stacked caches: (L, B, ...); list: (B, ...)
-        caches = jax.tree.map(lambda c: jnp.take(c, sel_parents, axis=axis), caches)
+        caches = gather_caches(caches, jnp.take(parents, sel))
         return buf, scores, fin_buf, fin_scores, fin_lens, caches, pos + 1
 
     buf, scores, fin_buf, fin_scores, fin_lens, _, pos = lax.while_loop(cond, body, state)
@@ -145,6 +127,48 @@ def _beam_search(params, cfg, prompt_buf, n_prompt, limit, beam_width, eos_id,
     all_lens = jnp.concatenate([fin_lens, jnp.full((w,), pos, jnp.int32)])
     out_scores, keep = lax.top_k(all_scores, w)
     return jnp.take(all_buf, keep, axis=0), out_scores, jnp.take(all_lens, keep)
+
+
+@partial(jax.jit, static_argnums=(1, 5, 8, 9))
+def _beam_search(params, cfg, prompt_buf, n_prompt, limit, beam_width, eos_id,
+                 alpha, fused, p_len):
+    """Decoder-LM beam search. Returns ``(seqs (W, max_seq_len), scores (W,),
+    lengths (W,))`` best-first; sequences are left-padded like the batched
+    greedy path (row content at ``[p_len - n_prompt, length)``).
+    """
+    w = beam_width
+    from ...ops.layers import dot_precision
+
+    pad = p_len - n_prompt
+    pad_lens = jnp.full((w,), pad, jnp.int32)
+    pos_ids = jnp.clip(jnp.arange(p_len)[None, :] - pad, 0, None)
+    rows = jnp.broadcast_to(prompt_buf.astype(jnp.int32), (w, p_len))
+
+    dtype = params["token_embs"].dtype
+    caches = decoder_lm_make_cache(cfg, (w,), dtype=dtype, stacked=fused)
+    packed = decoder_lm_pack(params, cfg)[0] if fused else None
+    logits, caches = decoder_lm_forward_cached_batch(
+        params, cfg, rows, jnp.broadcast_to(pos_ids, (w, p_len)), caches, 0, pad_lens)
+
+    buf = jnp.zeros((w, cfg.max_seq_len), jnp.int32)
+    buf = lax.dynamic_update_slice(buf, rows, (0, 0))
+
+    def forward(tok, caches, pos):
+        p_ids = (pos - 1 - pad_lens)[:, None]
+        if fused:
+            hidden, caches = decoder_lm_hidden_fused_batch(
+                params, packed, cfg, tok, p_ids, caches, pos - 1, pad_lens)
+            lg = jnp.matmul(hidden[:, 0], params["token_embs"].astype(hidden.dtype).T,
+                            precision=dot_precision(hidden))
+            return lg, caches
+        lg, caches = decoder_lm_forward_cached_batch(
+            params, cfg, tok, p_ids, caches, pos - 1, pad_lens)
+        return lg[:, 0], caches
+
+    axis = 1 if fused else 0  # stacked caches: (L, B, ...); list: (B, ...)
+    gather = lambda caches, idx: jax.tree.map(lambda c: jnp.take(c, idx, axis=axis), caches)
+    return beam_decode_loop(forward, gather, caches, logits[0, -1], buf,
+                            p_len, limit, w, eos_id, alpha)
 
 
 def beam_search_tokens(model, tokens: list[int], max_tokens: int = 100,
