@@ -411,6 +411,78 @@ def _t5_generate_batch_body(params, cfg: T5Config, enc_tokens, n_enc, max_tokens
 _t5_generate_batch = partial(jax.jit, static_argnums=(1, 4))(_t5_generate_batch_body)
 
 
+def _t5_beam_body(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int,
+                  pad_id, eos_id, beam_width: int, alpha):
+    """Beam-search seq2seq generation for ONE prompt (``enc_tokens`` (P,)).
+
+    The W beams ride the batched decode path (the fused one-kernel step on
+    TPU, headless: beam needs full logits) via the model-agnostic loop in
+    models/text/beam.py; encoder memory is projected into cross K/V once and
+    broadcast across beams. Returns ``(seqs (W, max_tokens), scores (W,),
+    lengths (W,))`` best-first; row layout matches the greedy buffers (pad
+    token at index 0, EOS counted in the length).
+    """
+    from .beam import beam_decode_loop
+
+    w = beam_width
+    p_len = enc_tokens.shape[0]
+    enc_valid = jnp.arange(p_len) < n_enc
+    pad_bias = jnp.where(enc_valid, 0.0, NEG_INF).astype(jnp.float32)[None, None, :]
+    x = jnp.take(params["token_embs"], enc_tokens, axis=0)
+    memory = t5_encoder_apply(params["encoder"], cfg, x, pad_bias=pad_bias)
+
+    dec = params["decoder"]
+    lc = cfg.layer
+    fused = _t5_fused_ok(dec, cfg, max_tokens)
+    self_caches = tfm.make_kv_cache(cfg.n_layers, (w,), lc.n_heads, max_tokens, lc.head_dim,
+                                    dtype=params["token_embs"].dtype, stacked=fused)
+    cross_caches = jax.tree.map(
+        lambda c: jnp.broadcast_to(c, (c.shape[0], w, *c.shape[2:])),
+        tfm.precompute_cross_caches(dec, lc, memory[None], valid_lens=n_enc.reshape(1)))
+
+    l_pad = tfm.padded_cache_len(max_tokens)
+    bias_table = relative_position_bias(
+        dec["attn_bias"], jnp.arange(max_tokens), jnp.arange(l_pad), False, cfg)
+    if fused:
+        from ...ops.decode_step import fused_cross_decode_step, pack_decode_weights
+
+        dtype = params["token_embs"].dtype
+        packed = pack_decode_weights(dec["layers"], dtype, gated=True, cross=True, norm="rms")
+        bias_km = _t5_key_major_bias(bias_table)
+
+    def forward(tok, caches, pos):
+        # token at buffer index pos-1 -> cache/bias position pos-1
+        h = embed_rows(params["token_embs"], tok)
+        if fused:
+            sbias = lax.dynamic_slice(bias_km, (pos - 1, 0, 0), (1,) + bias_km.shape[1:])[0]
+            hx, k_new, v_new = fused_cross_decode_step(
+                h[:, 0, :], packed, caches["k"], caches["v"],
+                cross_caches["k"].astype(h.dtype), cross_caches["v"].astype(h.dtype),
+                cross_caches["len"][0], pos - 1, None, n_heads=lc.n_heads,
+                act="approximate_gelu", eps=1e-5, norm="rms", gated=True, sbias=sbias)
+            start = (0, 0, pos - 1, 0)
+            caches = {
+                "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
+                "v": lax.dynamic_update_slice(caches["v"], v_new[:, :, None, :].astype(caches["v"].dtype), start),
+            }
+            return linear(params["classifier"], rms_norm(dec["norm"], hx)), caches
+        bias = lax.dynamic_slice(bias_table, (0, pos - 1, 0), (bias_table.shape[0], 1, l_pad))
+        h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, None, pos - 1)
+        return linear(params["classifier"], rms_norm(dec["norm"], h))[:, 0], caches
+
+    pad_rows = jnp.full((w, 1), pad_id, jnp.int32)
+    last_logits, self_caches = forward(pad_rows, self_caches, 1)
+    buf = jnp.zeros((w, max_tokens), jnp.int32).at[:, 0].set(pad_id)
+
+    axis = 1 if fused else 0  # stacked caches: (L, W, ...); list: (W, ...)
+    gather = lambda caches, idx: jax.tree.map(lambda c: jnp.take(c, idx, axis=axis), caches)
+    return beam_decode_loop(forward, gather, self_caches, last_logits[0], buf,
+                            1, max_tokens, w, eos_id, alpha)
+
+
+_t5_beam = partial(jax.jit, static_argnums=(1, 4, 7))(_t5_beam_body)
+
+
 class T5Model(InferenceModel):
     """Public surface mirrors the reference T5Model (t5.py:134-201)."""
 
@@ -564,6 +636,36 @@ class T5Generator:
             return np.asarray(out)[0][: int(np.asarray(lengths)[0])].tolist()
         out, length = _t5_generate(self.model.params, self.model.cfg, jnp.asarray(buf), n, max_tokens, pad_id, eos_id)
         return np.asarray(out)[: int(length)].tolist()
+
+    def generate_beam(self, prompt: str, max_tokens: int = 100, beam_width: int = 4,
+                      length_penalty: float = 0.0) -> str:
+        """Beam-search generation (new vs the reference's greedy-only loop)."""
+        token_ids = self.tokenizer.Encode(prompt, add_eos=True)
+        out = self.generate_beam_tokens(token_ids, max_tokens, self.tokenizer.pad_id(),
+                                        self.tokenizer.eos_id(), beam_width, length_penalty)
+        return self.tokenizer.Decode(out)
+
+    def generate_beam_tokens(self, token_ids: list[int], max_tokens: int, pad_id: int,
+                             eos_id: int, beam_width: int = 4, length_penalty: float = 0.0,
+                             return_all: bool = False):
+        """Beam-search continuation; returns the best token sequence (pad +
+        generated + EOS, like :meth:`generate_tokens`), or ``(sequences,
+        scores)`` for all ``beam_width`` beams when ``return_all`` (best
+        first; scores are length-penalized log-probs — models/text/beam.py)."""
+        assert beam_width >= 1
+        assert length_penalty >= 0.0, "negative length_penalty breaks the early-stop bound"
+        n = len(token_ids)
+        pad = -(-n // ENC_BUCKET) * ENC_BUCKET
+        buf = np.zeros((pad,), np.int32)
+        buf[:n] = token_ids
+        seqs, scores, lens = _t5_beam(
+            self.model.params, self.model.cfg, jnp.asarray(buf), jnp.int32(n),
+            max_tokens, pad_id, eos_id, beam_width, float(length_penalty))
+        seqs, scores, lens = np.asarray(seqs), np.asarray(scores), np.asarray(lens)
+        outs = [seqs[i, : lens[i]].tolist() for i in range(beam_width)]
+        if return_all:
+            return outs, scores.tolist()
+        return outs[0]
 
     def generate_batch(self, prompts: list[str], max_tokens: int = 100) -> list[str]:
         """Batched greedy generation (new vs the reference's single-prompt loop)."""
