@@ -19,6 +19,7 @@ import numpy as np
 from jax import lax
 
 from ._decoder_lm import (
+    decoder_lm_apply,
     decoder_lm_forward_cached,
     decoder_lm_forward_cached_batch,
     decoder_lm_fused_ok,
@@ -224,6 +225,18 @@ def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id,
 _generate_batch = partial(jax.jit, static_argnums=(1, 5, 8, 9))(_generate_batch_body)
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _score_tokens(params, cfg, buf, n_rows):
+    """Teacher-forced per-token log-probs: (B, P) right-padded rows with (B,)
+    valid lengths -> (B, P-1) fp32 ``log p(x_t | x_<t)`` for t in [1, P),
+    zeroed past each row's length (causal masking makes right-pad harmless)."""
+    logits = decoder_lm_apply(params, cfg, buf)
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    tgt = buf[:, 1:].astype(jnp.int32)
+    ll = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    return ll * (jnp.arange(1, buf.shape[1])[None, :] < n_rows[:, None])
+
+
 class DecoderGenerator:
     """Drop-in equivalent of the reference DecoderGenerator (generator.py:11-37)."""
 
@@ -326,3 +339,29 @@ class DecoderGenerator:
         )
         out, lengths = np.asarray(out), np.asarray(lengths)
         return [out[i, pad_lens[i]: lengths[i]].tolist() for i in range(b)]
+
+    def score_tokens(self, tokens: list[int]) -> list[float]:
+        """Per-token log-probs ``log p(x_t | x_<t)`` for t >= 1 (teacher-forced,
+        one jitted forward; new vs the reference). Length: len(tokens) - 1."""
+        return self.score_tokens_batch([tokens])[0]
+
+    def score_tokens_batch(self, token_lists: list[list[int]]) -> list[list[float]]:
+        """Batched :meth:`score_tokens` over right-padded rows."""
+        cfg = self.model.cfg
+        assert all(len(ts) >= 2 for ts in token_lists), "scoring needs >= 2 tokens"
+        max_n = max(len(ts) for ts in token_lists)
+        assert max_n <= cfg.max_seq_len, f"sequence too long for context {cfg.max_seq_len}"
+        pad = min(-(-max_n // PROMPT_BUCKET) * PROMPT_BUCKET, cfg.max_seq_len)
+        b = len(token_lists)
+        buf = np.zeros((b, pad), np.int32)
+        ns = np.zeros((b,), np.int32)
+        for i, ts in enumerate(token_lists):
+            buf[i, : len(ts)] = ts
+            ns[i] = len(ts)
+        ll = np.asarray(_score_tokens(self.model.params, cfg, jnp.asarray(buf), jnp.asarray(ns)))
+        return [ll[i, : ns[i] - 1].tolist() for i in range(b)]
+
+    def perplexity(self, text: str) -> float:
+        """exp(-mean per-token log-prob) of the tokenized text."""
+        lls = self.score_tokens(self.tokenizer.encode(text))
+        return float(np.exp(-np.mean(lls)))

@@ -125,6 +125,33 @@ def test_batched_generation_matches_single(tiny_vocab):
     assert batched == singles
 
 
+def test_score_tokens_matches_reference(tiny_vocab):
+    """Teacher-forced log-probs == torch log_softmax over the reference's
+    logits, per position; batched rows match their single-row scores."""
+    import torch
+
+    r = rng(47)
+    ref, ours = _paired_models(r)
+    gen = DecoderGenerator(ours, FakeTokenizer())
+
+    seqs = [[5, 6, 7, 8, 9, 10], [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]]
+    for seq in seqs:
+        with torch.no_grad():
+            lg = ref(t(np.asarray(seq, np.int64)))
+            exp = torch.log_softmax(lg[:-1].float(), -1)
+            exp = exp[np.arange(len(seq) - 1), seq[1:]].numpy()
+        got = np.asarray(gen.score_tokens(seq))
+        np.testing.assert_allclose(got, exp, atol=1e-5)
+
+    batched = gen.score_tokens_batch(seqs)
+    singles = [gen.score_tokens(s) for s in seqs]
+    for b_row, s_row in zip(batched, singles):
+        np.testing.assert_allclose(b_row, s_row, atol=1e-6)
+
+    ppl = gen.perplexity("3141")
+    assert np.isfinite(ppl) and ppl > 0
+
+
 def test_int8_weight_only_quantization(tiny_vocab):
     """Weight-only int8 decode stays close to fp32 and runs end to end."""
     r = rng(46)
