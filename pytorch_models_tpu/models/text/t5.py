@@ -188,7 +188,8 @@ def t5_encoder_apply(p: dict, cfg: T5Config, x: jnp.ndarray, pad_bias: jnp.ndarr
     return rms_norm(p["norm"], x)
 
 
-def t5_decoder_apply(p: dict, cfg: T5Config, x: jnp.ndarray, memory: jnp.ndarray) -> jnp.ndarray:
+def t5_decoder_apply(p: dict, cfg: T5Config, x: jnp.ndarray, memory: jnp.ndarray,
+                     ca_bias: jnp.ndarray | None = None) -> jnp.ndarray:
     length = x.shape[-2]
     positions = jnp.arange(length)
     bias = relative_position_bias(p["attn_bias"], positions, positions, False, cfg)
@@ -196,7 +197,7 @@ def t5_decoder_apply(p: dict, cfg: T5Config, x: jnp.ndarray, memory: jnp.ndarray
     bias = bias + causal
 
     def body(h, lp):
-        return t5_block_apply(lp, cfg, h, memory=memory, attn_bias=bias), None
+        return t5_block_apply(lp, cfg, h, memory=memory, attn_bias=bias, ca_bias=ca_bias), None
 
     x, _ = lax.scan(body, x, p["layers"])
     return rms_norm(p["norm"], x)
@@ -218,8 +219,9 @@ def t5_encode(params, cfg: T5Config, tokens):
 
 
 @partial(jax.jit, static_argnums=1)
-def t5_decode(params, cfg: T5Config, tokens, memory):
-    x = t5_decoder_apply(params["decoder"], cfg, jnp.take(params["token_embs"], tokens, axis=0), memory)
+def t5_decode(params, cfg: T5Config, tokens, memory, ca_bias=None):
+    x = t5_decoder_apply(params["decoder"], cfg, jnp.take(params["token_embs"], tokens, axis=0),
+                         memory, ca_bias=ca_bias)
     return linear(params["classifier"], x)
 
 
@@ -483,6 +485,24 @@ def _t5_beam_body(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int,
 _t5_beam = partial(jax.jit, static_argnums=(1, 4, 7))(_t5_beam_body)
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _t5_score(params, cfg: T5Config, enc_buf, n_enc, dec_buf, n_dec):
+    """Teacher-forced seq2seq log-probs. ``enc_buf``: (B, P) right-padded
+    inputs with lengths ``n_enc``; ``dec_buf``: (B, T) decoder rows
+    ``[pad] + targets`` right-padded with target lengths ``n_dec``. Returns
+    (B, T-1) fp32 ``log p(y_t | y_<t, x)``, zeroed past each row's targets."""
+    b, p_len = enc_buf.shape
+    enc_valid = jnp.arange(p_len)[None, :] < n_enc[:, None]
+    pad_bias = jnp.where(enc_valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, None, :]
+    x = jnp.take(params["token_embs"], enc_buf, axis=0)
+    memory = t5_encoder_apply(params["encoder"], cfg, x, pad_bias=pad_bias)
+    logits = t5_decode(params, cfg, dec_buf, memory, ca_bias=pad_bias)
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    tgt = dec_buf[:, 1:].astype(jnp.int32)
+    ll = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    return ll * (jnp.arange(dec_buf.shape[1] - 1)[None, :] < n_dec[:, None])
+
+
 class T5Model(InferenceModel):
     """Public surface mirrors the reference T5Model (t5.py:134-201)."""
 
@@ -666,6 +686,38 @@ class T5Generator:
         if return_all:
             return outs, scores.tolist()
         return outs[0]
+
+    def score(self, prompt: str, target: str) -> list[float]:
+        """Per-token ``log p(y_t | y_<t, x)`` of ``target`` given ``prompt``
+        (teacher-forced, one jitted forward; new vs the reference)."""
+        inp = self.tokenizer.Encode(prompt, add_eos=True)
+        tgt = self.tokenizer.Encode(target, add_eos=True)
+        return self.score_tokens(inp, tgt, self.tokenizer.pad_id())
+
+    def score_tokens(self, input_ids: list[int], target_ids: list[int], pad_id: int) -> list[float]:
+        return self.score_tokens_batch([input_ids], [target_ids], pad_id)[0]
+
+    def score_tokens_batch(self, input_lists: list[list[int]], target_lists: list[list[int]],
+                           pad_id: int) -> list[list[float]]:
+        """Batched teacher-forced scoring over right-padded rows."""
+        b = len(input_lists)
+        assert len(target_lists) == b
+        assert all(len(ts) >= 1 for ts in target_lists), "empty target"
+        p = -(-max(len(ts) for ts in input_lists) // ENC_BUCKET) * ENC_BUCKET
+        t_len = -(-(max(len(ts) for ts in target_lists) + 1) // 16) * 16
+        enc = np.zeros((b, p), np.int32)
+        dec = np.zeros((b, t_len), np.int32)
+        n_enc = np.zeros((b,), np.int32)
+        n_dec = np.zeros((b,), np.int32)
+        for i, (inp, tgt) in enumerate(zip(input_lists, target_lists)):
+            enc[i, : len(inp)] = inp
+            n_enc[i] = len(inp)
+            dec[i, 0] = pad_id
+            dec[i, 1: 1 + len(tgt)] = tgt
+            n_dec[i] = len(tgt)
+        ll = np.asarray(_t5_score(self.model.params, self.model.cfg, jnp.asarray(enc),
+                                  jnp.asarray(n_enc), jnp.asarray(dec), jnp.asarray(n_dec)))
+        return [ll[i, : n_dec[i]].tolist() for i in range(b)]
 
     def generate_batch(self, prompts: list[str], max_tokens: int = 100) -> list[str]:
         """Batched greedy generation (new vs the reference's single-prompt loop)."""

@@ -139,6 +139,33 @@ def test_generate_matches_reference(paired):
     assert actual == output_ids
 
 
+def test_score_tokens_matches_reference(paired):
+    """Teacher-forced seq2seq log-probs == torch log_softmax over reference
+    logits on unpadded rows — exercises the encoder pad mask and the
+    cross-attention ca_bias (inputs are NOT bucket multiples)."""
+    import torch
+
+    pm, ref, ours, r = paired
+    gen = T5Generator(model=ours, tokenizer=object())
+    pad_id = 0
+    inputs = [r.integers(1, 100, (12,)).tolist(), r.integers(1, 100, (7,)).tolist()]
+    targets = [r.integers(1, 100, (6,)).tolist(), r.integers(1, 100, (9,)).tolist()]
+
+    for inp, tgt in zip(inputs, targets):
+        dec_in = [pad_id] + tgt
+        with torch.no_grad():
+            lg = ref(t(np.asarray(inp, np.int64)), t(np.asarray(dec_in, np.int64)))
+            exp = torch.log_softmax(lg[:-1].float(), -1)
+            exp = exp[np.arange(len(tgt)), tgt].numpy()
+        got = np.asarray(gen.score_tokens(inp, tgt, pad_id))
+        np.testing.assert_allclose(got, exp, atol=1e-4)
+
+    batched = gen.score_tokens_batch(inputs, targets, pad_id)
+    singles = [gen.score_tokens(i_, t_, pad_id) for i_, t_ in zip(inputs, targets)]
+    for b_row, s_row in zip(batched, singles):
+        np.testing.assert_allclose(b_row, s_row, atol=1e-5)
+
+
 def test_batched_generation_matches_single(paired):
     pm, ref, ours, r = paired
     gen = T5Generator(model=ours, tokenizer=object())
