@@ -65,6 +65,20 @@ def use_fused_step() -> bool:
     return _on_tpu()
 
 
+# w8a8 decode (ops/decode_step.py ``a8=True``): when the fused step streams
+# int8 weights, ALSO quantize each phase's activation per row and run int8 x
+# int8 MXU dots — no per-tile int8->bf16 cast (the sublane relayout that made
+# cast-only w8a16 streaming slower than bf16, PERF.md #17b). Opt-in: it
+# changes numerics (8-bit per-phase rounding), so int8 models keep w8a16
+# behavior unless this is set True. Read at TRACE time.
+USE_A8_DECODE: bool = False
+
+
+def use_a8_decode(packed_wqkv_dtype) -> bool:
+    """True only when the mode is on AND the packed weights are int8."""
+    return USE_A8_DECODE and packed_wqkv_dtype == jnp.int8
+
+
 # fused greedy head (ops/greedy_head.py): argmax(x @ emb.T) without the
 # (B, V) logits round-trip. None = auto (on for TPU at batch >= 4 — at B=1
 # the chunked matmuls lose to XLA's single streamed head, measured ~10%

@@ -112,7 +112,8 @@ def _norm(x, scale, bias, eps, kind):
 def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             rows: dict, bkv: int, bkv_x: int, act: str, eps: float, scale: float,
             prec, cross: bool, norm_kind: str, gated: bool, has_sbias: bool,
-            b: int, head_v: int | None = None, wt_int8: bool = False):
+            b: int, head_v: int | None = None, wt_int8: bool = False,
+            a8: bool = False):
     refs = list(refs)
     with_head = head_v is not None
 
@@ -221,7 +222,30 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
     def stream(x_act, hbm, scr, sem, r, n_tiles, n_cols, next_warmup):
         """acc = x_act @ W with W double-buffer-streamed in full-width row
         tiles; ``next_warmup()`` is issued once this phase's own starts are
-        all queued (keeps the DMA queues ordered by consumption)."""
+        all queued (keeps the DMA queues ordered by consumption).
+
+        ``a8`` (w8a8 serving mode): the activation is symmetric-quantized
+        per ROW once per phase and every tile dot runs int8 x int8 -> int32
+        on the MXU — no per-tile int8->bf16 cast (the sublane relayout that
+        made cast-only w8a16 streaming SLOWER than bf16, PERF.md #17b). The
+        int32 accumulation is exact, so dequant is one (row_scale x
+        col_scale) rescale after the loop (col scale applied by the caller)."""
+        if wt_int8 and a8:
+            x32 = x_act.astype(f32)
+            absmax = jnp.max(jnp.abs(x32), axis=1, keepdims=True)
+            r_scale = jnp.where(absmax == 0.0, 1.0, absmax) * (1.0 / 127.0)
+            x_q = jnp.clip(jnp.round(x32 / r_scale), -127, 127).astype(jnp.int8)
+            acc_i = jnp.zeros((b, n_cols), jnp.int32)
+            for t in range(n_tiles):
+                wdma(hbm, scr, sem, l, t, r, t % 2).wait()
+                if t + 2 < n_tiles:
+                    wdma(hbm, scr, sem, l, t + 2, r, t % 2).start()
+                if t == max(0, n_tiles - 2) and next_warmup is not None:
+                    next_warmup()
+                acc_i = acc_i + lax.dot_general(
+                    x_q[:, t * r:(t + 1) * r], scr[t % 2],
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            return acc_i.astype(f32) * r_scale
         acc = jnp.zeros((b, n_cols), f32)
         for t in range(n_tiles):
             wdma(hbm, scr, sem, l, t, r, t % 2).wait()
@@ -645,11 +669,12 @@ def pack_greedy_head(w, norm_p: dict, dtype=jnp.bfloat16, tied: bool = True):
 
 def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
                 norm, gated, sbias, cross_k, cross_v, cross_lens,
-                head=None, head_v=None):
+                head=None, head_v=None, a8=False):
     b, d = x.shape
     n_layers, _, l_max, hd = k_caches.shape
     cross = cross_k is not None
     with_head = head_v is not None
+    assert not a8 or packed["wqkv"].dtype == jnp.int8, "a8 needs int8-packed weights"
     if gated:
         dff = packed["w2"].shape[-2]
     else:
@@ -786,7 +811,7 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
         rows=rows, bkv=bkv, bkv_x=bkv_x, act=act, eps=eps,
         scale=1.0 / (head_dim ** 0.5), prec=prec, cross=cross,
         norm_kind=norm, gated=gated, has_sbias=sbias is not None, b=b,
-        head_v=head_v, wt_int8=wt_int8)
+        head_v=head_v, wt_int8=wt_int8, a8=a8)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -802,10 +827,10 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
     return tuple(out)
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads", "act", "eps", "head_v"))
+@functools.partial(jax.jit, static_argnames=("n_heads", "act", "eps", "head_v", "a8"))
 def fused_decode_step(x, packed, k_caches, v_caches, pos, pad_lens,
                       n_heads: int, act: str = "gelu", eps: float = 1e-5,
-                      head=None, head_v: int | None = None):
+                      head=None, head_v: int | None = None, a8: bool = False):
     """One full decode step over a self-attention-only layer stack (GPT-2).
 
     ``x``: (B, d) hidden states (embeddings already applied);
@@ -820,27 +845,34 @@ def fused_decode_step(x, packed, k_caches, v_caches, pos, pad_lens,
     ``head``/``head_v`` (:func:`pack_greedy_head`), an extra grid step runs
     final-norm + the streamed greedy argmax and a fourth output ``tok (B,)``
     int32 is returned — the (B, V) logits never leave the chip.
+
+    ``a8=True`` (requires int8-packed weights): w8a8 serving mode — per-row
+    dynamic activation quantization + int8 MXU dots in every weight-stream
+    phase (see ``stream``). Changes numerics (~8-bit per-phase rounding);
+    attention, norms, the residual stream, and the greedy head stay
+    bf16/fp32.
     """
     return _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads,
                        act, eps, "ln", False, None, None, None, None,
-                       head=head, head_v=head_v)
+                       head=head, head_v=head_v, a8=a8)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_heads", "act", "eps", "norm", "gated", "head_v"))
+                   static_argnames=("n_heads", "act", "eps", "norm", "gated", "head_v", "a8"))
 def fused_cross_decode_step(x, packed, k_caches, v_caches, cross_k, cross_v,
                             cross_lens, pos, pad_lens, n_heads: int,
                             act: str = "gelu", eps: float = 1e-5,
                             norm: str = "ln", gated: bool = False, sbias=None,
-                            head=None, head_v: int | None = None):
+                            head=None, head_v: int | None = None,
+                            a8: bool = False):
     """Decode step for cross-attention decoders (Whisper ``norm="ln"``;
     T5 ``norm="rms", gated=True`` with ``sbias`` the key-major rel-pos
     decode-bias table ``(Lmax, 128)`` fp32, shared across layers/batch).
 
     ``cross_k``/``cross_v``: (L, B, Lx, H*D) precomputed encoder caches;
     ``cross_lens``: (B,) per-row valid memory lengths. ``head``/``head_v``
-    as in :func:`fused_decode_step`.
+    and ``a8`` (w8a8 serving mode) as in :func:`fused_decode_step`.
     """
     return _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads,
                        act, eps, norm, gated, sbias, cross_k, cross_v, cross_lens,
-                       head=head, head_v=head_v)
+                       head=head, head_v=head_v, a8=a8)

@@ -478,3 +478,96 @@ def test_fused_step_end_to_end_batched_generation():
         attn_mod.USE_FUSED_STEP = None
         jax.clear_caches()
     assert fused_out == baseline
+
+
+def test_fused_step_a8_matches_w8a8_oracle():
+    """w8a8 mode (``a8=True``): per-row dynamic activation quantization +
+    int8 x int8 int32-exact dots per weight-stream phase. The int32
+    accumulation is order-independent and exact, so an XLA oracle doing the
+    SAME quantize -> int-dot -> rescale math must agree to fp32 roundoff.
+    Checked against a full w8a8 re-implementation of the 2-layer stack."""
+    from pytorch_models_tpu.utils.params import quantize_tree_int8
+
+    r = rng(211)
+    b, d, n_layers, l_max, pos = 4, 128, 2, 128, 33
+    cfg, params = _setup(b=b, d=d, n_layers=n_layers, l_max=l_max)
+    qparams = {"layers": quantize_tree_int8(params["layers"])}
+    hd = cfg.n_heads * cfg.head_dim
+
+    x = jnp.asarray(r.standard_normal((b, d)), jnp.float32)
+    caches = {
+        "k": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+        "v": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+    }
+    packed = pack_decode_weights(qparams["layers"], jnp.float32)
+    assert packed["wqkv"].dtype == jnp.int8
+    with pltpu.force_tpu_interpret_mode():
+        x_out, k_new, v_new = fused_decode_step(
+            x, packed, caches["k"], caches["v"], pos, None,
+            n_heads=cfg.n_heads, act=cfg.act, eps=cfg.norm_eps, a8=True)
+
+    # ---- oracle: the same math in plain jnp -------------------------------
+    def q_dot(h, w_q, col_s):
+        absmax = jnp.max(jnp.abs(h), axis=1, keepdims=True)
+        r_scale = jnp.where(absmax == 0.0, 1.0, absmax) * (1.0 / 127.0)
+        h_q = jnp.clip(jnp.round(h / r_scale), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(h_q, w_q, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * r_scale * col_s
+
+    def ln(h, p):
+        m = h.mean(axis=-1, keepdims=True)
+        v = ((h - m) ** 2).mean(axis=-1, keepdims=True)
+        return (h - m) / jnp.sqrt(v + cfg.norm_eps) * p["scale"] + p["bias"]
+
+    lp = qparams["layers"]
+    hcur = x
+    for li in range(n_layers):
+        h1 = ln(hcur, {k: lp["sa_norm"][k][li] for k in ("scale", "bias")})
+        wq = jnp.concatenate([lp["sa"][n]["w"]["w_q"][li] for n in ("q", "k", "v")], axis=-1)
+        sq = jnp.concatenate([lp["sa"][n]["w"]["w_s"][li][0] for n in ("q", "k", "v")], axis=-1)
+        bq = jnp.concatenate([lp["sa"][n]["b"][li] for n in ("q", "k", "v")], axis=-1)
+        qkv = q_dot(h1, wq, sq) + bq
+        q, k_n, v_n = qkv[:, :hd], qkv[:, hd:2 * hd], qkv[:, 2 * hd:]
+        np.testing.assert_allclose(np.asarray(k_new[li]), np.asarray(k_n), rtol=2e-5, atol=2e-5)
+
+        # attention over the valid prefix + current position (merged heads)
+        dh = cfg.head_dim
+        qh = q.reshape(b, cfg.n_heads, dh)
+        kc = jnp.concatenate([caches["k"][li][:, :pos, :], k_n[:, None, :]], axis=1)
+        vc = jnp.concatenate([caches["v"][li][:, :pos, :], v_n[:, None, :]], axis=1)
+        kh = kc.reshape(b, pos + 1, cfg.n_heads, dh)
+        vh = vc.reshape(b, pos + 1, cfg.n_heads, dh)
+        s = jnp.einsum("bhd,bphd->bhp", qh, kh) / np.sqrt(dh)
+        a = jax.nn.softmax(s, axis=-1)
+        ctx = jnp.einsum("bhp,bphd->bhd", a, vh).reshape(b, hd)
+
+        o = q_dot(ctx, lp["sa"]["o"]["w"]["w_q"][li], lp["sa"]["o"]["w"]["w_s"][li][0]) \
+            + lp["sa"]["o"]["b"][li]
+        hcur = hcur + o
+        h2 = ln(hcur, {k: lp["mlp_norm"][k][li] for k in ("scale", "bias")})
+        m1 = q_dot(h2, lp["mlp"]["fc1"]["w"]["w_q"][li], lp["mlp"]["fc1"]["w"]["w_s"][li][0]) \
+            + lp["mlp"]["fc1"]["b"][li]
+        g = 0.5 * m1 * (1.0 + jnp.tanh(np.sqrt(2 / np.pi) * (m1 + 0.044715 * m1 ** 3)))
+        m2 = q_dot(g, lp["mlp"]["fc2"]["w"]["w_q"][li], lp["mlp"]["fc2"]["w"]["w_s"][li][0]) \
+            + lp["mlp"]["fc2"]["b"][li]
+        hcur = hcur + m2
+
+    ref = np.asarray(hcur, np.float32)
+    got = np.asarray(x_out, np.float32)
+    scale = max(np.abs(ref).max(), 1.0)
+    assert np.abs(got - ref).max() / scale < 1e-4, np.abs(got - ref).max() / scale
+
+
+def test_fused_step_a8_requires_int8():
+    cfg, params = _setup()
+    packed = pack_decode_weights(params["layers"], jnp.float32)
+    caches_k = jnp.zeros((2, 4, 128, 128), jnp.float32)
+    try:
+        fused_decode_step(jnp.zeros((4, 128), jnp.float32), packed, caches_k,
+                          caches_k, 8, None, n_heads=cfg.n_heads, act=cfg.act,
+                          eps=cfg.norm_eps, a8=True)
+        raised = False
+    except AssertionError:
+        raised = True
+    assert raised, "a8 over bf16-packed weights must be rejected"
