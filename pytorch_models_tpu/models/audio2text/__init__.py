@@ -1,4 +1,6 @@
 from .tokenizer import WhisperTokenizer
-from .whisper import Whisper, WhisperGenerator, WhisperPreprocessor
+from .whisper import (SpeculativeWhisperGenerator, Whisper, WhisperGenerator,
+                      WhisperPreprocessor)
 
-__all__ = ["Whisper", "WhisperGenerator", "WhisperPreprocessor", "WhisperTokenizer"]
+__all__ = ["SpeculativeWhisperGenerator", "Whisper", "WhisperGenerator",
+           "WhisperPreprocessor", "WhisperTokenizer"]

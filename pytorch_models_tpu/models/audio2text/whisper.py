@@ -141,6 +141,7 @@ def _fused_whisper_step(p, packed, head, head_v, cfg: WhisperConfig, tok, caches
     call over the whole layer stack (self + cross attention + MLP + final LN
     + streamed greedy argmax head). ``caches``/``cross`` leaves are
     (L, B, Lmax|Lx, H*D); returns ``(next_token (B,), caches)``."""
+    from ...ops import attention as _attn
     from ...ops.decode_step import fused_cross_decode_step
 
     x = embed_rows(p["token_embs"], tok[:, 0])  # (B, d)
@@ -150,7 +151,7 @@ def _fused_whisper_step(p, packed, head, head_v, cfg: WhisperConfig, tok, caches
         x, packed, caches["k"], caches["v"],
         cross["k"].astype(x.dtype), cross["v"].astype(x.dtype), cross["len"][0],
         pos, None, n_heads=lc.n_heads, act=lc.act, eps=lc.norm_eps, norm="ln",
-        head=head, head_v=head_v)
+        head=head, head_v=head_v, a8=_attn.use_a8_decode(packed["wqkv"].dtype))
     start = (0, 0, pos, 0)
     caches = {
         "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
@@ -210,6 +211,83 @@ def _whisper_generate_body(params, cfg: WhisperConfig, memory, initial_tokens, m
 
     buf, length, _, _ = lax.while_loop(cond, body, state)
     return buf, length
+
+
+def _whisper_speculative_body(params, cfg: WhisperConfig, draft_params,
+                              draft_cfg: WhisperConfig, memory, d_memory,
+                              initial_tokens, max_tokens: int, eot_id, k: int):
+    """Greedy speculative transcription: a smaller Whisper drafts k tokens,
+    the target verifies them in one KV-cached (k+1)-position decoder chunk
+    (models/text/speculative.py greedy core — token-identical to
+    :func:`_whisper_generate_body` for ANY draft). Each model attends its own
+    encoding of the same segment (``memory`` / ``d_memory``)."""
+    from ..text.speculative import spec_greedy_decode_loop
+    from ...ops.layers import dot_precision
+
+    p, dp = params["decoder"], draft_params["decoder"]
+    lc, dlc = cfg.dec_layer, draft_cfg.dec_layer
+    n_init = initial_tokens.shape[0]
+    # headroom for the draft scratch; at the 448-position table edge the loop
+    # stops up to k tokens early instead (decoder-LM convention)
+    l_buf = min(max_tokens + k, DEC_MAX_LEN)
+
+    # the draft's single-token steps ride the decode megakernel when eligible
+    # (batch-of-1, in-kernel greedy head) — the same path the plain batched
+    # generator uses on TPU; the verify chunk is a per-op S=k+1 forward
+    fused_draft = _whisper_fused_ok(dp, draft_cfg, l_buf)
+    t_caches = tfm.make_kv_cache(cfg.n_layers, (), lc.n_heads, l_buf, lc.head_dim,
+                                 dtype=p["token_embs"].dtype, stacked=False)
+    d_caches = tfm.make_kv_cache(draft_cfg.n_layers, (1,) if fused_draft else (),
+                                 dlc.n_heads, l_buf, dlc.head_dim,
+                                 dtype=dp["token_embs"].dtype, stacked=fused_draft)
+    t_cross = tfm.precompute_cross_caches(p, lc, memory)
+    d_cross = tfm.precompute_cross_caches(dp, dlc,
+                                          d_memory[None] if fused_draft else d_memory)
+    if fused_draft:
+        from ...ops.decode_step import pack_decode_weights, pack_greedy_head
+
+        d_packed = pack_decode_weights(dp["layers"], dp["token_embs"].dtype, cross=True)
+        d_head, d_head_v = pack_greedy_head(dp["token_embs"], dp["norm"],
+                                            dp["token_embs"].dtype)
+
+    def fwd(pp, llc, cross, tokens, caches, pos):
+        s = tokens.shape[-1]
+        x = embed_rows(pp["token_embs"], tokens)
+        x = x + lax.dynamic_slice(pp["pos_embs"], (pos, 0),
+                                  (s, pp["pos_embs"].shape[-1])).astype(x.dtype)
+        x, caches = tfm.decoder_apply(pp, llc, x, self_caches=caches,
+                                      cross_caches=cross, pos=pos)
+        hn = layer_norm(pp["norm"], x)
+        lg = jnp.matmul(hn, pp["token_embs"].astype(hn.dtype).T,
+                        precision=dot_precision(hn))
+        return lg, caches
+
+    def verify_chunk(chunk, caches, pos):
+        lg, caches = fwd(p, lc, t_cross, chunk, caches, pos)
+        return jnp.argmax(lg, axis=-1).astype(jnp.int32), caches
+
+    def draft_step(tok, caches, pos):
+        if fused_draft:
+            nxt, caches = _fused_whisper_step(dp, d_packed, d_head, d_head_v,
+                                              draft_cfg, tok[None], caches,
+                                              d_cross, pos)
+            return nxt[0], caches
+        lg, caches = fwd(dp, dlc, d_cross, tok, caches, pos)
+        return jnp.argmax(lg[0], axis=-1).astype(jnp.int32), caches
+
+    buf = jnp.zeros((l_buf,), jnp.int32)
+    buf = lax.dynamic_update_slice(buf, initial_tokens.astype(jnp.int32), (0,))
+    lg, t_caches = fwd(p, lc, t_cross, initial_tokens, t_caches, 0)
+    first = jnp.argmax(lg[n_init - 1], axis=-1).astype(jnp.int32)
+    # draft prefill (batch-of-1 rows when its caches are layer-stacked)
+    _, d_caches = fwd(dp, dlc, d_cross,
+                      initial_tokens[None] if fused_draft else initial_tokens,
+                      d_caches, 0)
+    buf = buf.at[n_init].set(first)
+
+    return spec_greedy_decode_loop(draft_step, verify_chunk, t_caches, d_caches,
+                                   buf, n_init + 1, first == eot_id, max_tokens,
+                                   k, eot_id, l_buf)
 
 
 def _whisper_generate_batch_body(params, cfg: WhisperConfig, memory, initial_tokens, max_tokens: int, eot_id):
@@ -313,6 +391,7 @@ def _whisper_beam_body(params, cfg: WhisperConfig, memory, initial_tokens,
         lambda c: jnp.broadcast_to(c, (c.shape[0], w, *c.shape[2:])),
         tfm.precompute_cross_caches(p, lc, memory[None]))
     if fused:
+        from ...ops import attention as _attn
         from ...ops.decode_step import fused_cross_decode_step, pack_decode_weights
 
         packed = pack_decode_weights(p["layers"], p["token_embs"].dtype, cross=True)
@@ -341,7 +420,8 @@ def _whisper_beam_body(params, cfg: WhisperConfig, memory, initial_tokens,
                 x, packed, caches["k"], caches["v"],
                 cross_caches["k"].astype(x.dtype), cross_caches["v"].astype(x.dtype),
                 cross_caches["len"][0], pos - 1, None,
-                n_heads=lc.n_heads, act=lc.act, eps=lc.norm_eps, norm="ln")
+                n_heads=lc.n_heads, act=lc.act, eps=lc.norm_eps, norm="ln",
+                a8=_attn.use_a8_decode(packed["wqkv"].dtype))
             start = (0, 0, pos - 1, 0)
             caches = {
                 "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
@@ -683,3 +763,72 @@ class WhisperGenerator:
         outs = self.transcribe_long_tokens(audio, initial_tokens, self.tokenizer.eot,
                                            sot_prev, ctx_tokens, max_tokens, batch_size)
         return "".join(self.tokenizer.decode(o) for o in outs)
+
+
+class SpeculativeWhisperGenerator:
+    """WhisperGenerator accelerated by a smaller draft Whisper (e.g. tiny
+    drafting for base/small). Greedy and EXACT: output is token-identical to
+    :meth:`WhisperGenerator.transcribe_tokens` for ANY draft — accepted drafts
+    equal the target argmax by construction, the first mismatch is replaced
+    by it (models/text/speculative.py cores; capability beyond the
+    reference). All OpenAI Whisper variants share one BPE vocabulary, so any
+    size pairing works. Mel + both encoders + the speculative decode run in
+    ONE jit call per segment (the tunnel costs ~6 ms per dispatch, PERF.md)."""
+
+    SAMPLE_RATE = WhisperGenerator.SAMPLE_RATE
+    N_SAMPLES = WhisperGenerator.N_SAMPLES
+
+    def __init__(self, model: Whisper, draft_model: Whisper, tokenizer=None,
+                 k: int = 4) -> None:
+        assert model.cfg.vocab_size == draft_model.cfg.vocab_size, \
+            "draft and target must share a vocabulary"
+        assert k >= 1
+        self.model = model
+        self.draft_model = draft_model
+        self.tokenizer = tokenizer
+        self.k = k
+        t_pre = WhisperPreprocessor("large-v3" if model.cfg.n_mels == 128 else "tiny")
+        d_pre = WhisperPreprocessor("large-v3" if draft_model.cfg.n_mels == 128 else "tiny")
+        t_fwd, d_fwd = t_pre._forward, d_pre._forward
+        t_cfg, d_cfg = model.cfg, draft_model.cfg
+        kk = k
+
+        @partial(jax.jit, static_argnums=(3,))
+        def _spec_transcribe(params, d_params, audio, max_tokens, initial_tokens, eot_id):
+            memory = _whisper_encode_body(params, t_cfg, t_fwd(audio))[0]
+            d_memory = _whisper_encode_body(d_params, d_cfg, d_fwd(audio))[0]
+            return _whisper_speculative_body(params, t_cfg, d_params, d_cfg, memory,
+                                             d_memory, initial_tokens, max_tokens,
+                                             eot_id, kk)
+
+        self._spec_transcribe = _spec_transcribe
+
+    def transcribe_tokens(self, audio, initial_tokens: list[int], eot_id: int,
+                          max_tokens: int = DEC_MAX_LEN) -> list[int]:
+        """Waveform (n,) -> transcribed token ids (greedy, single 30 s
+        segment; token-identical to the plain generator)."""
+        assert max_tokens <= DEC_MAX_LEN, (
+            f"max_tokens={max_tokens} exceeds the decoder position table ({DEC_MAX_LEN})")
+        wav = WhisperGenerator._stage_segment(self, audio)
+        buf, length = self._spec_transcribe(
+            self.model.params, self.draft_model.params, wav, max_tokens,
+            jnp.asarray(initial_tokens, jnp.int32), eot_id)
+        out = np.asarray(buf)[: int(length)]
+        n = len(initial_tokens)
+        hits = np.nonzero(out[n:] == eot_id)[0]  # truncate at the first EOT
+        if hits.size:
+            out = out[: n + hits[0] + 1]
+        return out.tolist()
+
+    def transcribe(self, audio, initial_tokens: list[int] | None = None,
+                   eot_id: int | None = None, max_tokens: int = DEC_MAX_LEN,
+                   language: str = "en", task: str = "transcribe") -> str:
+        """Waveform -> text (needs a tokenizer, like WhisperGenerator)."""
+        if self.tokenizer is None:
+            raise ValueError("transcribe() returns text and needs a tokenizer; "
+                             "use transcribe_tokens(...) for raw token ids")
+        if initial_tokens is None or eot_id is None:
+            initial_tokens = self.tokenizer.sot_sequence(language, task)
+            eot_id = self.tokenizer.eot
+        tokens = self.transcribe_tokens(audio, initial_tokens, eot_id, max_tokens)
+        return self.tokenizer.decode(tokens)

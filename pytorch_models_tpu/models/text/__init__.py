@@ -4,8 +4,9 @@ from .generator import DecoderGenerator
 from .gpt import GPT
 from .gpt2 import GPT2
 from .speculative import SpeculativeDecoderGenerator
-from .t5 import T5Generator, T5Model
+from .t5 import SpeculativeT5Generator, T5Generator, T5Model
 from .tokenizer import GPT2Tokenizer
 
 __all__ = ["BERT", "ContinuousBatchingGenerator", "DecoderGenerator", "GPT", "GPT2",
-           "GPT2Tokenizer", "SpeculativeDecoderGenerator", "T5Generator", "T5Model"]
+           "GPT2Tokenizer", "SpeculativeDecoderGenerator", "SpeculativeT5Generator",
+           "T5Generator", "T5Model"]

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ... import transformer as tfm
+from ...ops import attention as _attn
 from ...ops import layer_norm
 
 
@@ -29,6 +30,10 @@ class DecoderLMConfig:
     final_norm: bool
     act: str = "approximate_gelu"
     norm_eps: float = 1e-5
+    # "xla" forces the einsum attention path (no Pallas dispatch) — used by
+    # code that runs the cached forward under vmap (batched speculative),
+    # where per-row cache positions rule out the decode kernel.
+    attn_impl: str = "auto"
     # Tensor-parallel serving (parallel/serving.py): under shard_map each rank
     # holds local_heads = n_heads/tp heads and all-reduces over tp_axis.
     local_heads: int | None = None
@@ -40,7 +45,8 @@ class DecoderLMConfig:
                  else {"n_heads": self.local_heads, "head_dim": 64})
         return tfm.LayerConfig.make(
             self.d_model, **({"n_heads": self.d_model // 64} | heads), act=self.act,
-            pre_norm=self.pre_norm, norm_eps=self.norm_eps, tp_axis=self.tp_axis
+            pre_norm=self.pre_norm, norm_eps=self.norm_eps, tp_axis=self.tp_axis,
+            attn_impl=self.attn_impl,
         )
 
 
@@ -128,7 +134,6 @@ def decoder_lm_hidden_cached_batch(params, cfg: DecoderLMConfig, tokens, pos_ids
 
 def decoder_lm_fused_ok(params, cfg: DecoderLMConfig) -> bool:
     """Static gate for the one-kernel fused decode step (ops/decode_step.py)."""
-    from ...ops import attention as _attn
     from ...ops.decode_step import fused_step_eligible
     from ...transformer import padded_cache_len
 
@@ -166,7 +171,8 @@ def decoder_lm_fused_tok_batch(params, packed, head, head_v, cfg: DecoderLMConfi
     lc = cfg.layer
     _, k_new, v_new, tok = fused_decode_step(
         x, packed, caches["k"], caches["v"], pos, pad_lens,
-        n_heads=lc.n_heads, act=lc.act, eps=cfg.norm_eps, head=head, head_v=head_v)
+        n_heads=lc.n_heads, act=lc.act, eps=cfg.norm_eps, head=head, head_v=head_v,
+        a8=_attn.use_a8_decode(packed["wqkv"].dtype))
     start = (0, 0, pos, 0)
     caches = {
         "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
@@ -190,7 +196,8 @@ def decoder_lm_hidden_fused_batch(params, packed, cfg: DecoderLMConfig, tokens, 
     x = x + embed_rows(params["pos_embs"], pos_ids[:, 0]).astype(x.dtype)
     lc = cfg.layer
     x, k_new, v_new = fused_decode_step(x, packed, caches["k"], caches["v"], pos, pad_lens,
-                                        n_heads=lc.n_heads, act=lc.act, eps=cfg.norm_eps)
+                                        n_heads=lc.n_heads, act=lc.act, eps=cfg.norm_eps,
+                                        a8=_attn.use_a8_decode(packed["wqkv"].dtype))
     start = (0, 0, pos, 0)
     caches = {
         "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),

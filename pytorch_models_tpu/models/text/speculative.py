@@ -57,9 +57,63 @@ from ._decoder_lm import (
 from .generator import PROMPT_BUCKET, _check_sampling, _is_greedy, _nucleus_mask
 
 
-@partial(jax.jit, static_argnums=(1, 3, 7, 9))
-def _speculative_generate(params, cfg, draft_params, draft_cfg, prompt_buf,
-                          n_prompt, limit, k, eos_id, fused_draft=False):
+def spec_greedy_decode_loop(draft_step, verify_chunk, t_state, d_state, buf,
+                            pos0, done0, limit, k: int, eos_id, l_max: int):
+    """Model-agnostic greedy speculative loop (the seq2seq generators reuse
+    it with their own cached forwards — see models/text/t5.py and
+    models/audio2text/whisper.py).
+
+    ``draft_step(tok (1,), d_state, pos) -> (next_tok (), d_state)``: one
+    greedy draft step given the token at position ``pos``.
+    ``verify_chunk(chunk (k+1,), t_state, pos) -> (argmaxes (k+1,), t_state)``:
+    target argmaxes for a chunk placed at positions ``[pos, pos+k]``.
+    ``buf``: (l_max,) int32 with everything below ``pos0`` already decoded
+    (prompt/start tokens + the first target token); slots >= pos0 are scratch.
+    Returns ``(buf, length)`` with length clamped to ``limit``.
+    """
+    state = (buf, pos0, t_state, d_state, done0)
+
+    def cond(s):
+        _, pos, _, _, done = s
+        # need slots [pos, pos+k) for drafts and chunk [pos-1, pos+k)
+        return jnp.logical_and(jnp.logical_not(done),
+                               jnp.logical_and(pos < limit, pos + k <= l_max))
+
+    def body(s):
+        buf, pos, t_state, d_state, done = s
+
+        # ---- draft phase: k sequential single-token steps into buf[pos+j)
+        for j in range(k):
+            tok = lax.dynamic_slice(buf, (pos - 1 + j,), (1,))
+            nxt, d_state = draft_step(tok, d_state, pos - 1 + j)
+            buf = lax.dynamic_update_slice(buf, nxt[None], (pos + j,))
+
+        # ---- verify phase: one (k+1)-token chunk through the target
+        chunk = lax.dynamic_slice(buf, (pos - 1,), (k + 1,))
+        t_toks, t_state = verify_chunk(chunk, t_state, pos - 1)
+
+        drafts = lax.dynamic_slice(buf, (pos,), (k,))
+        eq = (drafts == t_toks[:k]).astype(jnp.int32)
+        n_acc = jnp.sum(jnp.cumprod(eq))  # leading run of accepted drafts
+        correction = t_toks[n_acc]
+        # pos+n_acc can be l_max exactly (all k accepted at the buffer edge);
+        # dynamic_update_slice would clamp the write onto l_max-1 and stomp
+        # the accepted draft there — make the clamped write a no-op instead
+        val = jnp.where(pos + n_acc >= l_max, buf[l_max - 1], correction)
+        buf = lax.dynamic_update_slice(buf, val[None], (pos + n_acc,))
+
+        # emitted this iteration = t_toks[0..n_acc] (accepted drafts == the
+        # target argmaxes, plus the correction/bonus token)
+        idx = jnp.arange(k + 1)
+        eos_hit = jnp.any(jnp.logical_and(idx <= n_acc, t_toks == eos_id))
+        return buf, pos + n_acc + 1, t_state, d_state, eos_hit
+
+    buf, length, _, _, _ = lax.while_loop(cond, body, state)
+    return buf, jnp.minimum(length, limit)  # an iteration may overshoot
+
+
+def _spec_greedy_loop(params, cfg, draft_params, draft_cfg, prompt_buf,
+                      n_prompt, limit, k, eos_id, fused_draft=False):
     """Prefill both models + while_loop of (k draft steps, 1 verify chunk).
 
     ``prompt_buf``: (P,) right-padded prompt; ``limit``: prompt + max_tokens
@@ -93,52 +147,46 @@ def _speculative_generate(params, cfg, draft_params, draft_cfg, prompt_buf,
     buf = lax.dynamic_update_slice(buf, prompt_buf.astype(jnp.int32), (0,))
     first = jnp.argmax(last, axis=-1).astype(jnp.int32)
     buf = lax.dynamic_update_slice(buf, first[None], (n_prompt,))
-    state = (buf, n_prompt + 1, t_caches, d_caches, first == eos_id)
 
-    def cond(s):
-        _, pos, _, _, done = s
-        # need slots [pos, pos+k) for drafts and chunk [pos-1, pos+k)
-        return jnp.logical_and(jnp.logical_not(done),
-                               jnp.logical_and(pos < limit, pos + k <= l_max))
+    def draft_step(tok, d_caches, pos):
+        if fused_draft:
+            nxt, d_caches = decoder_lm_fused_tok_batch(
+                draft_params, d_packed, d_head, d_head_v, draft_cfg,
+                tok[None], pos + zero_pad[:, None], d_caches, pos, zero_pad)
+            return nxt[0], d_caches
+        lg, d_caches = decoder_lm_forward_cached(
+            draft_params, draft_cfg, tok, d_caches, pos)
+        return jnp.argmax(lg[0], axis=-1).astype(jnp.int32), d_caches
 
-    def body(s):
-        buf, pos, t_caches, d_caches, done = s
+    def verify_chunk(chunk, t_caches, pos):
+        lg, t_caches = decoder_lm_forward_cached(params, cfg, chunk, t_caches, pos)
+        return jnp.argmax(lg, axis=-1).astype(jnp.int32), t_caches
 
-        # ---- draft phase: k sequential single-token steps into buf[pos+j)
-        for j in range(k):
-            tok = lax.dynamic_slice(buf, (pos - 1 + j,), (1,))
-            if fused_draft:
-                nxt, d_caches = decoder_lm_fused_tok_batch(
-                    draft_params, d_packed, d_head, d_head_v, draft_cfg,
-                    tok[None], (pos - 1 + j) + zero_pad[:, None], d_caches,
-                    pos - 1 + j, zero_pad)
-                nxt = nxt[0]
-            else:
-                lg, d_caches = decoder_lm_forward_cached(
-                    draft_params, draft_cfg, tok, d_caches, pos - 1 + j)
-                nxt = jnp.argmax(lg[0], axis=-1).astype(jnp.int32)
-            buf = lax.dynamic_update_slice(buf, nxt[None], (pos + j,))
+    return spec_greedy_decode_loop(draft_step, verify_chunk, t_caches, d_caches,
+                                   buf, n_prompt + 1, first == eos_id, limit, k,
+                                   eos_id, l_max)
 
-        # ---- verify phase: one (k+1)-token chunk through the target
-        chunk = lax.dynamic_slice(buf, (pos - 1,), (k + 1,))
-        lg, t_caches = decoder_lm_forward_cached(params, cfg, chunk, t_caches, pos - 1)
-        t_toks = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # (k+1,)
 
-        drafts = lax.dynamic_slice(buf, (pos,), (k,))
-        eq = (drafts == t_toks[:k]).astype(jnp.int32)
-        n_acc = jnp.sum(jnp.cumprod(eq))  # leading run of accepted drafts
-        correction = t_toks[n_acc]
-        buf = lax.dynamic_update_slice(buf, correction[None], (pos + n_acc,))
+_speculative_generate = partial(jax.jit, static_argnums=(1, 3, 7, 9))(_spec_greedy_loop)
 
-        # emitted this iteration = t_toks[0..n_acc] (accepted drafts == the
-        # target argmaxes, plus the correction/bonus token)
-        idx = jnp.arange(k + 1)
-        eos_hit = jnp.any(jnp.logical_and(idx <= n_acc, t_toks == eos_id))
-        return buf, pos + n_acc + 1, t_caches, d_caches, eos_hit
 
-    buf, length, _, _, _ = lax.while_loop(cond, body, state)
-    length = jnp.minimum(length, limit)  # an iteration may overshoot the budget
-    return buf, length
+@partial(jax.jit, static_argnums=(1, 3, 7))
+def _speculative_generate_batch(params, cfg, draft_params, draft_cfg, prompt_bufs,
+                                n_prompts, limits, k, eos_id):
+    """Batched greedy speculative decoding: vmap of the unbatched loop over B
+    independent rows (per-row prompt length, budget, acceptance, and cache
+    positions; the batched while_loop runs until every row's cond closes).
+    Weights broadcast, so each draft/verify step reads them ONCE for all B
+    rows — the batch axis multiplies the speculative weight-traffic win.
+
+    ``prompt_bufs``: (B, P) RIGHT-padded rows; ``n_prompts``/``limits``: (B,).
+    Caller must pass configs with ``attn_impl="xla"`` and trace with the
+    gather kernel off: per-row cache positions make the Pallas decode paths
+    unbatchable under vmap.
+    """
+    core = lambda pb, n, lim: _spec_greedy_loop(
+        params, cfg, draft_params, draft_cfg, pb, n, lim, k, eos_id, False)
+    return jax.vmap(core)(prompt_bufs, n_prompts, limits)
 
 
 def _filtered_probs(logits, topk: int, top_p, temperature) -> jnp.ndarray:
@@ -192,10 +240,63 @@ def _accept_and_correct(q_probs, p_probs, drafts, pos, dkey, akey, rkey):
     return n_acc, jnp.where(n_acc == k, bonus_tok, res_tok)
 
 
-@partial(jax.jit, static_argnums=(1, 3, 7, 10, 11, 13))
-def _speculative_sample_generate(params, cfg, draft_params, draft_cfg, prompt_buf,
-                                 n_prompt, limit, k, eos_id, key, topk, top_p,
-                                 temperature, fused_draft=False):
+def spec_sample_decode_loop(draft_probs, verify_probs, t_state, d_state, buf,
+                            pos0, done0, limit, k: int, eos_id, dkey, akey,
+                            rkey, l_max: int):
+    """Model-agnostic speculative-SAMPLING loop (rejection-sampling core; see
+    module docstring). ``draft_probs(tok (1,), d_state, pos) -> (q (V,),
+    d_state)`` returns the draft's FILTERED probs for position ``pos+1``; the
+    loop itself draws the draft token with the positional key
+    ``fold_in(dkey, pos+1)``. ``verify_probs(chunk (k+1,), t_state, pos) ->
+    (p (k+1, V), t_state)`` returns the target's filtered probs for the chunk
+    at positions ``[pos, pos+k]``. Buffer/early-stop semantics as
+    :func:`spec_greedy_decode_loop`."""
+    state = (buf, pos0, t_state, d_state, done0)
+
+    def cond(s):
+        _, pos, _, _, done = s
+        return jnp.logical_and(jnp.logical_not(done),
+                               jnp.logical_and(pos < limit, pos + k <= l_max))
+
+    def body(s):
+        buf, pos, t_state, d_state, done = s
+
+        # ---- draft phase: k sampled single-token steps; keep each q row
+        qs = []
+        for j in range(k):
+            tok = lax.dynamic_slice(buf, (pos - 1 + j,), (1,))
+            q, d_state = draft_probs(tok, d_state, pos - 1 + j)
+            nxt = _sample_probs(q, jax.random.fold_in(dkey, pos + j))
+            qs.append(q)
+            buf = lax.dynamic_update_slice(buf, nxt[None], (pos + j,))
+        q_probs = jnp.stack(qs)  # (k, V)
+
+        # ---- verify phase: one (k+1)-token chunk through the target
+        chunk = lax.dynamic_slice(buf, (pos - 1,), (k + 1,))
+        p_probs, t_state = verify_probs(chunk, t_state, pos - 1)
+
+        drafts = lax.dynamic_slice(buf, (pos,), (k,))
+        n_acc, correction = _accept_and_correct(q_probs, p_probs, drafts, pos,
+                                                dkey, akey, rkey)
+        # buffer-edge no-op write: see spec_greedy_decode_loop
+        val = jnp.where(pos + n_acc >= l_max, buf[l_max - 1], correction)
+        buf = lax.dynamic_update_slice(buf, val[None], (pos + n_acc,))
+
+        # emitted = accepted drafts + the correction (buffer-read-free: a
+        # window re-slice at the buffer edge would shift and mis-detect EOS)
+        idx = jnp.arange(k)
+        eos_hit = jnp.logical_or(
+            jnp.any(jnp.logical_and(idx < n_acc, drafts == eos_id)),
+            correction == eos_id)
+        return buf, pos + n_acc + 1, t_state, d_state, eos_hit
+
+    buf, length, _, _, _ = lax.while_loop(cond, body, state)
+    return buf, jnp.minimum(length, limit)
+
+
+def _spec_sample_loop(params, cfg, draft_params, draft_cfg, prompt_buf,
+                      n_prompt, limit, k, eos_id, key, topk, top_p,
+                      temperature, fused_draft=False):
     """Speculative SAMPLING: the rejection-sampling analogue of
     :func:`_speculative_generate` (same fixed-shape skeleton; see module
     docstring for the accept/residual scheme). Keys: three independent
@@ -231,54 +332,47 @@ def _speculative_sample_generate(params, cfg, draft_params, draft_cfg, prompt_bu
     p0 = _filtered_probs(last[None], topk, top_p, temperature)[0]
     first = _sample_probs(p0, jax.random.fold_in(dkey, n_prompt))
     buf = lax.dynamic_update_slice(buf, first[None], (n_prompt,))
-    state = (buf, n_prompt + 1, t_caches, d_caches, first == eos_id)
 
-    def cond(s):
-        _, pos, _, _, done = s
-        return jnp.logical_and(jnp.logical_not(done),
-                               jnp.logical_and(pos < limit, pos + k <= l_max))
+    def draft_probs(tok, d_caches, pos):
+        if fused_draft:
+            hid, d_caches = decoder_lm_hidden_fused_batch(
+                draft_params, d_packed, draft_cfg, tok[None],
+                pos + zero_pad[:, None], d_caches, pos, zero_pad)
+            emb = draft_params["token_embs"].astype(hid.dtype)
+            lg = jnp.matmul(hid[:, 0], emb.T, precision=dot_precision(hid))[0]
+        else:
+            lg, d_caches = decoder_lm_forward_cached(
+                draft_params, draft_cfg, tok, d_caches, pos)
+            lg = lg[0]
+        return _filtered_probs(lg[None], topk, top_p, temperature)[0], d_caches
 
-    def body(s):
-        buf, pos, t_caches, d_caches, done = s
+    def verify_probs(chunk, t_caches, pos):
+        lg_t, t_caches = decoder_lm_forward_cached(params, cfg, chunk, t_caches, pos)
+        return _filtered_probs(lg_t, topk, top_p, temperature), t_caches
 
-        # ---- draft phase: k sampled single-token steps; keep each q row
-        qs = []
-        for j in range(k):
-            tok = lax.dynamic_slice(buf, (pos - 1 + j,), (1,))
-            if fused_draft:
-                hid, d_caches = decoder_lm_hidden_fused_batch(
-                    draft_params, d_packed, draft_cfg, tok[None],
-                    (pos - 1 + j) + zero_pad[:, None], d_caches, pos - 1 + j, zero_pad)
-                emb = draft_params["token_embs"].astype(hid.dtype)
-                lg = jnp.matmul(hid[:, 0], emb.T, precision=dot_precision(hid))[0]
-            else:
-                lg, d_caches = decoder_lm_forward_cached(
-                    draft_params, draft_cfg, tok, d_caches, pos - 1 + j)
-                lg = lg[0]
-            q = _filtered_probs(lg[None], topk, top_p, temperature)[0]
-            nxt = _sample_probs(q, jax.random.fold_in(dkey, pos + j))
-            qs.append(q)
-            buf = lax.dynamic_update_slice(buf, nxt[None], (pos + j,))
-        q_probs = jnp.stack(qs)  # (k, V)
+    return spec_sample_decode_loop(draft_probs, verify_probs, t_caches, d_caches,
+                                   buf, n_prompt + 1, first == eos_id, limit, k,
+                                   eos_id, dkey, akey, rkey, l_max)
 
-        # ---- verify phase: one (k+1)-token chunk through the target
-        chunk = lax.dynamic_slice(buf, (pos - 1,), (k + 1,))
-        lg_t, t_caches = decoder_lm_forward_cached(params, cfg, chunk, t_caches, pos - 1)
-        p_probs = _filtered_probs(lg_t, topk, top_p, temperature)  # (k+1, V)
 
-        drafts = lax.dynamic_slice(buf, (pos,), (k,))
-        n_acc, correction = _accept_and_correct(q_probs, p_probs, drafts, pos,
-                                                dkey, akey, rkey)
-        buf = lax.dynamic_update_slice(buf, correction[None], (pos + n_acc,))
+_speculative_sample_generate = partial(
+    jax.jit, static_argnums=(1, 3, 7, 10, 11, 13))(_spec_sample_loop)
 
-        window = lax.dynamic_slice(buf, (pos,), (k + 1,))
-        idx = jnp.arange(k + 1)
-        eos_hit = jnp.any(jnp.logical_and(idx <= n_acc, window == eos_id))
-        return buf, pos + n_acc + 1, t_caches, d_caches, eos_hit
 
-    buf, length, _, _, _ = lax.while_loop(cond, body, state)
-    length = jnp.minimum(length, limit)
-    return buf, length
+@partial(jax.jit, static_argnums=(1, 3, 7, 10, 11))
+def _speculative_sample_generate_batch(params, cfg, draft_params, draft_cfg,
+                                       prompt_bufs, n_prompts, limits, k, eos_id,
+                                       key, topk, top_p, temperature):
+    """Batched speculative SAMPLING (see :func:`_speculative_generate_batch`
+    for the vmap scheme). Row r's key stream is ``fold_in(key, r)``, so each
+    row is distribution-exact independently and row r reproduces the
+    single-row sampler run with that folded key."""
+    keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(
+        jnp.arange(prompt_bufs.shape[0]))
+    core = lambda pb, n, lim, kk: _spec_sample_loop(
+        params, cfg, draft_params, draft_cfg, pb, n, lim, k, eos_id, kk,
+        topk, top_p, temperature, False)
+    return jax.vmap(core)(prompt_bufs, n_prompts, limits, keys)
 
 
 class SpeculativeDecoderGenerator:
@@ -344,3 +438,73 @@ class SpeculativeDecoderGenerator:
         if hits.size:
             out = out[: n + hits[0] + 1]
         return out.tolist()
+
+    def generate_batch(self, prompts: list[str], max_tokens: int = 100, topk: int = 1,
+                       seed: int = 0, top_p: float | None = None,
+                       temperature: float = 1.0) -> list[str]:
+        """Batched speculative generation over multiple prompts."""
+        token_lists = [self.tokenizer.encode(p) for p in prompts]
+        outs = self.generate_tokens_batch(token_lists, max_tokens, topk=topk, seed=seed,
+                                          top_p=top_p, temperature=temperature)
+        return [self.tokenizer.decode(o) for o in outs]
+
+    def generate_tokens_batch(self, token_lists: list[list[int]], max_tokens: int = 100,
+                              topk: int = 1, seed: int = 0, top_p: float | None = None,
+                              temperature: float = 1.0) -> list[list[int]]:
+        """Batched :meth:`generate_tokens`: B rows draft+verify together with
+        per-row acceptance (vmapped loop; weights read once per step for all
+        rows). Greedy rows are token-identical to the single-row path; sampled
+        rows use the per-row key stream ``fold_in(PRNGKey(seed), row)``."""
+        _check_sampling(topk, top_p, temperature)
+        cfg = self.model.cfg
+        b = len(token_lists)
+        ns = [len(t) for t in token_lists]
+        assert b >= 1 and min(ns) >= 1
+        n_max = max(ns)
+        pad = min(-(-n_max // PROMPT_BUCKET) * PROMPT_BUCKET, cfg.max_seq_len)
+        assert n_max <= pad, f"prompt too long for context {cfg.max_seq_len}"
+        if max_tokens <= 0 or pad >= cfg.max_seq_len:
+            return [list(t) for t in token_lists]
+        prompt_bufs = np.zeros((b, pad), np.int32)  # RIGHT-padded rows
+        for i, t in enumerate(token_lists):
+            prompt_bufs[i, :ns[i]] = t
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        if eos is None:
+            eos = -1
+        limits = np.minimum(np.asarray(ns, np.int64) + max_tokens,
+                            cfg.max_seq_len).astype(np.int32)
+
+        # the vmapped loop can't batch the Pallas decode/gather kernels (per-row
+        # cache positions): trace with the einsum attention path + XLA gather
+        from dataclasses import replace
+
+        from ...ops import gather as _gather
+
+        cfg_x = replace(cfg, attn_impl="xla")
+        dcfg_x = replace(self.draft_model.cfg, attn_impl="xla")
+        prev = _gather.USE_GATHER_KERNEL
+        _gather.USE_GATHER_KERNEL = False
+        try:
+            if _is_greedy(topk, top_p):
+                bufs, lengths = _speculative_generate_batch(
+                    self.model.params, cfg_x, self.draft_model.params, dcfg_x,
+                    jnp.asarray(prompt_bufs), jnp.asarray(ns, dtype=jnp.int32),
+                    jnp.asarray(limits), self.k, eos)
+            else:
+                bufs, lengths = _speculative_sample_generate_batch(
+                    self.model.params, cfg_x, self.draft_model.params, dcfg_x,
+                    jnp.asarray(prompt_bufs), jnp.asarray(ns, dtype=jnp.int32),
+                    jnp.asarray(limits), self.k, eos, jax.random.PRNGKey(seed),
+                    topk, top_p, temperature)
+        finally:
+            _gather.USE_GATHER_KERNEL = prev
+        bufs, lengths = np.asarray(bufs), np.asarray(lengths)
+        outs = []
+        for i in range(b):
+            out = bufs[i, : lengths[i]]
+            gen = out[ns[i]:]
+            hits = np.nonzero(gen == eos)[0]
+            if hits.size:
+                out = out[: ns[i] + hits[0] + 1]
+            outs.append(out.tolist())
+        return outs

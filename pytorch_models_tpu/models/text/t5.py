@@ -264,7 +264,7 @@ def _fused_t5_step(dec, packed, head, head_v, cfg: "T5Config", h, caches, cross_
         cross_caches["k"].astype(h.dtype), cross_caches["v"].astype(h.dtype),
         cross_caches["len"][0], pos, None, n_heads=lc.n_heads,
         act="approximate_gelu", eps=1e-5, norm="rms", gated=True, sbias=sbias,
-        head=head, head_v=head_v)
+        head=head, head_v=head_v, a8=_attn.use_a8_decode(packed["wqkv"].dtype))
     start = (0, 0, pos, 0)
     caches = {
         "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
@@ -461,7 +461,8 @@ def _t5_beam_body(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int,
                 h[:, 0, :], packed, caches["k"], caches["v"],
                 cross_caches["k"].astype(h.dtype), cross_caches["v"].astype(h.dtype),
                 cross_caches["len"][0], pos - 1, None, n_heads=lc.n_heads,
-                act="approximate_gelu", eps=1e-5, norm="rms", gated=True, sbias=sbias)
+                act="approximate_gelu", eps=1e-5, norm="rms", gated=True, sbias=sbias,
+                a8=_attn.use_a8_decode(packed["wqkv"].dtype))
             start = (0, 0, pos - 1, 0)
             caches = {
                 "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
@@ -483,6 +484,78 @@ def _t5_beam_body(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int,
 
 
 _t5_beam = partial(jax.jit, static_argnums=(1, 4, 7))(_t5_beam_body)
+
+
+def _t5_spec_decode_state(params, cfg: T5Config, enc_tokens, n_enc, cache_len: int):
+    """Encode + build one model's decode-side state for speculative decoding:
+    ``(self_caches, cross_caches, bias_table, l_pad)``."""
+    p_len = enc_tokens.shape[0]
+    enc_valid = jnp.arange(p_len) < n_enc
+    pad_bias = jnp.where(enc_valid, 0.0, NEG_INF).astype(jnp.float32)[None, None, :]
+    x = jnp.take(params["token_embs"], enc_tokens, axis=0)
+    memory = t5_encoder_apply(params["encoder"], cfg, x, pad_bias=pad_bias)
+
+    dec = params["decoder"]
+    lc = cfg.layer
+    self_caches = tfm.make_kv_cache(cfg.n_layers, (), lc.n_heads, cache_len, lc.head_dim,
+                                    dtype=params["token_embs"].dtype, stacked=False)
+    cross_caches = tfm.precompute_cross_caches(dec, lc, memory, valid_lens=n_enc)
+    l_pad = tfm.padded_cache_len(cache_len)
+    bias_table = relative_position_bias(
+        dec["attn_bias"], jnp.arange(cache_len), jnp.arange(l_pad), False, cfg)
+    return self_caches, cross_caches, bias_table, l_pad
+
+
+def _t5_spec_chunk_forward(params, cfg: T5Config, cross_caches, bias_table,
+                           l_pad: int, chunk, caches, pos):
+    """Cached decoder forward of a (S,) chunk at positions ``[pos, pos+S)``
+    (the verify path; S=1 is a draft step). Returns ``(logits (S, V), caches)``."""
+    s = chunk.shape[0]
+    h = embed_rows(params["token_embs"], chunk)  # (S, d)
+    bias = lax.dynamic_slice(bias_table, (0, pos, 0), (bias_table.shape[0], s, l_pad))
+    dec = params["decoder"]
+    h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, None, pos)
+    return linear(params["classifier"], rms_norm(dec["norm"], h)), caches
+
+
+@partial(jax.jit, static_argnums=(1, 3, 5, 9))
+def _t5_speculative_generate(params, cfg: T5Config, draft_params, draft_cfg: "T5Config",
+                             enc_tokens, max_tokens: int, n_enc, pad_id, eos_id, k: int):
+    """Greedy speculative seq2seq generation: a smaller T5 drafts k tokens,
+    the target verifies them in one KV-cached (k+1)-position decoder chunk
+    (models/text/speculative.py greedy core — token-identical to
+    :func:`_t5_generate` for ANY draft). Both models encode ``enc_tokens``
+    with their own encoders; buffers run to ``max_tokens + k`` so the edge
+    stop never truncates below the plain loop's cap."""
+    from .speculative import spec_greedy_decode_loop
+
+    l_buf = max_tokens + k
+    t_caches, t_cross, t_bias, t_lpad = _t5_spec_decode_state(
+        params, cfg, enc_tokens, n_enc, l_buf)
+    d_caches, d_cross, d_bias, d_lpad = _t5_spec_decode_state(
+        draft_params, draft_cfg, enc_tokens, n_enc, l_buf)
+
+    def verify_chunk(chunk, caches, pos):
+        lg, caches = _t5_spec_chunk_forward(params, cfg, t_cross, t_bias, t_lpad,
+                                            chunk, caches, pos)
+        return jnp.argmax(lg, axis=-1).astype(jnp.int32), caches
+
+    def draft_step(tok, caches, pos):
+        lg, caches = _t5_spec_chunk_forward(draft_params, draft_cfg, d_cross, d_bias,
+                                            d_lpad, tok, caches, pos)
+        return jnp.argmax(lg[0], axis=-1).astype(jnp.int32), caches
+
+    # decoder position 0 = the pad start token; the target's first step
+    # yields token 1, the draft prefills position 0 (logits discarded)
+    buf = jnp.zeros((l_buf,), jnp.int32).at[0].set(pad_id)
+    first, t_caches = verify_chunk(buf[:1], t_caches, 0)
+    _, d_caches = draft_step(buf[:1], d_caches, 0)
+    buf = buf.at[1].set(first[0])
+
+    buf, length = spec_greedy_decode_loop(
+        draft_step, verify_chunk, t_caches, d_caches, buf, 2,
+        first[0] == eos_id, max_tokens, k, eos_id, l_buf)
+    return buf, length
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -739,3 +812,45 @@ class T5Generator:
                                           jnp.asarray(n_enc), max_tokens, pad_id, eos_id)
         out, lengths = np.asarray(out), np.asarray(lengths)
         return [out[i, : lengths[i]].tolist() for i in range(b)]
+
+
+class SpeculativeT5Generator:
+    """T5Generator accelerated by a smaller draft T5 (e.g. t5-small drafting
+    for t5-large). Greedy and EXACT: output is token-identical to
+    :meth:`T5Generator.generate` for ANY draft — accepted drafts equal the
+    target argmax by construction, the first mismatch is replaced by it
+    (models/text/speculative.py cores; capability beyond the reference).
+    Draft and target must share the sentencepiece vocabulary."""
+
+    def __init__(self, model: T5Model, draft_model: T5Model, tokenizer, k: int = 4) -> None:
+        assert model.cfg.vocab_size == draft_model.cfg.vocab_size, \
+            "draft and target must share a vocabulary"
+        assert k >= 1
+        self.model = model
+        self.draft_model = draft_model
+        self.tokenizer = tokenizer
+        self.k = k
+
+    def generate(self, prompt: str, max_tokens: int = 100) -> str:
+        token_ids = self.tokenizer.Encode(prompt, add_eos=True)
+        out = self.generate_tokens(token_ids, max_tokens, self.tokenizer.pad_id(),
+                                   self.tokenizer.eos_id())
+        return self.tokenizer.Decode(out)
+
+    def generate_tokens(self, token_ids: list[int], max_tokens: int, pad_id: int,
+                        eos_id: int) -> list[int]:
+        """Row layout matches :meth:`T5Generator.generate_tokens`: pad token
+        at index 0, generation from index 1, first EOS included."""
+        n = len(token_ids)
+        pad = -(-n // ENC_BUCKET) * ENC_BUCKET
+        buf = np.zeros((pad,), np.int32)
+        buf[:n] = token_ids
+        out, length = _t5_speculative_generate(
+            self.model.params, self.model.cfg, self.draft_model.params,
+            self.draft_model.cfg, jnp.asarray(buf), max_tokens, jnp.int32(n),
+            pad_id, eos_id, self.k)
+        out = np.asarray(out)[: int(length)]
+        hits = np.nonzero(out[1:] == eos_id)[0]  # truncate at the first EOS
+        if hits.size:
+            out = out[: hits[0] + 2]
+        return out.tolist()

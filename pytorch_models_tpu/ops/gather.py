@@ -24,6 +24,11 @@ from jax.experimental.pallas import tpu as pltpu
 # copies would bloat the kernel
 MAX_KERNEL_ROWS = 256
 
+# None = auto (kernel on TPU). False forces jnp.take — set at TRACE time by
+# code that runs embed_rows under vmap (batched speculative), where the
+# pallas_call's scalar-prefetch batching rule is not supported.
+USE_GATHER_KERNEL: bool | None = None
+
 
 def _kernel(idx_ref, table_hbm, o_ref, *, n: int, v: int):
     """Mosaic DMA slices must be 8-sublane aligned, so single rows can't be
@@ -96,7 +101,8 @@ def embed_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     n = 1
     for s in idx.shape:
         n *= s
-    if not _on_tpu() or not 0 < n <= MAX_KERNEL_ROWS or table.shape[0] < 8:
+    if (USE_GATHER_KERNEL is False or not _on_tpu()
+            or not 0 < n <= MAX_KERNEL_ROWS or table.shape[0] < 8):
         return jnp.take(table, idx, axis=0)
     flat = gather_rows(table, idx.reshape(-1))
     return flat.reshape(*idx.shape, table.shape[-1])

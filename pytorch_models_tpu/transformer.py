@@ -192,7 +192,7 @@ def mha_apply(
         new_cache, ck, cv = _write_cache(cache, k_new, v_new, cache_pos, cache_layer)
         s, l_max = q.shape[-2], ck.shape[-2]
 
-        if s == 1 and _attn.use_decode_kernel(l_max, ck.shape[-1]):
+        if s == 1 and cfg.attn_impl != "xla" and _attn.use_decode_kernel(l_max, ck.shape[-1]):
             kernel_bias, convertible = _decode_kernel_bias(attn_bias, l_max, cfg.n_heads)
             if convertible:
                 from .ops.decode_attention import decode_attention
@@ -219,7 +219,8 @@ def mha_apply(
 
     if cache is not None:  # precomputed cross-attention K/V (merged + "len")
         s, l_max = q.shape[-2], cache["k"].shape[-2]
-        if s == 1 and attn_bias is None and _attn.use_decode_kernel(l_max, cache["k"].shape[-1]):
+        if (s == 1 and cfg.attn_impl != "xla" and attn_bias is None
+                and _attn.use_decode_kernel(l_max, cache["k"].shape[-1])):
             from .ops.decode_attention import decode_attention
 
             q_m = linear(p["q"], q)

@@ -113,3 +113,57 @@ def test_acceptance_advances_multiple_tokens(models):
     spec = SpeculativeDecoderGenerator(target, target, tok, k=4)
     out = spec.generate_tokens([3, 1, 4, 1, 5], max_tokens=21)
     assert len(out) == 5 + 21
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_batch_matches_plain_greedy_per_row(models, k):
+    """Batched speculative rows (differing prompt lengths, per-row acceptance
+    and budgets) must each equal the plain greedy decode of that row."""
+    target, draft = models
+    tok = _Tok()
+    prompts = [[3, 1, 4], [3, 1, 4, 1, 5], [2, 7, 1, 8, 2, 8, 1, 8, 2]]
+    outs = SpeculativeDecoderGenerator(target, draft, tok, k=k).generate_tokens_batch(
+        prompts, max_tokens=20)
+    plain = DecoderGenerator(target, tok)
+    for p, o in zip(prompts, outs):
+        assert o == plain.generate_tokens(p, max_tokens=20)
+
+
+def test_batch_eos_rows_stop_independently(models):
+    """One row hits EOS early while the other runs to budget; both must match
+    their single-row plain decodes (the vmapped while_loop freezes done rows)."""
+    target, draft = models
+    base = DecoderGenerator(target, _Tok()).generate_tokens([3, 1, 4, 1, 5], max_tokens=24)
+    eos = base[5 + 4]
+    tok = _Tok(eos=eos)
+    prompts = [[3, 1, 4, 1, 5], [2, 7, 1, 8]]
+    outs = SpeculativeDecoderGenerator(target, draft, tok, k=3).generate_tokens_batch(
+        prompts, max_tokens=24)
+    plain = DecoderGenerator(target, tok)
+    for p, o in zip(prompts, outs):
+        assert o == plain.generate_tokens(p, max_tokens=24)
+
+
+def test_batch_identical_draft_full_acceptance(models):
+    target, _ = models
+    tok = _Tok()
+    prompts = [[3, 1, 4, 1, 5], [9, 9, 2]]
+    outs = SpeculativeDecoderGenerator(target, target, tok, k=4).generate_tokens_batch(
+        prompts, max_tokens=15)
+    plain = DecoderGenerator(target, tok)
+    for p, o in zip(prompts, outs):
+        assert o == plain.generate_tokens(p, max_tokens=15)
+
+
+def test_buffer_edge_write_preserves_accepted_draft(models):
+    """Prompt length 8 + full acceptance (draft==target, k=4) makes the loop
+    run its last body at pos == max_seq_len - k, where the correction write
+    index pos+n_acc == max_seq_len; dynamic_update_slice clamps that onto the
+    last slot, which must NOT stomp the accepted draft living there."""
+    target, _ = models
+    tok = _Tok()
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    base = DecoderGenerator(target, tok).generate_tokens(prompt, max_tokens=120)
+    spec = SpeculativeDecoderGenerator(target, target, tok, k=4).generate_tokens(
+        prompt, max_tokens=120)
+    assert len(spec) >= len(base) - 4 and spec == base[:len(spec)]

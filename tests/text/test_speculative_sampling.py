@@ -156,3 +156,22 @@ def test_accept_and_correct_all_accept_bonus_from_p_k():
     emp = np.bincount(np.asarray(corrs), minlength=v) / n
     tv = 0.5 * np.abs(emp - rows[k]).sum()
     assert tv < 0.015, f"total variation {tv:.4f}"
+
+
+def test_batch_rows_reproduce_folded_single_rows(models):
+    """Batched sampled speculative row r must be token-identical to the
+    positional-key oracle driven with row key fold_in(PRNGKey(seed), r)
+    (draft == target: every draft accepted, keys fully pinned)."""
+    target, _ = models
+    prompts = [[3, 1, 4, 1, 5], [2, 7, 1]]
+    outs = SpeculativeDecoderGenerator(target, target, _Tok(), k=3).generate_tokens_batch(
+        prompts, max_tokens=12, topk=8, seed=11, temperature=0.9)
+    for r, (p, o) in enumerate(zip(prompts, outs)):
+        dkey = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(11), r), 3)[0]
+        seq = list(p)
+        limit = min(len(p) + 12, target.cfg.max_seq_len)
+        while len(seq) < limit:
+            lg = decoder_lm_apply(target.params, target.cfg, jnp.asarray([seq]))[0, -1]
+            pr = _filtered_probs(lg[None], 8, None, 0.9)[0]
+            seq.append(int(_sample_probs(pr, jax.random.fold_in(dkey, len(seq)))))
+        assert o == seq
