@@ -154,6 +154,18 @@ def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id,
 
     buf = jnp.zeros((b, l_max), jnp.int32)
     buf = lax.dynamic_update_slice(buf, prompt_buf.astype(jnp.int32), (0, 0))
+    return _decode_rows(params, cfg, fused, packed, head, head_v, buf, p_len,
+                        last, caches, pad_lens, limit, topk, eos_id, key,
+                        top_p, temperature)
+
+
+def _decode_rows(params, cfg, fused, packed, head, head_v, buf, p_len, last,
+                 caches, pad_lens, limit, topk, eos_id, key, top_p, temperature):
+    """Shared decode loop over B prefilled rows: sample each row's first token
+    from ``last`` (B, V), then while_loop single-token steps until every row
+    hits EOS or ``limit``. Returns ``(buf (B, max_seq_len), lengths (B,))``."""
+    greedy = _is_greedy(topk, top_p)
+    b = buf.shape[0]
 
     def sample_rows(lg, key):
         return _sample(lg, key, topk, top_p, temperature)
@@ -223,6 +235,48 @@ def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id,
 
 
 _generate_batch = partial(jax.jit, static_argnums=(1, 5, 8, 9))(_generate_batch_body)
+
+
+def _generate_samples_body(params, cfg, prompt_buf, pad_len, limit, topk, eos_id,
+                           key, n, fused=False, top_p=None, temperature=1.0):
+    """N independent samples of ONE prompt with a SHARED prefill: the prompt
+    is forwarded once (batch 1), its KV cache is broadcast to ``n`` rows, and
+    the rows decode through the same loop as :func:`_generate_batch_body` —
+    token-identical to generating ``n`` copies of the prompt, minus n-1
+    prefills (best-of-n / self-consistency serving; beyond the reference).
+
+    ``prompt_buf``: (P,) LEFT-padded (``pad_len`` pad slots); returns
+    ``(tokens (n, max_seq_len), lengths (n,))``.
+    """
+    p_len = prompt_buf.shape[0]
+    l_max = cfg.max_seq_len
+    pad1 = pad_len.reshape(1)
+    pos_ids = jnp.clip(jnp.arange(p_len)[None, :] - pad1[:, None], 0, None)
+
+    cache_dtype = params["token_embs"].dtype
+    caches = decoder_lm_make_cache(cfg, (1,), dtype=cache_dtype, stacked=fused)
+    packed, head, head_v = decoder_lm_pack(params, cfg) if fused else (None, None, None)
+    logits, caches = decoder_lm_forward_cached_batch(
+        params, cfg, prompt_buf[None], pos_ids, caches, 0, pad1)
+    last = jnp.broadcast_to(logits[:, -1], (n, logits.shape[-1]))
+
+    # fan the prefilled cache out to n rows (batch axis: 1 for stacked
+    # (L, B, Lp, H*D) leaves, 0 for the per-layer list)
+    if fused:
+        caches = {k: jnp.broadcast_to(v, (v.shape[0], n) + v.shape[2:])
+                  for k, v in caches.items()}
+    else:
+        caches = jax.tree.map(lambda c: jnp.broadcast_to(c, (n,) + c.shape[1:]), caches)
+
+    buf = jnp.zeros((n, l_max), jnp.int32)
+    buf = lax.dynamic_update_slice(buf, jnp.broadcast_to(prompt_buf, (n, p_len)).astype(jnp.int32), (0, 0))
+    pad_lens = jnp.broadcast_to(pad1, (n,))
+    return _decode_rows(params, cfg, fused, packed, head, head_v, buf, p_len,
+                        last, caches, pad_lens, limit, topk, eos_id, key,
+                        top_p, temperature)
+
+
+_generate_samples = partial(jax.jit, static_argnums=(1, 5, 8, 9, 10))(_generate_samples_body)
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -301,6 +355,26 @@ class DecoderGenerator:
         return beam_search_tokens(self.model, tokens, max_tokens, beam_width,
                                   -1 if eos is None else eos, length_penalty, return_all)
 
+    def beam_search_batch(self, prompts: list[str], max_tokens: int = 100, beam_width: int = 4,
+                          length_penalty: float = 0.0) -> list[str]:
+        """Beam search over multiple prompts in one fused batched decode."""
+        token_lists = [self.tokenizer.encode(p) for p in prompts]
+        outs = self.beam_search_tokens_batch(token_lists, max_tokens, beam_width, length_penalty)
+        return [self.tokenizer.decode(o) for o in outs]
+
+    def beam_search_tokens_batch(self, token_lists: list[list[int]], max_tokens: int = 100,
+                                 beam_width: int = 4, length_penalty: float = 0.0,
+                                 return_all: bool = False):
+        """Batched :meth:`beam_search_tokens`: all G*W beam rows of the G
+        prompts step together through the batched decode path. Returns the
+        best sequence per prompt, or ``(sequences, scores)`` lists with
+        ``return_all`` — see models/text/beam.py."""
+        from .beam import beam_search_tokens_batch
+
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        return beam_search_tokens_batch(self.model, token_lists, max_tokens, beam_width,
+                                        -1 if eos is None else eos, length_penalty, return_all)
+
     def generate_batch(self, prompts: list[str], max_tokens: int = 100, topk: int = 1, seed: int = 0,
                        top_p: float | None = None, temperature: float = 1.0) -> list[str]:
         """Batched generation over multiple prompts (new vs the reference)."""
@@ -339,6 +413,48 @@ class DecoderGenerator:
         )
         out, lengths = np.asarray(out), np.asarray(lengths)
         return [out[i, pad_lens[i]: lengths[i]].tolist() for i in range(b)]
+
+    def generate_samples(self, prompt: str, n: int, max_tokens: int = 100, topk: int = 40,
+                         seed: int = 0, top_p: float | None = None,
+                         temperature: float = 1.0) -> list[str]:
+        """N independent samples of one prompt with a SHARED prefill (the
+        prompt is forwarded once and its KV cache fans out to the n rows) —
+        best-of-n / self-consistency serving. Token-identical to
+        :meth:`generate_batch` over n copies of the prompt."""
+        outs = self.generate_tokens_samples(self.tokenizer.encode(prompt), n,
+                                            max_tokens=max_tokens, topk=topk, seed=seed,
+                                            top_p=top_p, temperature=temperature)
+        return [self.tokenizer.decode(o) for o in outs]
+
+    def generate_tokens_samples(self, tokens: list[int], n: int, max_tokens: int = 100,
+                                topk: int = 40, seed: int = 0, top_p: float | None = None,
+                                temperature: float = 1.0) -> list[list[int]]:
+        """Token-level :meth:`generate_samples`. With greedy settings
+        (``topk=1``, no ``top_p``) all n rows are identical by construction."""
+        _check_sampling(topk, top_p, temperature)
+        assert n >= 1
+        cfg = self.model.cfg
+        if max_tokens <= 0:
+            return [list(tokens)] * n
+        pad = min(-(-max(len(tokens), 1) // PROMPT_BUCKET) * PROMPT_BUCKET, cfg.max_seq_len)
+        assert len(tokens) <= pad, f"prompt too long for context {cfg.max_seq_len}"
+        if pad >= cfg.max_seq_len:
+            return [list(tokens)] * n
+        buf = np.zeros((pad,), np.int32)
+        pad_len = pad - len(tokens)
+        buf[pad_len:] = tokens
+
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        if eos is None:
+            eos = -1
+        limit = min(pad + max_tokens, cfg.max_seq_len)
+        out, lengths = _generate_samples(
+            self.model.params, cfg, jnp.asarray(buf), jnp.asarray(pad_len, jnp.int32),
+            limit, topk, eos, jax.random.PRNGKey(seed), n,
+            decoder_lm_fused_ok(self.model.params, cfg), top_p, temperature,
+        )
+        out, lengths = np.asarray(out), np.asarray(lengths)
+        return [out[i, pad_len: lengths[i]].tolist() for i in range(n)]
 
     def score_tokens(self, tokens: list[int]) -> list[float]:
         """Per-token log-probs ``log p(x_t | x_<t)`` for t >= 1 (teacher-forced,

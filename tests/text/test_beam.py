@@ -131,6 +131,37 @@ def test_scores_sorted_and_text_api(model):
     assert isinstance(out, str)
 
 
+@pytest.mark.parametrize("w", [1, 3])
+def test_batched_matches_single(model, w):
+    """G prompts of differing lengths through one flat G*W decode must equal
+    per-prompt beam search (per-row pad_lens + group-independent selection)."""
+    gen = DecoderGenerator(model, _Tok())
+    prompts = [[3, 1, 4], [3, 1, 4, 1, 5], [2, 7, 1, 8, 2, 8, 1, 8, 2]]
+    b_seqs, b_scores = gen.beam_search_tokens_batch(
+        prompts, max_tokens=8, beam_width=w, return_all=True)
+    for i, p in enumerate(prompts):
+        s_seqs, s_scores = gen.beam_search_tokens(p, max_tokens=8, beam_width=w,
+                                                  return_all=True)
+        assert b_seqs[i] == s_seqs
+        np.testing.assert_allclose(b_scores[i], s_scores, rtol=0, atol=2e-4)
+
+
+def test_batched_groups_close_independently(model):
+    """One group hits EOS early (its pool closes) while others keep decoding;
+    the shared loop must not disturb the closed group's result."""
+    prompts = [[3, 1, 4, 1, 5], [2, 7, 1, 8]]
+    base = DecoderGenerator(model, _Tok()).generate_tokens(prompts[0], max_tokens=12)
+    eos = base[5 + 2]  # fires early for prompt 0 on the greedy path
+    gen = DecoderGenerator(model, _Tok(eos=eos))
+    b_seqs, b_scores = gen.beam_search_tokens_batch(
+        prompts, max_tokens=12, beam_width=3, length_penalty=0.6, return_all=True)
+    for i, p in enumerate(prompts):
+        s_seqs, s_scores = gen.beam_search_tokens(p, max_tokens=12, beam_width=3,
+                                                  length_penalty=0.6, return_all=True)
+        assert b_seqs[i] == s_seqs
+        np.testing.assert_allclose(b_scores[i], s_scores, rtol=0, atol=2e-4)
+
+
 def test_fused_step_path_matches_einsum(model):
     from jax.experimental.pallas import tpu as pltpu
 
