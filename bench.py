@@ -51,6 +51,7 @@ METRICS = {
     "encodec": ("encodec_24khz_roundtrip_rtf", "x_realtime"),
     "t5": ("t5_base_generate_tokens_per_sec", "tokens/sec"),
     "whisper_batch": ("whisper_base_batch16_rtf", "x_realtime"),
+    "gpt2_spec": ("gpt2_small_speculative_b1_floor_tokens_per_sec", "tokens/sec"),
 }
 
 
@@ -220,10 +221,16 @@ def bench_gpt2_decode(peak, bw):
     """GPT-2-small batched greedy decode throughput (tokens/sec/chip).
 
     ``BENCH_DTYPE=int8`` benches weight-only int8 (halves the per-step weight
-    traffic that bounds batched decode; roofline scales accordingly)."""
+    traffic that bounds batched decode; roofline scales accordingly);
+    ``BENCH_DTYPE=int8_a8`` adds w8a8 — per-row activation quantization +
+    int8 MXU dots in the megakernel (no per-tile dequant cast)."""
     from pytorch_models_tpu.models.text import GPT2, DecoderGenerator
+    from pytorch_models_tpu.ops import attention as attn_mod
 
-    int8 = os.environ.get("BENCH_DTYPE", "bf16") == "int8"
+    dtype_mode = os.environ.get("BENCH_DTYPE", "bf16")
+    int8 = dtype_mode.startswith("int8")
+    if dtype_mode == "int8_a8":
+        attn_mod.USE_A8_DECODE = True
     model = GPT2(12, 768).to_bf16()  # random weights: timing-only (zero egress)
     if int8:
         model = model.quantize_int8()
@@ -260,9 +267,61 @@ def bench_gpt2_decode(peak, bw):
     dt = (time.perf_counter() - t0) / reps
     tps = batch * new_tokens / dt
     roof = gpt2_decode_roofline(peak, bw, batch, prompt_len, new_tokens, proj_bytes=1 if int8 else 2)
-    print(f"gpt2 batched decode ({'int8' if int8 else 'bf16'}): {tps:,.0f} tok/s "
+    print(f"gpt2 batched decode ({dtype_mode}): {tps:,.0f} tok/s "
           f"(batch {batch}, {new_tokens} new; bandwidth roofline {roof:,.0f} tok/s)", file=sys.stderr)
     return tps, tps / roof
+
+
+def bench_gpt2_speculative(peak, bw):
+    """Speculative-decoding WORST-CASE throughput (B=1 GPT-2-small, k=4).
+
+    Random weights make the draft's acceptance rate ~0, so this measures the
+    speculative loop's overhead floor: every iteration pays k 2-layer fused
+    draft steps + one (k+1)-token verify chunk and emits ONE token. Real
+    distilled drafts (acceptance a) scale it by ~(1 + a*k): the reported
+    number is the guaranteed lower bound of the serving win.
+    ``vs_baseline`` = floor tok/s / plain megakernel greedy tok/s measured in
+    the same session (>1 means speculative can never lose at these shapes).
+    Bracket details: tools/spec_bench.py, PERF.md ledger #29.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_models_tpu.models.text import GPT2
+    from pytorch_models_tpu.models.text._decoder_lm import decoder_lm_fused_ok
+    from pytorch_models_tpu.models.text.generator import _generate_batch
+    from pytorch_models_tpu.models.text.speculative import _speculative_generate
+
+    target = GPT2(12, 768).to_bf16()  # random weights: timing-only (zero egress)
+    draft = GPT2(2, 768).to_bf16()
+    k, new_tokens, n, pad = 4, 128, 8, 64
+    prompt_buf = np.zeros((pad,), np.int32)
+    prompt_buf[:n] = 1
+
+    def timed(fn, args, reps=4):
+        np.asarray(jax.tree.leaves(fn(*args))[0])  # compile + warm
+        t0 = time.perf_counter()
+        out = [fn(*args) for _ in range(reps)][-1]
+        np.asarray(jax.tree.leaves(out)[0])  # one sync (tunnel amortization)
+        return (time.perf_counter() - t0) / reps
+
+    bbuf = jnp.asarray(prompt_buf[None])
+    pads = jnp.asarray([pad - n], jnp.int32)
+    fused = decoder_lm_fused_ok(target.params, target.cfg)
+    plain_args = (target.params, target.cfg, bbuf, pads, pad + new_tokens, 1, -1,
+                  jax.random.PRNGKey(0), fused)
+    t_plain = timed(_generate_batch, plain_args)
+
+    fd = decoder_lm_fused_ok(draft.params, draft.cfg)
+    spec_args = (target.params, target.cfg, draft.params, draft.cfg,
+                 jnp.asarray(prompt_buf), n, n + new_tokens, k, -1, fd)
+    t_spec = timed(_speculative_generate, spec_args)
+
+    tps_plain, tps_spec = new_tokens / t_plain, new_tokens / t_spec
+    print(f"gpt2 B=1 plain {tps_plain:,.0f} tok/s; speculative k={k} acceptance~0 "
+          f"floor {tps_spec:,.0f} tok/s ({tps_spec / tps_plain:.2f}x; a=1 bound ~{(1 + k) * tps_spec:,.0f})",
+          file=sys.stderr)
+    return tps_spec, tps_spec / tps_plain
 
 
 def t5_generate_roofline(peak, bw, batch, enc_len, new_tokens, dtype_bytes=2):
@@ -464,7 +523,8 @@ def _child_main(which):
     try:
         peak, bw = _device_caps()
         fn = {"vit": bench_vit, "whisper": bench_whisper, "whisper_batch": bench_whisper_batch,
-              "gpt2": bench_gpt2_decode, "encodec": bench_encodec, "t5": bench_t5_generate}[which]
+              "gpt2": bench_gpt2_decode, "encodec": bench_encodec, "t5": bench_t5_generate,
+              "gpt2_spec": bench_gpt2_speculative}[which]
         value, vs = fn(peak, bw)
         emit(which, value, vs)
     finally:
