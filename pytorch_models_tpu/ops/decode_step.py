@@ -113,7 +113,7 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             rows: dict, bkv: int, bkv_x: int, act: str, eps: float, scale: float,
             prec, cross: bool, norm_kind: str, gated: bool, has_sbias: bool,
             b: int, head_v: int | None = None, wt_int8: bool = False,
-            a8: bool = False):
+            a8: bool = False, eager: bool = False):
     refs = list(refs)
     with_head = head_v is not None
 
@@ -218,6 +218,34 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                 for cp in kv_dma(kc_hbm, vc_hbm, first_kv + w, lax.rem(first_kv + w, 2),
                                  (k_scr, v_scr), kv_sem, bkv):
                     cp.start()
+
+        if eager:
+            # ---- small-batch mode: every weight phase here is 1-2 tiles, so
+            # the chained one-phase-ahead warmups leave the DMA queue nearly
+            # empty and each phase pays its wait latency serially (measured
+            # ~55% of the HBM floor at whisper B=1, PERF.md #28). Each phase
+            # owns its scratch + semaphore, so issue the whole layer's
+            # first-2 tiles at entry, in consumption order; in-phase
+            # ``start(t+2)`` keeps handling deeper tiles. Gated to b <= 4:
+            # at large batch the KV streams dominate and must not queue
+            # behind eagerly-issued MLP weights.
+            for t in range(min(2, n_o)):
+                wdma(wo_hbm, wo_scr, wo_sem, l, t, rows["o"], t % 2).start()
+            if cross:
+                for t in range(min(2, n_qc)):
+                    wdma(wqc_hbm, qc_scr, qc_sem, l, t, rows["qc"], t % 2).start()
+                for w in range(min(2, n_xkv_max)):
+                    @pl.when(w < n_xkv)
+                    def _(w=w):
+                        for cp in kv_dma(kxc_hbm, vxc_hbm, w, w % 2,
+                                         (kx_scr, vx_scr), kvx_sem, bkv_x):
+                            cp.start()
+                for t in range(min(2, n_oc)):
+                    wdma(woc_hbm, oc_scr, oc_sem, l, t, rows["oc"], t % 2).start()
+            for t in range(min(2, n_1)):
+                wdma(w1_hbm, w1_scr, w1_sem, l, t, rows["w1"], t % 2).start()
+            for t in range(min(2, n_2)):
+                wdma(w2_hbm, w2_scr, w2_sem, l, t, rows["w2"], t % 2).start()
 
     def stream(x_act, hbm, scr, sem, r, n_tiles, n_cols, next_warmup):
         """acc = x_act @ W with W double-buffer-streamed in full-width row
@@ -349,7 +377,8 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             for to in range(min(2, n_o)):
                 wdma(wo_hbm, wo_scr, wo_sem, l, to, rows["o"], to % 2).start()
 
-        qkv_acc = stream(h1, wqkv_hbm, qkv_scr, qkv_sem, rows["qkv"], n_qkv, 3 * hd, wo_warmup)
+        qkv_acc = stream(h1, wqkv_hbm, qkv_scr, qkv_sem, rows["qkv"], n_qkv, 3 * hd,
+                         None if eager else wo_warmup)
         if wt_int8:
             qkv_acc = qkv_acc * s_qkv[0].astype(f32)
         qkv = (qkv_acc + bqkv_r[0].astype(f32)).astype(cdt)
@@ -377,7 +406,8 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                 for t1 in range(min(2, n_1)):
                     wdma(w1_hbm, w1_scr, w1_sem, l, t1, rows["w1"], t1 % 2).start()
 
-        o_acc = stream(ctx, wo_hbm, wo_scr, wo_sem, rows["o"], n_o, d, after_o)
+        o_acc = stream(ctx, wo_hbm, wo_scr, wo_sem, rows["o"], n_o, d,
+                       None if eager else after_o)
         if wt_int8:
             o_acc = o_acc * s_o[0].astype(f32)
         xv = xv + (o_acc + bo_r[0].astype(f32)).astype(cdt)
@@ -390,7 +420,8 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                 for to in range(min(2, n_oc)):
                     wdma(woc_hbm, oc_scr, oc_sem, l, to, rows["oc"], to % 2).start()
 
-            qc_acc = stream(hc, wqc_hbm, qc_scr, qc_sem, rows["qc"], n_qc, hd, oc_warmup)
+            qc_acc = stream(hc, wqc_hbm, qc_scr, qc_sem, rows["qc"], n_qc, hd,
+                            None if eager else oc_warmup)
             if wt_int8:
                 qc_acc = qc_acc * s_qc[0].astype(f32)
             q_c = (qc_acc + bqc_r[0].astype(f32)).astype(cdt)
@@ -404,7 +435,8 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                 for t1 in range(min(2, n_1)):
                     wdma(w1_hbm, w1_scr, w1_sem, l, t1, rows["w1"], t1 % 2).start()
 
-            oc_acc = stream(ctx_c, woc_hbm, oc_scr, oc_sem, rows["oc"], n_oc, d, w1_warmup)
+            oc_acc = stream(ctx_c, woc_hbm, oc_scr, oc_sem, rows["oc"], n_oc, d,
+                            None if eager else w1_warmup)
             if wt_int8:
                 oc_acc = oc_acc * s_oc[0].astype(f32)
             xv = xv + (oc_acc + boc_r[0].astype(f32)).astype(cdt)
@@ -417,7 +449,8 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             for t2 in range(min(2, n_2)):
                 wdma(w2_hbm, w2_scr, w2_sem, l, t2, rows["w2"], t2 % 2).start()
 
-        m_acc = stream(h2, w1_hbm, w1_scr, w1_sem, rows["w1"], n_1, w1_cols, w2_warmup)
+        m_acc = stream(h2, w1_hbm, w1_scr, w1_sem, rows["w1"], n_1, w1_cols,
+                       None if eager else w2_warmup)
         if wt_int8:
             m_acc = m_acc * s_1[0].astype(f32)
         if gated:  # GEGLU: act(x@wi) * (x@v) — T5 gated MLP (ref t5.py:29-37)
@@ -699,6 +732,12 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
         rows["oc"] = _pick_rows(hd, d, itemsize)
         assert cross_k.shape[-2] % KV_BLOCK == 0
     prec = lax.Precision.HIGHEST if x.dtype == jnp.float32 else lax.Precision.DEFAULT
+    # small-batch eager warmup (see _kernel): issue every phase's first tiles
+    # at layer entry. Gated to b <= 4 — at large batch the KV streams dominate
+    # and must stay ahead of the MLP weights in the DMA queues. Env override
+    # DECODE_EAGER=0/1 for A/B sweeps.
+    _eager_env = __import__("os").environ.get("DECODE_EAGER")
+    eager = (b <= 4) if _eager_env is None else _eager_env == "1"
 
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     pad_arr = (jnp.zeros((b,), jnp.int32) if pad_lens is None
@@ -811,7 +850,7 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
         rows=rows, bkv=bkv, bkv_x=bkv_x, act=act, eps=eps,
         scale=1.0 / (head_dim ** 0.5), prec=prec, cross=cross,
         norm_kind=norm, gated=gated, has_sbias=sbias is not None, b=b,
-        head_v=head_v, wt_int8=wt_int8, a8=a8)
+        head_v=head_v, wt_int8=wt_int8, a8=a8, eager=eager)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

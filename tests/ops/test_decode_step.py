@@ -571,3 +571,43 @@ def test_fused_step_a8_requires_int8():
     except AssertionError:
         raised = True
     assert raised, "a8 over bf16-packed weights must be rejected"
+
+
+def test_eager_warmup_matches_chained(monkeypatch):
+    """The small-batch eager warmup (all phases' first tiles issued at layer
+    entry) is a pure DMA-scheduling change: b=1 outputs must equal the
+    chained-warmup path bit-for-bit. Covers cross-attention + head phases."""
+    import os
+
+    from pytorch_models_tpu.ops.decode_step import (
+        fused_cross_decode_step, pack_greedy_head)
+
+    r = rng(223)
+    b, d, n_layers, l_max, lx, pos = 1, 128, 2, 128, 128, 33
+    cfg = tfm.LayerConfig.make(d, n_heads=2, cross_attn=True, act="approximate_gelu")
+    params = tfm.decoder_init(jax.random.PRNGKey(3), n_layers, cfg)
+    hd = cfg.n_heads * cfg.head_dim
+    packed = pack_decode_weights(params["layers"], jnp.float32, cross=True)
+    head, head_v = pack_greedy_head(
+        jnp.asarray(r.standard_normal((100, d)), jnp.float32),
+        {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)},
+        jnp.float32)
+    x = jnp.asarray(r.standard_normal((b, d)), jnp.float32)
+    kc = jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32)
+    vc = jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32)
+    xk = jnp.asarray(r.standard_normal((n_layers, b, lx, hd)), jnp.float32)
+    xv = jnp.asarray(r.standard_normal((n_layers, b, lx, hd)), jnp.float32)
+
+    outs = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("DECODE_EAGER", mode)
+        jax.clear_caches()
+        with pltpu.force_tpu_interpret_mode():
+            outs[mode] = fused_cross_decode_step(
+                x, packed, kc, vc, xk, xv, jnp.asarray([lx], jnp.int32), pos, None,
+                n_heads=cfg.n_heads, act=cfg.act, eps=cfg.norm_eps,
+                head=head, head_v=head_v)
+    monkeypatch.delenv("DECODE_EAGER")
+    jax.clear_caches()
+    for a, c in zip(outs["1"], outs["0"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
