@@ -140,16 +140,21 @@ def _tp_pp_generate_body(params, prompt_buf, pad_lens, limit, eos_id, *,
 
 
 class TPPPDecoderGenerator:
-    """2D stage+head-sharded drop-in for ``generate_tokens_batch`` over a
-    ``("pp", "tp")`` mesh; token-identical to the single-device generator."""
+    """2D/3D stage+head(-and-batch)-sharded drop-in for
+    ``generate_tokens_batch`` over a ``("pp", "tp")`` or ``("dp", "pp",
+    "tp")`` mesh; token-identical to the single-device generator. With a
+    "dp" axis, batch rows are additionally split across dp ranks (the full
+    serving matrix: dp x pp x tp in one generator)."""
 
     def __init__(self, model, tokenizer, mesh: Mesh) -> None:
         self.model = model
         self.tokenizer = tokenizer
         axes = dict(mesh.shape)
-        assert set(axes) == {"pp", "tp"}, (
-            f'tp+pp serving mesh needs ("pp", "tp") axes, got {tuple(axes)}')
+        assert set(axes) in ({"pp", "tp"}, {"dp", "pp", "tp"}), (
+            f'tp+pp serving mesh needs ("pp", "tp") or ("dp", "pp", "tp") axes, got {tuple(axes)}')
         self.n_stages, tp = axes["pp"], axes["tp"]
+        self.dp = axes.get("dp", 1)
+        has_dp = "dp" in axes
         cfg = model.cfg
         assert cfg.n_layers % self.n_stages == 0, (
             f"{cfg.n_layers} layers not divisible by pp={self.n_stages}")
@@ -165,12 +170,15 @@ class TPPPDecoderGenerator:
 
         n_stages = self.n_stages
 
+        row_spec = P("dp") if has_dp else P()
+        row2_spec = P("dp", None) if has_dp else P()
+
         def sharded(params, prompt_buf, pad_lens, limit, eos_id):
             fn = jax.shard_map(
                 partial(_tp_pp_generate_body, cfg=cfg_local, n_stages=n_stages),
                 mesh=mesh,
-                in_specs=(pspecs, P(), P(), P(), P()),
-                out_specs=(P(), P()),
+                in_specs=(pspecs, row2_spec, row_spec, P(), P()),
+                out_specs=(row2_spec, row_spec),
                 check_vma=False,
             )
             return fn(params, prompt_buf, pad_lens, limit, eos_id)
@@ -187,6 +195,7 @@ class TPPPDecoderGenerator:
         if pad >= cfg.max_seq_len:
             return [list(ts) for ts in token_lists]
         b = len(token_lists)
+        assert b % self.dp == 0, f"batch {b} must be divisible by dp={self.dp}"
         buf = np.zeros((b, pad), np.int32)
         pad_lens = np.zeros((b,), np.int32)
         for i, ts in enumerate(token_lists):

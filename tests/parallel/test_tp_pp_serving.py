@@ -88,3 +88,16 @@ def test_tp_pp_eos_stops_early():
     out = TPPPDecoderGenerator(m, TokEos(), mesh).generate_tokens_batch(
         [[5, 6, 7], [9] * 11], max_tokens=12)
     assert out == ref
+
+
+def test_dp_pp_tp_3d_mesh_matches_single_device():
+    """Full 3D serving: batch rows over dp, stages over pp, heads over tp."""
+    from pytorch_models_tpu.models.text import DecoderGenerator
+
+    m = _tiny_gpt2(n_layers=4)
+    prompts = [[5, 6, 7], [9] * 20, [11, 12], [3] * 7]
+    ref = DecoderGenerator(m, Tok()).generate_tokens_batch(prompts, max_tokens=8)
+
+    mesh = make_mesh(8, shape=(2, 2, 2), axes=("dp", "pp", "tp"))
+    out = TPPPDecoderGenerator(m, Tok(), mesh).generate_tokens_batch(prompts, max_tokens=8)
+    assert out == ref
