@@ -52,9 +52,8 @@ from ._decoder_lm import (
 from .generator import PROMPT_BUCKET
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _cb_admit(params, cfg, buf, caches, pad_lens, limits, done,
-              row, pos, n, prompt_chunk, max_new):
+def _cb_admit_body(params, cfg, buf, caches, pad_lens, limits, done,
+                   row, pos, n, prompt_chunk, max_new):
     """Admit one request into slot ``row`` at global position ``pos``.
 
     ``prompt_chunk``: (P,) with the n prompt tokens RIGHT-aligned. Writes the
@@ -92,9 +91,8 @@ def _cb_admit(params, cfg, buf, caches, pad_lens, limits, done,
     return buf, caches, pad_lens, limits, done
 
 
-@partial(jax.jit, static_argnums=(1, 8, 14))
-def _cb_steps(params, cfg, buf, pad_lens, limits, ends, caches, pos, fused,
-              done, n_steps, eos_id, packed=None, head=None, head_v=None):
+def _cb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, pos, fused,
+                   done, n_steps, eos_id, packed=None, head=None, head_v=None):
     """Up to ``n_steps`` greedy decode steps over the whole pool (early exit
     when every row is done). Finished rows park writing EOS; a row's ``ends``
     is latched to pos+1 the step it finishes (EOS emitted or per-row limit
@@ -140,6 +138,10 @@ def _cb_steps(params, cfg, buf, pad_lens, limits, ends, caches, pos, fused,
     return buf, ends, caches, pos, done
 
 
+_cb_admit = partial(jax.jit, static_argnums=(1,))(_cb_admit_body)
+_cb_steps = partial(jax.jit, static_argnums=(1, 8, 14))(_cb_steps_body)
+
+
 class ContinuousBatchingGenerator:
     """Greedy serving over a fixed pool of ``batch_size`` KV-cache slots with
     mid-flight request admission. Per-request outputs are token-identical to
@@ -161,6 +163,23 @@ class ContinuousBatchingGenerator:
         self.prompt_bucket = prompt_bucket
         self.check_every = check_every
 
+    # ---- sharding hooks (overridden by parallel/cb_serving.py) ----------
+    def _params_cfg(self):
+        return self.model.params, self.model.cfg
+
+    def _init_pool(self, params, cfg, b):
+        """(fused, packed, head, head_v, caches) for a fresh slot pool."""
+        fused = decoder_lm_fused_ok(params, cfg)
+        packed, head, head_v = decoder_lm_pack(params, cfg) if fused else (None, None, None)
+        caches = decoder_lm_make_cache(cfg, (b,), dtype=params["token_embs"].dtype, stacked=True)
+        return fused, packed, head, head_v, caches
+
+    def _admit(self, *args):
+        return _cb_admit(*args)
+
+    def _steps(self, *args, **kw):
+        return _cb_steps(*args, **kw)
+
     def generate_many(self, prompts: list[str], max_tokens: int | list[int] = 100) -> list[str]:
         outs = self.generate_tokens_many([self.tokenizer.encode(p) for p in prompts], max_tokens)
         return [self.tokenizer.decode(o) for o in outs]
@@ -169,8 +188,7 @@ class ContinuousBatchingGenerator:
                              max_tokens: int | list[int] = 100) -> list[list[int]]:
         """Schedule all ``requests`` (admitted in order as slots free up) and
         return each request's full prompt+generated token list, in order."""
-        cfg = self.model.cfg
-        params = self.model.params
+        params, cfg = self._params_cfg()
         n_req = len(requests)
         if n_req == 0:
             return []
@@ -195,10 +213,7 @@ class ContinuousBatchingGenerator:
             plans.append((toks, m_eff))
 
         b = self.batch_size
-        fused = decoder_lm_fused_ok(params, cfg)
-        packed, head, head_v = decoder_lm_pack(params, cfg) if fused else (None, None, None)
-        dtype = params["token_embs"].dtype
-        caches = decoder_lm_make_cache(cfg, (b,), dtype=dtype, stacked=True)
+        fused, packed, head, head_v, caches = self._init_pool(params, cfg, b)
         buf = jnp.zeros((b, l_max), jnp.int32)
         pad_lens = jnp.zeros((b,), jnp.int32)
         limits = jnp.zeros((b,), jnp.int32)
@@ -225,7 +240,7 @@ class ContinuousBatchingGenerator:
                         continue  # head-of-queue doesn't fit this epoch
                     chunk = np.zeros((p_bucket,), np.int32)
                     chunk[p_bucket - len(toks):] = toks
-                    buf, caches, pad_lens, limits, done = _cb_admit(
+                    buf, caches, pad_lens, limits, done = self._admit(
                         params, cfg, buf, caches, pad_lens, limits, done,
                         jnp.int32(row), jnp.int32(pos), jnp.int32(len(toks)),
                         jnp.asarray(chunk), jnp.int32(m_eff))
@@ -247,7 +262,7 @@ class ContinuousBatchingGenerator:
                 break
 
             # ---- run a chunk of decode steps, then sync the scheduler view
-            buf, ends, caches, pos_d, done = _cb_steps(
+            buf, ends, caches, pos_d, done = self._steps(
                 params, cfg, buf, pad_lens, limits, ends, caches, jnp.int32(pos),
                 fused, done, jnp.int32(self.check_every), eos, packed, head, head_v)
             pos = int(np.asarray(pos_d))

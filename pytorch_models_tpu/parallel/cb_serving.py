@@ -1,0 +1,104 @@
+"""Tensor-parallel CONTINUOUS BATCHING: the serving-engine pattern sharded.
+
+Composes the two production serving pieces: a fixed pool of KV-cache slots
+with mid-flight request admission (models/text/continuous.py) and Megatron
+head sharding over a ``("tp",)`` mesh (parallel/serving.py). The pool's KV
+caches shard on the head width — ``(L, B, Lmax, H*D/tp)`` per rank — and the
+two scheduling programs (admit, decode-steps) run as shard_maps, with the
+base class's host scheduler (admission order, slot harvest, epoch resets)
+reused verbatim through its sharding hooks. Decode runs the per-op tp path
+(the megakernel has no in-kernel psum — same as parallel/serving.py).
+
+Per-request outputs stay token-identical to the single-device
+``DecoderGenerator.generate_tokens`` (tests/parallel/test_cb_serving.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import transformer as tfm
+from ..models.text.continuous import (
+    ContinuousBatchingGenerator,
+    _cb_admit_body,
+    _cb_steps_body,
+)
+from ..models.text.generator import PROMPT_BUCKET
+from .serving import decoder_lm_serving_pspecs
+
+
+class TPContinuousBatchingGenerator(ContinuousBatchingGenerator):
+    """Continuous batching with the model tp-sharded over a ``("tp",)`` mesh."""
+
+    def __init__(self, model, tokenizer, mesh: Mesh, batch_size: int = 8,
+                 prompt_bucket: int = PROMPT_BUCKET, check_every: int = 16) -> None:
+        super().__init__(model, tokenizer, batch_size=batch_size,
+                         prompt_bucket=prompt_bucket, check_every=check_every)
+        axes = dict(mesh.shape)
+        assert set(axes) == {"tp"}, f'cb serving mesh needs a ("tp",) axis, got {tuple(axes)}'
+        tp = axes["tp"]
+        n_heads = model.cfg.layer.n_heads
+        assert n_heads % tp == 0, f"{n_heads} heads not divisible by tp={tp}"
+        cfg_local = replace(model.cfg, local_heads=n_heads // tp,
+                            tp_axis="tp" if tp > 1 else None)
+        self._mesh = mesh
+
+        pspecs = decoder_lm_serving_pspecs(model.params)
+        self._sharded_params = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), model.params, pspecs)
+        cache_spec = {"k": P(None, None, None, "tp"), "v": P(None, None, None, "tp")}
+        self._cache_spec = cache_spec
+
+        def admit(params, buf, caches, pad_lens, limits, done,
+                  row, pos, n, prompt_chunk, max_new):
+            fn = jax.shard_map(
+                lambda p, *a: _cb_admit_body(p, cfg_local, *a),
+                mesh=mesh,
+                in_specs=(pspecs, P(), cache_spec, P(), P(), P(), P(), P(), P(), P(), P()),
+                out_specs=(P(), cache_spec, P(), P(), P()),
+                check_vma=False,
+            )
+            return fn(params, buf, caches, pad_lens, limits, done,
+                      row, pos, n, prompt_chunk, max_new)
+
+        def steps(params, buf, pad_lens, limits, ends, caches, pos, done,
+                  n_steps, eos_id):
+            def local(p, buf, pads, lims, ends, caches, pos, done, n_steps, eos):
+                return _cb_steps_body(p, cfg_local, buf, pads, lims, ends, caches,
+                                      pos, False, done, n_steps, eos)
+
+            fn = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(pspecs, P(), P(), P(), P(), cache_spec, P(), P(), P(), P()),
+                out_specs=(P(), P(), cache_spec, P(), P()),
+                check_vma=False,
+            )
+            return fn(params, buf, pad_lens, limits, ends, caches, pos,
+                      done, n_steps, eos_id)
+
+        self._admit_jit = jax.jit(admit)
+        self._steps_jit = jax.jit(steps)
+
+    # ---- sharding hooks ----------------------------------------------------
+    def _params_cfg(self):
+        # host scheduling logic reads only global fields (max_seq_len etc.)
+        return self._sharded_params, self.model.cfg
+
+    def _init_pool(self, params, cfg, b):
+        caches = tfm.make_kv_cache(cfg.n_layers, (b,), cfg.layer.n_heads,
+                                   cfg.max_seq_len, cfg.layer.head_dim,
+                                   dtype=params["token_embs"].dtype, stacked=True)
+        caches = {k: jax.device_put(v, NamedSharding(self._mesh, self._cache_spec[k]))
+                  for k, v in caches.items()}
+        return False, None, None, None, caches  # fused off: per-op tp path
+
+    def _admit(self, params, cfg, *args):
+        return self._admit_jit(params, *args)
+
+    def _steps(self, params, cfg, buf, pad_lens, limits, ends, caches, pos,
+               fused, done, n_steps, eos_id, packed=None, head=None, head_v=None):
+        return self._steps_jit(params, buf, pad_lens, limits, ends, caches,
+                               pos, done, n_steps, eos_id)
