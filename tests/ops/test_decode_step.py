@@ -611,3 +611,38 @@ def test_eager_warmup_matches_chained(monkeypatch):
     jax.clear_caches()
     for a, c in zip(outs["1"], outs["0"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_fused_step_a8_cross_gated_close_to_w8a16():
+    """a8 over the cross-attention + GEGLU + RMSNorm kernel variant: the
+    int8-activation path must stay within activation-quantization noise of
+    the w8a16 cast path (covers the s_qc/s_oc and gated-scale branches)."""
+    from pytorch_models_tpu.utils.params import quantize_tree_int8
+    from pytorch_models_tpu.ops.decode_step import fused_cross_decode_step
+
+    r = rng(229)
+    b, d, n_layers, l_max, lx, pos = 2, 128, 2, 128, 128, 17
+    cfg = tfm.LayerConfig.make(d, n_heads=2, cross_attn=True, act="approximate_gelu")
+    params = tfm.decoder_init(jax.random.PRNGKey(5), n_layers, cfg)
+    qlayers = quantize_tree_int8(params["layers"])
+    hd = cfg.n_heads * cfg.head_dim
+    packed = pack_decode_weights(qlayers, jnp.float32, cross=True)
+    assert packed["wqkv"].dtype == jnp.int8 and "s_qc" in packed
+
+    x = jnp.asarray(r.standard_normal((b, d)), jnp.float32)
+    kc = jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32)
+    vc = jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32)
+    xk = jnp.asarray(r.standard_normal((n_layers, b, lx, hd)), jnp.float32)
+    xv = jnp.asarray(r.standard_normal((n_layers, b, lx, hd)), jnp.float32)
+    lens = jnp.asarray([lx, lx - 32], jnp.int32)
+
+    outs = {}
+    for a8 in (False, True):
+        with pltpu.force_tpu_interpret_mode():
+            outs[a8] = fused_cross_decode_step(
+                x, packed, kc, vc, xk, xv, lens, pos, None, n_heads=cfg.n_heads,
+                act=cfg.act, eps=cfg.norm_eps, a8=a8)[0]
+    ref = np.asarray(outs[False], np.float32)
+    got = np.asarray(outs[True], np.float32)
+    scale = max(np.abs(ref).max(), 1.0)
+    assert np.abs(got - ref).max() / scale < 5e-2
