@@ -160,6 +160,29 @@ def _fused_whisper_step(p, packed, head, head_v, cfg: WhisperConfig, tok, caches
     return nxt, caches
 
 
+def _decoder_hidden_chunk(p, lc, cross, tokens, caches, pos):
+    """Embed + position slice + KV-cached decoder + final LN for a (S,) chunk
+    at positions ``[pos, pos+S)`` of one whisper decoder ``p``. The single
+    source of truth for the decode-side forward: the plain generator, the
+    speculative target/draft, and the beam forward all call it."""
+    s = tokens.shape[-1]
+    x = embed_rows(p["token_embs"], tokens)
+    d = p["pos_embs"].shape[-1]
+    x = x + lax.dynamic_slice(p["pos_embs"], (pos, 0), (s, d)).astype(x.dtype)
+    x, caches = tfm.decoder_apply(p, lc, x, self_caches=caches,
+                                  cross_caches=cross, pos=pos)
+    return layer_norm(p["norm"], x), caches
+
+
+def _decoder_logits_chunk(p, lc, cross, tokens, caches, pos):
+    """:func:`_decoder_hidden_chunk` + tied-embedding logits."""
+    from ...ops.layers import dot_precision
+
+    hn, caches = _decoder_hidden_chunk(p, lc, cross, tokens, caches, pos)
+    return jnp.matmul(hn, p["token_embs"].astype(hn.dtype).T,
+                      precision=dot_precision(hn)), caches
+
+
 def _whisper_generate_body(params, cfg: WhisperConfig, memory, initial_tokens, max_tokens: int, eot_id):
     """KV-cached greedy transcription over one encoded segment (unbatched)."""
     p = params["decoder"]
@@ -171,16 +194,10 @@ def _whisper_generate_body(params, cfg: WhisperConfig, memory, initial_tokens, m
     cross_caches = tfm.precompute_cross_caches(p, lc, memory)
 
     def forward_hidden(tokens, caches, pos, s):
-        x = embed_rows(p["token_embs"], tokens)
-        x = x + lax.dynamic_slice(p["pos_embs"], (pos, 0), (s, cfg.d_model)).astype(x.dtype)
-        x, caches = tfm.decoder_apply(p, lc, x, self_caches=caches, cross_caches=cross_caches, pos=pos)
-        return layer_norm(p["norm"], x), caches
+        return _decoder_hidden_chunk(p, lc, cross_caches, tokens, caches, pos)
 
     def forward_chunk(tokens, caches, pos, s):
-        hn, caches = forward_hidden(tokens, caches, pos, s)
-        from ...ops.layers import dot_precision
-
-        return jnp.matmul(hn, p["token_embs"].astype(hn.dtype).T, precision=dot_precision(hn)), caches
+        return _decoder_logits_chunk(p, lc, cross_caches, tokens, caches, pos)
 
     buf = jnp.zeros((max_tokens,), jnp.int32)
     buf = lax.dynamic_update_slice(buf, initial_tokens.astype(jnp.int32), (0,))
@@ -222,7 +239,6 @@ def _whisper_speculative_body(params, cfg: WhisperConfig, draft_params,
     :func:`_whisper_generate_body` for ANY draft). Each model attends its own
     encoding of the same segment (``memory`` / ``d_memory``)."""
     from ..text.speculative import spec_greedy_decode_loop
-    from ...ops.layers import dot_precision
 
     p, dp = params["decoder"], draft_params["decoder"]
     lc, dlc = cfg.dec_layer, draft_cfg.dec_layer
@@ -250,17 +266,7 @@ def _whisper_speculative_body(params, cfg: WhisperConfig, draft_params,
         d_head, d_head_v = pack_greedy_head(dp["token_embs"], dp["norm"],
                                             dp["token_embs"].dtype)
 
-    def fwd(pp, llc, cross, tokens, caches, pos):
-        s = tokens.shape[-1]
-        x = embed_rows(pp["token_embs"], tokens)
-        x = x + lax.dynamic_slice(pp["pos_embs"], (pos, 0),
-                                  (s, pp["pos_embs"].shape[-1])).astype(x.dtype)
-        x, caches = tfm.decoder_apply(pp, llc, x, self_caches=caches,
-                                      cross_caches=cross, pos=pos)
-        hn = layer_norm(pp["norm"], x)
-        lg = jnp.matmul(hn, pp["token_embs"].astype(hn.dtype).T,
-                        precision=dot_precision(hn))
-        return lg, caches
+    fwd = _decoder_logits_chunk  # the shared decode-side forward
 
     def verify_chunk(chunk, caches, pos):
         lg, caches = fwd(p, lc, t_cross, chunk, caches, pos)
@@ -312,16 +318,10 @@ def _whisper_generate_batch_body(params, cfg: WhisperConfig, memory, initial_tok
         head, head_v = pack_greedy_head(p["token_embs"], p["norm"], p["token_embs"].dtype)
 
     def forward_hidden(tokens, caches, pos, s):
-        x = embed_rows(p["token_embs"], tokens)
-        x = x + lax.dynamic_slice(p["pos_embs"], (pos, 0), (s, cfg.d_model)).astype(x.dtype)
-        x, caches = tfm.decoder_apply(p, lc, x, self_caches=caches, cross_caches=cross_caches, pos=pos)
-        return layer_norm(p["norm"], x), caches
+        return _decoder_hidden_chunk(p, lc, cross_caches, tokens, caches, pos)
 
     def forward_chunk(tokens, caches, pos, s):
-        hn, caches = forward_hidden(tokens, caches, pos, s)
-        from ...ops.layers import dot_precision
-
-        return jnp.matmul(hn, p["token_embs"].astype(hn.dtype).T, precision=dot_precision(hn)), caches
+        return _decoder_logits_chunk(p, lc, cross_caches, tokens, caches, pos)
 
     buf = jnp.zeros((b, max_tokens), jnp.int32)
     init_rows = jnp.broadcast_to(initial_tokens.astype(jnp.int32), (b, n_init))
@@ -773,7 +773,14 @@ class SpeculativeWhisperGenerator:
     by it (models/text/speculative.py cores; capability beyond the
     reference). All OpenAI Whisper variants share one BPE vocabulary, so any
     size pairing works. Mel + both encoders + the speculative decode run in
-    ONE jit call per segment (the tunnel costs ~6 ms per dispatch, PERF.md)."""
+    ONE jit call per segment (the tunnel costs ~6 ms per dispatch, PERF.md).
+
+    Edge caveat (decoder-LM convention): within ``k`` positions of the
+    448-slot decoder table, the speculative loop stops instead of drafting
+    past the edge — a transcription with no EOT before position ``448 - k``
+    can return up to ``k-1`` fewer tokens than the plain generator. Pass
+    ``max_tokens <= 448 - k`` for unconditional identity; real segments stop
+    on EOT long before the table edge."""
 
     SAMPLE_RATE = WhisperGenerator.SAMPLE_RATE
     N_SAMPLES = WhisperGenerator.N_SAMPLES

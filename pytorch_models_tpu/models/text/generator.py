@@ -435,11 +435,11 @@ class DecoderGenerator:
         assert n >= 1
         cfg = self.model.cfg
         if max_tokens <= 0:
-            return [list(tokens)] * n
+            return [list(tokens) for _ in range(n)]
         pad = min(-(-max(len(tokens), 1) // PROMPT_BUCKET) * PROMPT_BUCKET, cfg.max_seq_len)
         assert len(tokens) <= pad, f"prompt too long for context {cfg.max_seq_len}"
         if pad >= cfg.max_seq_len:
-            return [list(tokens)] * n
+            return [list(tokens) for _ in range(n)]
         buf = np.zeros((pad,), np.int32)
         pad_len = pad - len(tokens)
         buf[pad_len:] = tokens

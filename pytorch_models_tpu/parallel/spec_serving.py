@@ -94,6 +94,12 @@ class TPSpeculativeGenerator:
         if eos is None:
             eos = -1
         limit = min(n + max_tokens, cfg.max_seq_len)
-        out, length = self._generate(self.params, self.draft_params,
-                                     jnp.asarray(buf), n, limit, eos)
-        return np.asarray(out)[: int(length)].tolist()
+        out_buf, length = self._generate(self.params, self.draft_params,
+                                         jnp.asarray(buf), n, limit, eos)
+        out = np.asarray(out_buf)[: int(length)]
+        # truncate at the first EOS among generated tokens (plain-loop
+        # parity: an accepted chunk can contain tokens past a mid-chunk EOS)
+        hits = np.nonzero(out[n:] == eos)[0]
+        if hits.size:
+            out = out[: n + hits[0] + 1]
+        return out.tolist()

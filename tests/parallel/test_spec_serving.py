@@ -66,3 +66,25 @@ def test_draft_params_replicated_target_sharded():
     assert qw.sharding.shard_shape(qw.shape)[-1] == qw.shape[-1] // 4
     dqw = gen.draft_params["decoder"]["layers"]["sa"]["q"]["w"]
     assert dqw.sharding.shard_shape(dqw.shape) == dqw.shape  # replicated
+
+
+def test_tp_speculative_mid_chunk_eos_truncates():
+    """EOS landing MID-chunk (not at the bonus slot): the accepted chunk
+    contains tokens past EOS on device; the host must trim to plain-loop
+    parity. draft == target makes every draft accepted, so picking EOS two
+    tokens into a chunk forces the overrun."""
+    from pytorch_models_tpu.models.text import DecoderGenerator
+
+    target = _tiny_gpt2(4)
+    prompt = [5, 6, 7]
+    base = DecoderGenerator(target, Tok()).generate_tokens(prompt, max_tokens=16)
+
+    mesh = make_mesh(2, shape=(2,), axes=("tp",))
+    for off in (1, 2, 3):  # sweep EOS positions across chunk offsets
+        class TokEos:
+            eos_token_id = base[3 + off]
+
+        ref = DecoderGenerator(target, TokEos()).generate_tokens(prompt, max_tokens=16)
+        out = TPSpeculativeGenerator(target, target, TokEos(), mesh, k=4).generate_tokens(
+            prompt, max_tokens=16)
+        assert out == ref, (off, out, ref)
