@@ -58,6 +58,10 @@ class WhisperConfig:
     # mesh axis the o/fc2 projections all-reduce over under shard_map.
     local_heads: int | None = None
     tp_axis: str | None = None
+    # "xla" forces the einsum attention path — used by code that runs the
+    # cached decode under vmap (batched speculative), where per-row cache
+    # positions rule out the Pallas kernels.
+    attn_impl: str = "auto"
 
     def _heads(self) -> dict:
         if self.local_heads is None:
@@ -66,12 +70,13 @@ class WhisperConfig:
 
     @property
     def enc_layer(self) -> tfm.LayerConfig:
-        return tfm.LayerConfig.make(self.d_model, tp_axis=self.tp_axis, **self._heads())
+        return tfm.LayerConfig.make(self.d_model, tp_axis=self.tp_axis,
+                                    attn_impl=self.attn_impl, **self._heads())
 
     @property
     def dec_layer(self) -> tfm.LayerConfig:
         return tfm.LayerConfig.make(self.d_model, cross_attn=True, tp_axis=self.tp_axis,
-                                    **self._heads())
+                                    attn_impl=self.attn_impl, **self._heads())
 
 
 def whisper_init(key, cfg: WhisperConfig) -> dict:
@@ -232,7 +237,8 @@ def _whisper_generate_body(params, cfg: WhisperConfig, memory, initial_tokens, m
 
 def _whisper_speculative_body(params, cfg: WhisperConfig, draft_params,
                               draft_cfg: WhisperConfig, memory, d_memory,
-                              initial_tokens, max_tokens: int, eot_id, k: int):
+                              initial_tokens, max_tokens: int, eot_id, k: int,
+                              fused_draft: bool | None = None):
     """Greedy speculative transcription: a smaller Whisper drafts k tokens,
     the target verifies them in one KV-cached (k+1)-position decoder chunk
     (models/text/speculative.py greedy core — token-identical to
@@ -249,8 +255,10 @@ def _whisper_speculative_body(params, cfg: WhisperConfig, draft_params,
 
     # the draft's single-token steps ride the decode megakernel when eligible
     # (batch-of-1, in-kernel greedy head) — the same path the plain batched
-    # generator uses on TPU; the verify chunk is a per-op S=k+1 forward
-    fused_draft = _whisper_fused_ok(dp, draft_cfg, l_buf)
+    # generator uses on TPU; the verify chunk is a per-op S=k+1 forward.
+    # Callers running this body under vmap pass fused_draft=False explicitly.
+    if fused_draft is None:
+        fused_draft = _whisper_fused_ok(dp, draft_cfg, l_buf)
     t_caches = tfm.make_kv_cache(cfg.n_layers, (), lc.n_heads, l_buf, lc.head_dim,
                                  dtype=p["token_embs"].dtype, stacked=False)
     d_caches = tfm.make_kv_cache(draft_cfg.n_layers, (1,) if fused_draft else (),
@@ -810,6 +818,24 @@ class SpeculativeWhisperGenerator:
 
         self._spec_transcribe = _spec_transcribe
 
+        from dataclasses import replace as _replace
+
+        # batched: pallas encoders on the (B, ...) batch, then a vmapped
+        # decode loop with per-row acceptance/EOT (einsum attention + XLA
+        # gather inside — pallas decode paths don't batch under vmap)
+        t_cfg_x, d_cfg_x = _replace(t_cfg, attn_impl="xla"), _replace(d_cfg, attn_impl="xla")
+
+        @partial(jax.jit, static_argnums=(3,))
+        def _spec_transcribe_batch(params, d_params, audios, max_tokens, initial_tokens, eot_id):
+            memory = _whisper_encode_body(params, t_cfg, t_fwd(audios))
+            d_memory = _whisper_encode_body(d_params, d_cfg, d_fwd(audios))
+            core = lambda m, dm: _whisper_speculative_body(
+                params, t_cfg_x, d_params, d_cfg_x, m, dm, initial_tokens,
+                max_tokens, eot_id, kk, fused_draft=False)
+            return jax.vmap(core)(memory, d_memory)
+
+        self._spec_transcribe_batch = _spec_transcribe_batch
+
     def transcribe_tokens(self, audio, initial_tokens: list[int], eot_id: int,
                           max_tokens: int = DEC_MAX_LEN) -> list[int]:
         """Waveform (n,) -> transcribed token ids (greedy, single 30 s
@@ -826,6 +852,42 @@ class SpeculativeWhisperGenerator:
         if hits.size:
             out = out[: n + hits[0] + 1]
         return out.tolist()
+
+    def transcribe_tokens_batch(self, audios, initial_tokens: list[int], eot_id: int,
+                                max_tokens: int = DEC_MAX_LEN) -> list[list[int]]:
+        """Batched speculative transcription of multiple 30 s segments: both
+        encoders run on the batch, then a vmapped decode loop drafts+verifies
+        every row together with per-row acceptance/EOT. Token-identical per
+        row to :meth:`transcribe_tokens`."""
+        assert max_tokens <= DEC_MAX_LEN, (
+            f"max_tokens={max_tokens} exceeds the decoder position table ({DEC_MAX_LEN})")
+        if isinstance(audios, jnp.ndarray) and audios.ndim == 2 and audios.shape[1] == self.N_SAMPLES:
+            padded = audios.astype(jnp.float32)  # pre-staged device batch
+        else:
+            padded = jnp.asarray(np.stack([
+                np.pad(np.asarray(a, np.float32)[: self.N_SAMPLES], (0, max(0, self.N_SAMPLES - len(a))))
+                for a in audios
+            ]))
+        from ...ops import gather as _gather
+
+        prev = _gather.USE_GATHER_KERNEL
+        _gather.USE_GATHER_KERNEL = False  # vmapped loop: XLA gather (trace-time)
+        try:
+            bufs, lengths = self._spec_transcribe_batch(
+                self.model.params, self.draft_model.params, padded, max_tokens,
+                jnp.asarray(initial_tokens, jnp.int32), eot_id)
+        finally:
+            _gather.USE_GATHER_KERNEL = prev
+        bufs, lengths = np.asarray(bufs), np.asarray(lengths)
+        n = len(initial_tokens)
+        res = []
+        for i in range(len(audios)):
+            out = bufs[i, : lengths[i]]
+            hits = np.nonzero(out[n:] == eot_id)[0]  # truncate at the first EOT
+            if hits.size:
+                out = out[: n + hits[0] + 1]
+            res.append(out.tolist())
+        return res
 
     def transcribe(self, audio, initial_tokens: list[int] | None = None,
                    eot_id: int | None = None, max_tokens: int = DEC_MAX_LEN,

@@ -59,11 +59,16 @@ class T5Config:
     # bias table) and all-reduces over tp_axis after o/wo projections.
     local_heads: int | None = None
     tp_axis: str | None = None
+    # "xla" forces the einsum attention path — used by code that runs the
+    # cached decode under vmap (batched speculative), where per-row cache
+    # positions rule out the Pallas kernels.
+    attn_impl: str = "auto"
 
     @property
     def layer(self) -> tfm.LayerConfig:
         heads = self.n_heads if self.local_heads is None else self.local_heads
-        return tfm.LayerConfig(self.dim, heads, 64, bias=False, tp_axis=self.tp_axis)
+        return tfm.LayerConfig(self.dim, heads, 64, bias=False, tp_axis=self.tp_axis,
+                               attn_impl=self.attn_impl)
 
 
 def rms_norm(p: dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -518,9 +523,8 @@ def _t5_spec_chunk_forward(params, cfg: T5Config, cross_caches, bias_table,
     return linear(params["classifier"], rms_norm(dec["norm"], h)), caches
 
 
-@partial(jax.jit, static_argnums=(1, 3, 5, 9))
-def _t5_speculative_generate(params, cfg: T5Config, draft_params, draft_cfg: "T5Config",
-                             enc_tokens, max_tokens: int, n_enc, pad_id, eos_id, k: int):
+def _t5_spec_body(params, cfg: T5Config, draft_params, draft_cfg: "T5Config",
+                  enc_tokens, max_tokens: int, n_enc, pad_id, eos_id, k: int):
     """Greedy speculative seq2seq generation: a smaller T5 drafts k tokens,
     the target verifies them in one KV-cached (k+1)-position decoder chunk
     (models/text/speculative.py greedy core — token-identical to
@@ -556,6 +560,27 @@ def _t5_speculative_generate(params, cfg: T5Config, draft_params, draft_cfg: "T5
         draft_step, verify_chunk, t_caches, d_caches, buf, 2,
         first[0] == eos_id, max_tokens, k, eos_id, l_buf)
     return buf, length
+
+
+_t5_speculative_generate = partial(jax.jit, static_argnums=(1, 3, 5, 9))(_t5_spec_body)
+
+
+@partial(jax.jit, static_argnums=(1, 3, 5, 9))
+def _t5_speculative_generate_batch(params, cfg: T5Config, draft_params,
+                                   draft_cfg: "T5Config", enc_bufs, max_tokens: int,
+                                   n_encs, pad_id, eos_id, k: int):
+    """Batched greedy seq2seq speculative decoding: vmap of the unbatched
+    loop over B rows (per-row encoder input/valid length/acceptance; the
+    batched while_loop runs until every row's cond closes). Decoder weights
+    broadcast, so each draft/verify step reads them ONCE for all rows.
+
+    ``enc_bufs``: (B, P) RIGHT-padded rows; ``n_encs``: (B,). Caller must
+    pass configs with ``attn_impl="xla"`` and trace with the gather kernel
+    off — the Pallas paths don't batch under vmap (see
+    models/text/speculative.py:_speculative_generate_batch)."""
+    core = lambda enc, n: _t5_spec_body(params, cfg, draft_params, draft_cfg,
+                                        enc, max_tokens, n, pad_id, eos_id, k)
+    return jax.vmap(core)(enc_bufs, n_encs)
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -854,3 +879,49 @@ class SpeculativeT5Generator:
         if hits.size:
             out = out[: hits[0] + 2]
         return out.tolist()
+
+    def generate_batch(self, prompts: list[str], max_tokens: int = 100) -> list[str]:
+        token_lists = [self.tokenizer.Encode(p, add_eos=True) for p in prompts]
+        outs = self.generate_tokens_batch(token_lists, max_tokens,
+                                          self.tokenizer.pad_id(), self.tokenizer.eos_id())
+        return [self.tokenizer.Decode(o) for o in outs]
+
+    def generate_tokens_batch(self, token_lists: list[list[int]], max_tokens: int,
+                              pad_id: int, eos_id: int) -> list[list[int]]:
+        """Batched :meth:`generate_tokens`: B rows draft+verify together with
+        per-row acceptance (vmapped loop; decoder weights read once per step
+        for all rows). Token-identical per row to the unbatched path."""
+        from dataclasses import replace
+
+        from ...ops import gather as _gather
+
+        b = len(token_lists)
+        ns = [len(t) for t in token_lists]
+        assert b >= 1 and min(ns) >= 1
+        pad = -(-max(ns) // ENC_BUCKET) * ENC_BUCKET
+        bufs = np.zeros((b, pad), np.int32)  # RIGHT-padded rows
+        for i, t in enumerate(token_lists):
+            bufs[i, : ns[i]] = t
+
+        # the vmapped loop can't batch the Pallas kernels (per-row cache
+        # positions): trace with the einsum attention path + XLA gather
+        cfg_x = replace(self.model.cfg, attn_impl="xla")
+        dcfg_x = replace(self.draft_model.cfg, attn_impl="xla")
+        prev = _gather.USE_GATHER_KERNEL
+        _gather.USE_GATHER_KERNEL = False
+        try:
+            outs, lengths = _t5_speculative_generate_batch(
+                self.model.params, cfg_x, self.draft_model.params, dcfg_x,
+                jnp.asarray(bufs), max_tokens, jnp.asarray(ns, jnp.int32),
+                pad_id, eos_id, self.k)
+        finally:
+            _gather.USE_GATHER_KERNEL = prev
+        outs, lengths = np.asarray(outs), np.asarray(lengths)
+        res = []
+        for i in range(b):
+            out = outs[i, : lengths[i]]
+            hits = np.nonzero(out[1:] == eos_id)[0]  # truncate at the first EOS
+            if hits.size:
+                out = out[: hits[0] + 2]
+            res.append(out.tolist())
+        return res

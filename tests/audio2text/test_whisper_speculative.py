@@ -70,3 +70,16 @@ def test_eot_stop_matches(target, plain, audio):
         audio, INIT, eot, max_tokens=32)
     assert spec == base
     assert spec[-1] == eot and eot not in spec[len(INIT):-1]
+
+
+def test_batch_matches_unbatched_per_segment(target, plain, audio):
+    """Batched speculative transcription: every row must equal its own
+    single-segment plain greedy transcription (per-row acceptance + EOT)."""
+    draft = Whisper(**SMALLER, rng=3)
+    gen = SpeculativeWhisperGenerator(target, draft, k=3)
+    rng2 = np.random.default_rng(11)
+    audios = [audio, (rng2.standard_normal(16000) * 0.1).astype(np.float32),
+              (rng2.standard_normal(8000) * 0.2).astype(np.float32)]
+    outs = gen.transcribe_tokens_batch(audios, INIT, EOT, max_tokens=24)
+    for a, o in zip(audios, outs):
+        assert o == plain.transcribe_tokens(a, INIT, EOT, max_tokens=24)

@@ -75,3 +75,23 @@ def test_budget_cap_matches(target, plain):
     spec = SpeculativeT5Generator(target, T5Model(**TINY, rng=7), object(), k=4)
     out = spec.generate_tokens(PROMPT, 16, PAD, EOS)
     assert out == base and len(out) == 16
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_batch_matches_unbatched_per_row(target, plain, k):
+    """Batched seq2seq speculative rows (differing encoder lengths, per-row
+    acceptance/EOS) must each equal the plain greedy decode of that row."""
+    draft = T5Model(**TINY, rng=7)
+    gen = SpeculativeT5Generator(target, draft, object(), k=k)
+    rows = [PROMPT, [(i % 89) + 3 for i in range(9)], [(i % 50) + 2 for i in range(33)]]
+    outs = gen.generate_tokens_batch(rows, 20, PAD, EOS)
+    for r, o in zip(rows, outs):
+        assert o == plain.generate_tokens(r, 20, PAD, EOS)
+
+
+def test_batch_identical_draft(target, plain):
+    gen = SpeculativeT5Generator(target, target, object(), k=3)
+    rows = [PROMPT, [(i % 11) + 2 for i in range(5)]]
+    outs = gen.generate_tokens_batch(rows, 16, PAD, EOS)
+    for r, o in zip(rows, outs):
+        assert o == plain.generate_tokens(r, 16, PAD, EOS)
