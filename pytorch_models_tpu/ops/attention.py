@@ -36,20 +36,6 @@ def _on_tpu() -> bool:
         return False
 
 
-# fused decode-layer kernels (ops/decode_layer.py): LN+QKV and o+LN+MLP as
-# two Pallas programs around the decode-attention kernel. OFF by default:
-# measured SLOWER than the op-per-op path on v5e (1.45 vs 1.20 ms/step,
-# GPT-2 batch 32) — grid-(1,) kernels serialize the per-layer weight copy
-# with compute, while XLA's matmul fusions stream weights through the MXU.
-# Winning here needs tile-level double-buffered weight DMA (PERF.md).
-USE_FUSED_LAYER: bool = False
-
-
-def use_fused_layer(cache_len: int, hd: int) -> bool:
-    """Gate for the fused decode-layer path (implies the decode kernel)."""
-    return USE_FUSED_LAYER and use_decode_kernel(cache_len, hd)
-
-
 # fused decode step (ops/decode_step.py): the ENTIRE per-token layer stack in
 # one Pallas call with double-buffered weight-tile DMA. None = auto (on for
 # TPU: measured 1.098 ms/step at batch 32 / pos 544 on v5e = 90% of the

@@ -315,27 +315,6 @@ def _write_cache(cache, k_new, v_new, pos, cache_layer):
     return new_cache, new_cache["k"], new_cache["v"]
 
 
-def _fused_decode_layer(p, cfg: LayerConfig, x, cache, pos, cache_layer, pad_lens):
-    """Single-position pre-norm layer via the fused kernels (ops/decode_layer.py):
-    LN1+QKV in one program, cache write, packed decode attention, then
-    o-proj+residual+LN2+MLP+residual in a second program."""
-    from .ops.decode_attention import decode_attention
-    from .ops.decode_layer import decode_ffn, decode_qkv
-
-    batched = x.ndim == 3
-    x2 = x[:, 0, :] if batched else x  # (B, d) / (1, d)
-    q, k_new, v_new = decode_qkv(x2, p["sa_norm"], p["sa"], cfg.norm_eps)
-    kc = k_new[:, None, :] if batched else k_new
-    vc = v_new[:, None, :] if batched else v_new
-    new_cache, ck, cv = _write_cache(cache, kc, vc, pos, cache_layer)
-    ctx = decode_attention(q[:, None, :] if batched else q,
-                           ck.astype(q.dtype), cv.astype(q.dtype),
-                           pos + 1, cfg.n_heads, pad_lens)
-    ctx2 = ctx[:, 0, :] if batched else ctx
-    out = decode_ffn(x2, ctx2, p["sa"]["o"], p["mlp_norm"], p["mlp"], cfg.act, cfg.norm_eps)
-    return (out[:, None, :] if batched else out), new_cache
-
-
 def decoder_layer_apply(
     p: dict,
     cfg: LayerConfig,
@@ -358,14 +337,6 @@ def decoder_layer_apply(
     """
     eps = cfg.norm_eps
     cached = self_cache is not None
-
-    if cached and not cfg.cross_attn and x.shape[-2] == 1:
-        from .ops import attention as _attn
-        from .ops.decode_layer import fused_layer_eligible
-
-        if (_attn.use_fused_layer(self_cache["k"].shape[-2], cfg.n_heads * cfg.head_dim)
-                and fused_layer_eligible(cfg, p, x, attn_bias, pad_lens)):
-            return _fused_decode_layer(p, cfg, x, self_cache, pos, cache_layer, pad_lens)
 
     def sa(h):
         if cached:
