@@ -405,10 +405,7 @@ def _whisper_beam_body(params, cfg: WhisperConfig, memory, initial_tokens,
         packed = pack_decode_weights(p["layers"], p["token_embs"].dtype, cross=True)
 
     def forward_hidden(tokens, caches, pos, s):
-        x = embed_rows(p["token_embs"], tokens)
-        x = x + lax.dynamic_slice(p["pos_embs"], (pos, 0), (s, cfg.d_model)).astype(x.dtype)
-        x, caches = tfm.decoder_apply(p, lc, x, self_caches=caches, cross_caches=cross_caches, pos=pos)
-        return layer_norm(p["norm"], x), caches
+        return _decoder_hidden_chunk(p, lc, cross_caches, tokens, caches, pos)
 
     def logits_of(hn):
         return jnp.matmul(hn, p["token_embs"].astype(hn.dtype).T, precision=dot_precision(hn))
