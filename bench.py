@@ -465,15 +465,68 @@ PRACTICAL_MATMUL_FRAC = 0.75
 COMPUTE_BOUND = {"vit"}  # decode metrics are HBM-bound; the tunnel doesn't tax HBM
 
 
-def emit(which, value, vs_baseline, error=None):
+def emit(which, value, vs_baseline, error=None, golden=None):
     metric, unit = METRICS[which]
     line = {"metric": metric, "value": round(value, 4 if value < 1000 else 1),
             "unit": unit, "vs_baseline": round(vs_baseline, 4)}
     if which in COMPUTE_BOUND:
         line["vs_practical"] = round(min(vs_baseline / PRACTICAL_MATMUL_FRAC, 1.0), 4)
+    if golden:
+        line["golden"] = golden
     if error:
         line["error"] = error
     print(json.dumps(line), flush=True)
+
+
+def _try_real_weight_golden(budget_secs: int):
+    """Opportunistic EXECUTED real-weight parity check (BASELINE.md north
+    star: <= 1e-3 max abs diff vs the PyTorch reference on real weights).
+
+    The build environment has zero egress, so the opt-in golden suite
+    (tests/pretrained) never runs there; the bench environment may have
+    checkpoint-CDN access. When it does, this downloads ViT-Ti/16 AugReg
+    (~23 MB), runs the same weights through our converter AND the mounted
+    torch reference, and records the result in the bench JSON artifact.
+    Runs in a daemon thread with a hard budget — any failure (no egress, no
+    torch, no mounted reference) degrades to a 'skipped' note, never an
+    error."""
+    import queue
+    import threading
+
+    def work(out):
+        try:
+            import sys as _sys
+
+            ref_path = os.environ.get("REFERENCE_PATH", "/root/reference")
+            if ref_path not in _sys.path:
+                _sys.path.insert(0, ref_path)
+            import torch
+
+            import pytorch_models  # the mounted torch reference
+            from pytorch_models_tpu.models.image import ViT
+
+            ours = ViT.from_google("Ti/16_augreg", pretrained=True)
+            ref = pytorch_models.image.ViT.from_google("Ti/16_augreg", pretrained=True).eval()
+            x = np.random.default_rng(1).standard_normal((2, 3, 224, 224)).astype(np.float32)
+            with torch.no_grad():
+                expected = ref(torch.from_numpy(x)).numpy()
+            import jax
+
+            with jax.default_matmul_precision("highest"):
+                got = np.asarray(ours(x), np.float32)
+            d = float(np.max(np.abs(got - expected)))
+            out.put(f"vit_ti16_augreg real-weight max_abs_diff={d:.2e} "
+                    f"{'PASS' if d < 1e-3 else 'FAIL'} (north star 1e-3)")
+        except Exception as e:  # no egress / no torch / no reference mount
+            out.put(f"skipped ({type(e).__name__}: {str(e)[:120]})")
+
+    out: "queue.Queue[str]" = queue.Queue()
+    t = threading.Thread(target=work, args=(out,), daemon=True)
+    t.start()
+    try:
+        return out.get(timeout=budget_secs)
+    except queue.Empty:
+        return f"skipped (no result within {budget_secs}s)"
 
 
 def _child_main(which):
@@ -526,7 +579,12 @@ def _child_main(which):
               "gpt2": bench_gpt2_decode, "encodec": bench_encodec, "t5": bench_t5_generate,
               "gpt2_spec": bench_gpt2_speculative}[which]
         value, vs = fn(peak, bw)
-        emit(which, value, vs)
+        golden = None
+        golden_budget = int(os.environ.get("BENCH_GOLDEN_SECS", "240"))
+        if which == "vit" and golden_budget > 0:
+            golden = _try_real_weight_golden(golden_budget)
+            print(f"real-weight golden: {golden}", file=sys.stderr)
+        emit(which, value, vs, golden=golden)
     finally:
         if trace_dir:
             jax.profiler.stop_trace()
