@@ -565,12 +565,15 @@ def _child_main(which):
             emit(which, 0.0, 0.0, error=f"watchdog timeout after {watchdog_secs}s")
             os._exit(3)
 
-        t = threading.Timer(watchdog_secs, _abort)
-        t.daemon = True
-        t.start()
+        wd_timer = threading.Timer(watchdog_secs, _abort)
+        wd_timer.daemon = True
+        wd_timer.start()
 
     # BENCH_PROFILE=/path captures a jax.profiler device trace around the
     # timed region (the reference has no tracing subsystem; SURVEY.md §5)
+    import time as _time
+
+    t0 = _time.time()
     if trace_dir:
         jax.profiler.start_trace(trace_dir)
     try:
@@ -579,16 +582,24 @@ def _child_main(which):
               "gpt2": bench_gpt2_decode, "encodec": bench_encodec, "t5": bench_t5_generate,
               "gpt2_spec": bench_gpt2_speculative}[which]
         value, vs = fn(peak, bw)
-        golden = None
-        golden_budget = int(os.environ.get("BENCH_GOLDEN_SECS", "240"))
-        if which == "vit" and golden_budget > 0:
-            golden = _try_real_weight_golden(golden_budget)
-            print(f"real-weight golden: {golden}", file=sys.stderr)
-        emit(which, value, vs, golden=golden)
     finally:
         if trace_dir:
             jax.profiler.stop_trace()
             print(f"profiler trace written to {trace_dir}", file=sys.stderr)
+
+    # the measurement succeeded: emit it BEFORE the opportunistic golden so a
+    # slow/hung golden can never discard a completed run (the parent parses
+    # the LAST valid JSON line, so a second emit with the golden wins)
+    if watchdog_secs:
+        wd_timer.cancel()  # its job (protect the measurement) is done
+    emit(which, value, vs)
+    golden_budget = int(os.environ.get("BENCH_GOLDEN_SECS", "240"))
+    if watchdog_secs:  # never outlive the parent's hard per-attempt timeout
+        golden_budget = min(golden_budget, int(watchdog_secs - (_time.time() - t0)) - 10)
+    if which == "vit" and golden_budget > 0:
+        golden = _try_real_weight_golden(golden_budget)
+        print(f"real-weight golden: {golden}", file=sys.stderr)
+        emit(which, value, vs, golden=golden)
 
 
 def main():

@@ -602,6 +602,16 @@ class WhisperGenerator:
         self._transcribe_full_batch = _transcribe_full_batch
         self._transcribe_beam_jit = _transcribe_beam
 
+    def _stage_batch(self, audios) -> jnp.ndarray:
+        """Segments -> (B, N_SAMPLES) device batch; pre-staged arrays pass
+        through (zero-copy serving path — tunnel uploads are ~12 MB/s)."""
+        if isinstance(audios, jnp.ndarray) and audios.ndim == 2 and audios.shape[1] == self.N_SAMPLES:
+            return audios.astype(jnp.float32)
+        return jnp.asarray(np.stack([
+            np.pad(np.asarray(a, np.float32)[: self.N_SAMPLES], (0, max(0, self.N_SAMPLES - len(a))))
+            for a in audios
+        ]))
+
     def _stage_segment(self, audio) -> jnp.ndarray:
         """Waveform -> (1, N_SAMPLES) device array; pre-staged arrays pass through."""
         if isinstance(audio, jnp.ndarray) and audio.shape == (self.N_SAMPLES,):
@@ -684,13 +694,7 @@ class WhisperGenerator:
         """Batched greedy transcription of multiple 30 s segments (new vs reference)."""
         assert max_tokens <= DEC_MAX_LEN, (
             f"max_tokens={max_tokens} exceeds the decoder position table ({DEC_MAX_LEN})")
-        if isinstance(audios, jnp.ndarray) and audios.ndim == 2 and audios.shape[1] == self.N_SAMPLES:
-            padded = audios.astype(jnp.float32)  # pre-staged device batch: zero-copy serving path
-        else:
-            padded = jnp.asarray(np.stack([
-                np.pad(np.asarray(a, np.float32)[: self.N_SAMPLES], (0, max(0, self.N_SAMPLES - len(a))))
-                for a in audios
-            ]))
+        padded = WhisperGenerator._stage_batch(self, audios)
         buf, lengths = self._transcribe_full_batch(
             self.model.params, padded, max_tokens, jnp.asarray(initial_tokens, jnp.int32), eot_id
         )
@@ -858,23 +862,13 @@ class SpeculativeWhisperGenerator:
         row to :meth:`transcribe_tokens`."""
         assert max_tokens <= DEC_MAX_LEN, (
             f"max_tokens={max_tokens} exceeds the decoder position table ({DEC_MAX_LEN})")
-        if isinstance(audios, jnp.ndarray) and audios.ndim == 2 and audios.shape[1] == self.N_SAMPLES:
-            padded = audios.astype(jnp.float32)  # pre-staged device batch
-        else:
-            padded = jnp.asarray(np.stack([
-                np.pad(np.asarray(a, np.float32)[: self.N_SAMPLES], (0, max(0, self.N_SAMPLES - len(a))))
-                for a in audios
-            ]))
+        padded = WhisperGenerator._stage_batch(self, audios)
         from ...ops import gather as _gather
 
-        prev = _gather.USE_GATHER_KERNEL
-        _gather.USE_GATHER_KERNEL = False  # vmapped loop: XLA gather (trace-time)
-        try:
+        with _gather.xla_gather_for_trace():  # vmapped loop: XLA gather
             bufs, lengths = self._spec_transcribe_batch(
                 self.model.params, self.draft_model.params, padded, max_tokens,
                 jnp.asarray(initial_tokens, jnp.int32), eot_id)
-        finally:
-            _gather.USE_GATHER_KERNEL = prev
         bufs, lengths = np.asarray(bufs), np.asarray(lengths)
         n = len(initial_tokens)
         res = []

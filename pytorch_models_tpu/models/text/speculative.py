@@ -482,9 +482,7 @@ class SpeculativeDecoderGenerator:
 
         cfg_x = replace(cfg, attn_impl="xla")
         dcfg_x = replace(self.draft_model.cfg, attn_impl="xla")
-        prev = _gather.USE_GATHER_KERNEL
-        _gather.USE_GATHER_KERNEL = False
-        try:
+        with _gather.xla_gather_for_trace():
             if _is_greedy(topk, top_p):
                 bufs, lengths = _speculative_generate_batch(
                     self.model.params, cfg_x, self.draft_model.params, dcfg_x,
@@ -496,8 +494,6 @@ class SpeculativeDecoderGenerator:
                     jnp.asarray(prompt_bufs), jnp.asarray(ns, dtype=jnp.int32),
                     jnp.asarray(limits), self.k, eos, jax.random.PRNGKey(seed),
                     topk, top_p, temperature)
-        finally:
-            _gather.USE_GATHER_KERNEL = prev
         bufs, lengths = np.asarray(bufs), np.asarray(lengths)
         outs = []
         for i in range(b):

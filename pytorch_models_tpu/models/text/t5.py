@@ -907,15 +907,11 @@ class SpeculativeT5Generator:
         # positions): trace with the einsum attention path + XLA gather
         cfg_x = replace(self.model.cfg, attn_impl="xla")
         dcfg_x = replace(self.draft_model.cfg, attn_impl="xla")
-        prev = _gather.USE_GATHER_KERNEL
-        _gather.USE_GATHER_KERNEL = False
-        try:
+        with _gather.xla_gather_for_trace():
             outs, lengths = _t5_speculative_generate_batch(
                 self.model.params, cfg_x, self.draft_model.params, dcfg_x,
                 jnp.asarray(bufs), max_tokens, jnp.asarray(ns, jnp.int32),
                 pad_id, eos_id, self.k)
-        finally:
-            _gather.USE_GATHER_KERNEL = prev
         outs, lengths = np.asarray(outs), np.asarray(lengths)
         res = []
         for i in range(b):

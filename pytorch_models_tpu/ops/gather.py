@@ -12,6 +12,8 @@ reference has no equivalent problem (torch gathers are fine on GPU).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import functools
 
 import jax
@@ -28,6 +30,21 @@ MAX_KERNEL_ROWS = 256
 # code that runs embed_rows under vmap (batched speculative), where the
 # pallas_call's scalar-prefetch batching rule is not supported.
 USE_GATHER_KERNEL: bool | None = None
+
+
+@contextmanager
+def xla_gather_for_trace():
+    """Force ``jnp.take`` while TRACING code that runs :func:`embed_rows`
+    under vmap (batched speculative): the pallas gather's scalar-prefetch
+    batching rule is unsupported. The flag is read at trace time, so the
+    toggle only needs to wrap the traced call."""
+    global USE_GATHER_KERNEL
+    prev = USE_GATHER_KERNEL
+    USE_GATHER_KERNEL = False
+    try:
+        yield
+    finally:
+        USE_GATHER_KERNEL = prev
 
 
 def _kernel(idx_ref, table_hbm, o_ref, *, n: int, v: int):
