@@ -141,6 +141,22 @@ def _whisper_fused_ok(p: dict, cfg: WhisperConfig, max_tokens: int) -> bool:
                                tfm.padded_cache_len(max_tokens), cross=True)
 
 
+def _whisper_embed_or_fold(p, cfg: WhisperConfig, tok, pos):
+    """Decoder embeddings for a fused step: at small batch the token gather +
+    position-row slice fold into the kernel's embed phase (ops/decode_step.py
+    — all rows share position ``pos``); else gather outside. Returns
+    ``(x_or_None, extra_kwargs)``."""
+    from ...ops import attention as _attn
+    from ...ops.decode_step import pack_embed_tables
+
+    if _attn.use_fused_embed(tok.shape[0]):
+        emb = pack_embed_tables(p["token_embs"], p["pos_embs"], p["token_embs"].dtype)
+        return None, {"emb": emb, "tok_ids": tok[:, 0], "pos_rows": pos}
+    x = embed_rows(p["token_embs"], tok[:, 0])  # (B, d)
+    x = x + lax.dynamic_slice(p["pos_embs"], (pos, 0), (1, cfg.d_model)).astype(x.dtype)
+    return x, {}
+
+
 def _fused_whisper_step(p, packed, head, head_v, cfg: WhisperConfig, tok, caches, cross, pos):
     """One fused decode step for the whisper decoder: embeddings -> ONE Pallas
     call over the whole layer stack (self + cross attention + MLP + final LN
@@ -149,14 +165,15 @@ def _fused_whisper_step(p, packed, head, head_v, cfg: WhisperConfig, tok, caches
     from ...ops import attention as _attn
     from ...ops.decode_step import fused_cross_decode_step
 
-    x = embed_rows(p["token_embs"], tok[:, 0])  # (B, d)
-    x = x + lax.dynamic_slice(p["pos_embs"], (pos, 0), (1, cfg.d_model)).astype(x.dtype)
+    x, emb_kw = _whisper_embed_or_fold(p, cfg, tok, pos)
     lc = cfg.dec_layer
+    cdt = p["token_embs"].dtype
     _, k_new, v_new, nxt = fused_cross_decode_step(
         x, packed, caches["k"], caches["v"],
-        cross["k"].astype(x.dtype), cross["v"].astype(x.dtype), cross["len"][0],
+        cross["k"].astype(cdt), cross["v"].astype(cdt), cross["len"][0],
         pos, None, n_heads=lc.n_heads, act=lc.act, eps=lc.norm_eps, norm="ln",
-        head=head, head_v=head_v, a8=_attn.use_a8_decode(packed["wqkv"].dtype))
+        head=head, head_v=head_v, a8=_attn.use_a8_decode(packed["wqkv"].dtype),
+        **emb_kw)
     start = (0, 0, pos, 0)
     caches = {
         "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
@@ -268,11 +285,13 @@ def _whisper_speculative_body(params, cfg: WhisperConfig, draft_params,
     d_cross = tfm.precompute_cross_caches(dp, dlc,
                                           d_memory[None] if fused_draft else d_memory)
     if fused_draft:
+        from ...ops import attention as _attn
         from ...ops.decode_step import pack_decode_weights, pack_greedy_head
 
         d_packed = pack_decode_weights(dp["layers"], dp["token_embs"].dtype, cross=True)
         d_head, d_head_v = pack_greedy_head(dp["token_embs"], dp["norm"],
-                                            dp["token_embs"].dtype)
+                                            dp["token_embs"].dtype,
+                                            a8=_attn.use_a8_decode(d_packed["wqkv"].dtype))
 
     fwd = _decoder_logits_chunk  # the shared decode-side forward
 
@@ -315,6 +334,8 @@ def _whisper_generate_batch_body(params, cfg: WhisperConfig, memory, initial_tok
     b = memory.shape[0]
     n_init = initial_tokens.shape[0]
 
+    from ...ops import attention as _attn
+
     fused = _whisper_fused_ok(p, cfg, max_tokens)
     self_caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, max_tokens, lc.head_dim,
                                     dtype=p["token_embs"].dtype, stacked=fused)
@@ -323,7 +344,8 @@ def _whisper_generate_batch_body(params, cfg: WhisperConfig, memory, initial_tok
         from ...ops.decode_step import pack_decode_weights, pack_greedy_head
 
         packed = pack_decode_weights(p["layers"], p["token_embs"].dtype, cross=True)
-        head, head_v = pack_greedy_head(p["token_embs"], p["norm"], p["token_embs"].dtype)
+        head, head_v = pack_greedy_head(p["token_embs"], p["norm"], p["token_embs"].dtype,
+                                        a8=_attn.use_a8_decode(packed["wqkv"].dtype))
 
     def forward_hidden(tokens, caches, pos, s):
         return _decoder_hidden_chunk(p, lc, cross_caches, tokens, caches, pos)
@@ -342,8 +364,6 @@ def _whisper_generate_batch_body(params, cfg: WhisperConfig, memory, initial_tok
     def cond(s):
         _, pos, _, done = s
         return jnp.logical_and(jnp.logical_not(jnp.all(done)), pos < max_tokens)
-
-    from ...ops import attention as _attn
 
     def body(s):
         buf, pos, caches, done = s
@@ -419,14 +439,14 @@ def _whisper_beam_body(params, cfg: WhisperConfig, memory, initial_tokens,
 
     def forward(tok, caches, pos):
         if fused:
-            x = embed_rows(p["token_embs"], tok[:, 0])
-            x = x + lax.dynamic_slice(p["pos_embs"], (pos - 1, 0), (1, cfg.d_model)).astype(x.dtype)
+            x, emb_kw = _whisper_embed_or_fold(p, cfg, tok, pos - 1)
+            cdt = p["token_embs"].dtype
             x, k_new, v_new = fused_cross_decode_step(
                 x, packed, caches["k"], caches["v"],
-                cross_caches["k"].astype(x.dtype), cross_caches["v"].astype(x.dtype),
+                cross_caches["k"].astype(cdt), cross_caches["v"].astype(cdt),
                 cross_caches["len"][0], pos - 1, None,
                 n_heads=lc.n_heads, act=lc.act, eps=lc.norm_eps, norm="ln",
-                a8=_attn.use_a8_decode(packed["wqkv"].dtype))
+                a8=_attn.use_a8_decode(packed["wqkv"].dtype), **emb_kw)
             start = (0, 0, pos - 1, 0)
             caches = {
                 "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),

@@ -153,8 +153,26 @@ def decoder_lm_pack(params: dict, cfg: DecoderLMConfig):
     packed = pack_decode_weights(params["decoder"]["layers"], dtype)
     fnorm = params["norm"] if cfg.final_norm else {
         "scale": jnp.ones((cfg.d_model,), jnp.float32)}
-    head, head_v = pack_greedy_head(params["token_embs"], fnorm, dtype)
+    head, head_v = pack_greedy_head(params["token_embs"], fnorm, dtype,
+                                    a8=_attn.use_a8_decode(packed["wqkv"].dtype))
     return packed, head, head_v
+
+
+def _embed_or_fold(params, tokens, pos_ids):
+    """Embeddings for a fused decode step: at small batch, return the
+    in-kernel embed-phase kwargs (the token/pos gathers move into the
+    megakernel's layer-0 entry — two fewer launches of per-step glue); else
+    gather outside as before. Returns ``(x_or_None, extra_kwargs)``."""
+    from ...ops.decode_step import pack_embed_tables
+    from ...ops.gather import embed_rows
+
+    if _attn.use_fused_embed(tokens.shape[0]):
+        emb = pack_embed_tables(params["token_embs"], params["pos_embs"],
+                                params["token_embs"].dtype)
+        return None, {"emb": emb, "tok_ids": tokens[:, 0], "pos_rows": pos_ids[:, 0]}
+    x = embed_rows(params["token_embs"], tokens[:, 0])
+    x = x + embed_rows(params["pos_embs"], pos_ids[:, 0]).astype(x.dtype)
+    return x, {}
 
 
 def decoder_lm_fused_tok_batch(params, packed, head, head_v, cfg: DecoderLMConfig,
@@ -162,17 +180,16 @@ def decoder_lm_fused_tok_batch(params, packed, head, head_v, cfg: DecoderLMConfi
     """Fused decode step INCLUDING the greedy head phase: embeddings -> one
     Pallas call (layer stack + final norm + streamed argmax) -> next token
     ids. Returns ``(tok (B,), caches)``; the (B, V) logits never leave the
-    chip."""
+    chip. At small batch the embedding lookups fold into the kernel too
+    (in-kernel embed phase, ops/decode_step.py)."""
     from ...ops.decode_step import fused_decode_step
-    from ...ops.gather import embed_rows
 
-    x = embed_rows(params["token_embs"], tokens[:, 0])
-    x = x + embed_rows(params["pos_embs"], pos_ids[:, 0]).astype(x.dtype)
+    x, emb_kw = _embed_or_fold(params, tokens, pos_ids)
     lc = cfg.layer
     _, k_new, v_new, tok = fused_decode_step(
         x, packed, caches["k"], caches["v"], pos, pad_lens,
         n_heads=lc.n_heads, act=lc.act, eps=cfg.norm_eps, head=head, head_v=head_v,
-        a8=_attn.use_a8_decode(packed["wqkv"].dtype))
+        a8=_attn.use_a8_decode(packed["wqkv"].dtype), **emb_kw)
     start = (0, 0, pos, 0)
     caches = {
         "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
@@ -190,14 +207,12 @@ def decoder_lm_hidden_fused_batch(params, packed, cfg: DecoderLMConfig, tokens, 
     (all layers at once). Returns ``(hidden (B, 1, d), caches)``.
     """
     from ...ops.decode_step import fused_decode_step
-    from ...ops.gather import embed_rows
 
-    x = embed_rows(params["token_embs"], tokens[:, 0])  # (B, d)
-    x = x + embed_rows(params["pos_embs"], pos_ids[:, 0]).astype(x.dtype)
+    x, emb_kw = _embed_or_fold(params, tokens, pos_ids)
     lc = cfg.layer
     x, k_new, v_new = fused_decode_step(x, packed, caches["k"], caches["v"], pos, pad_lens,
                                         n_heads=lc.n_heads, act=lc.act, eps=cfg.norm_eps,
-                                        a8=_attn.use_a8_decode(packed["wqkv"].dtype))
+                                        a8=_attn.use_a8_decode(packed["wqkv"].dtype), **emb_kw)
     start = (0, 0, pos, 0)
     caches = {
         "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),

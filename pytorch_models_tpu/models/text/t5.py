@@ -254,22 +254,28 @@ def _t5_key_major_bias(bias_table: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fused_t5_step(dec, packed, head, head_v, cfg: "T5Config", h, caches, cross_caches,
-                   bias_km, pos):
+                   bias_km, pos, tok=None, token_embs=None):
     """One fused decode step for the T5 decoder (RMSNorm + rel-pos bias +
     cross-attention + GEGLU + final RMSNorm + streamed greedy argmax, one
-    Pallas call). ``h``: (B, 1, d); ``bias_km``: (P, L, 128) key-major
-    decode-bias table; ``caches`` the layer-stacked dict. Returns
-    ``(next_token (B,), caches)``."""
-    from ...ops.decode_step import fused_cross_decode_step
+    Pallas call). ``h``: (B, 1, d) — or None with ``tok`` (B, 1) +
+    ``token_embs`` to fold the embedding gather into the kernel's embed
+    phase (small-batch glue lever; T5 has no decoder position table);
+    ``bias_km``: (P, L, 128) key-major decode-bias table; ``caches`` the
+    layer-stacked dict. Returns ``(next_token (B,), caches)``."""
+    from ...ops.decode_step import fused_cross_decode_step, pack_embed_tables
 
     lc = cfg.layer
+    cdt = (token_embs if h is None else h).dtype
+    emb_kw = ({"emb": pack_embed_tables(token_embs, None, cdt), "tok_ids": tok[:, 0]}
+              if h is None else {})
     sbias = lax.dynamic_slice(bias_km, (pos, 0, 0), (1,) + bias_km.shape[1:])[0]
     _, k_new, v_new, nxt = fused_cross_decode_step(
-        h[:, 0, :], packed, caches["k"], caches["v"],
-        cross_caches["k"].astype(h.dtype), cross_caches["v"].astype(h.dtype),
+        None if h is None else h[:, 0, :], packed, caches["k"], caches["v"],
+        cross_caches["k"].astype(cdt), cross_caches["v"].astype(cdt),
         cross_caches["len"][0], pos, None, n_heads=lc.n_heads,
         act="approximate_gelu", eps=1e-5, norm="rms", gated=True, sbias=sbias,
-        head=head, head_v=head_v, a8=_attn.use_a8_decode(packed["wqkv"].dtype))
+        head=head, head_v=head_v, a8=_attn.use_a8_decode(packed["wqkv"].dtype),
+        **emb_kw)
     start = (0, 0, pos, 0)
     caches = {
         "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
@@ -374,21 +380,28 @@ def _t5_generate_batch_body(params, cfg: T5Config, enc_tokens, n_enc, max_tokens
 
         dtype = params["token_embs"].dtype
         packed = pack_decode_weights(dec["layers"], dtype, gated=True, cross=True, norm="rms")
-        head, head_v = pack_greedy_head(params["classifier"]["w"], dec["norm"], dtype, tied=False)
+        head, head_v = pack_greedy_head(params["classifier"]["w"], dec["norm"], dtype,
+                                        tied=False,
+                                        a8=_attn.use_a8_decode(packed["wqkv"].dtype))
         bias_km = _t5_key_major_bias(bias_table)
 
     def step(carry):
         buf, pos, caches, done = carry
         tok = lax.dynamic_slice(buf, (0, pos), (b, 1))
-        h = embed_rows(params["token_embs"], tok)
 
         if fused:
             # layer stack + cross-attn + final RMSNorm + argmax in ONE kernel
+            # (small batch folds the embedding gather in too)
+            fold = _attn.use_fused_embed(b)
+            h = None if fold else embed_rows(params["token_embs"], tok)
             nxt, caches = _fused_t5_step(dec, packed, head, head_v, cfg, h, caches,
-                                         cross_caches, bias_km, pos)
+                                         cross_caches, bias_km, pos,
+                                         tok=tok if fold else None,
+                                         token_embs=params["token_embs"] if fold else None)
             nxt = jnp.where(done, jnp.int32(eos_id), nxt)
             buf = lax.dynamic_update_slice(buf, nxt[:, None], (0, pos + 1))
             return buf, pos + 1, caches, jnp.logical_or(done, nxt == eos_id)
+        h = embed_rows(params["token_embs"], tok)
         bias = lax.dynamic_slice(bias_table, (0, pos, 0), (bias_table.shape[0], 1, l_pad))
         h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, None, pos)
         h = rms_norm(dec["norm"], h)
@@ -459,21 +472,28 @@ def _t5_beam_body(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int,
 
     def forward(tok, caches, pos):
         # token at buffer index pos-1 -> cache/bias position pos-1
-        h = embed_rows(params["token_embs"], tok)
         if fused:
+            from ...ops.decode_step import pack_embed_tables
+
+            cdt = params["token_embs"].dtype
+            fold = _attn.use_fused_embed(w)
+            emb_kw = ({"emb": pack_embed_tables(params["token_embs"], None, cdt),
+                       "tok_ids": tok[:, 0]} if fold else {})
+            h = None if fold else embed_rows(params["token_embs"], tok)[:, 0, :]
             sbias = lax.dynamic_slice(bias_km, (pos - 1, 0, 0), (1,) + bias_km.shape[1:])[0]
             hx, k_new, v_new = fused_cross_decode_step(
-                h[:, 0, :], packed, caches["k"], caches["v"],
-                cross_caches["k"].astype(h.dtype), cross_caches["v"].astype(h.dtype),
+                h, packed, caches["k"], caches["v"],
+                cross_caches["k"].astype(cdt), cross_caches["v"].astype(cdt),
                 cross_caches["len"][0], pos - 1, None, n_heads=lc.n_heads,
                 act="approximate_gelu", eps=1e-5, norm="rms", gated=True, sbias=sbias,
-                a8=_attn.use_a8_decode(packed["wqkv"].dtype))
+                a8=_attn.use_a8_decode(packed["wqkv"].dtype), **emb_kw)
             start = (0, 0, pos - 1, 0)
             caches = {
                 "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
                 "v": lax.dynamic_update_slice(caches["v"], v_new[:, :, None, :].astype(caches["v"].dtype), start),
             }
             return linear(params["classifier"], rms_norm(dec["norm"], hx)), caches
+        h = embed_rows(params["token_embs"], tok)
         bias = lax.dynamic_slice(bias_table, (0, pos - 1, 0), (bias_table.shape[0], 1, l_pad))
         h, caches = _t5_decode_layers(dec, cfg, h, caches, cross_caches, bias, None, pos - 1)
         return linear(params["classifier"], rms_norm(dec["norm"], h))[:, 0], caches

@@ -65,6 +65,28 @@ def use_a8_decode(packed_wqkv_dtype) -> bool:
     return USE_A8_DECODE and packed_wqkv_dtype == jnp.int8
 
 
+# in-kernel embed phase of the fused step (ops/decode_step.py ``emb=``): the
+# token/position row gathers move into the megakernel's layer-0 entry,
+# removing two gather-kernel launches + an add per decode step. Gated to
+# small batch: that per-launch glue only matters where steps are ~0.3 ms
+# (whisper B=1, PERF.md #28); at batch 32 embeds measured ~free (#25) and
+# the per-row window copies would add b-unrolled compile time. None = auto
+# (b <= 4 on TPU); True/False force. Env DECODE_EMBED=0/1 overrides for A/B
+# sweeps (read at trace time).
+USE_FUSED_EMBED: bool | None = None
+
+
+def use_fused_embed(batch: int) -> bool:
+    if USE_FUSED_EMBED is not None:
+        return USE_FUSED_EMBED
+    import os
+
+    env = os.environ.get("DECODE_EMBED")
+    if env is not None:
+        return env == "1"
+    return batch <= 4 and _on_tpu()
+
+
 # fused greedy head (ops/greedy_head.py): argmax(x @ emb.T) without the
 # (B, V) logits round-trip. None = auto (on for TPU at batch >= 4 — at B=1
 # the chunked matmuls lose to XLA's single streamed head, measured ~10%

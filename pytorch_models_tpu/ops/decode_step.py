@@ -113,7 +113,8 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             rows: dict, bkv: int, bkv_x: int, act: str, eps: float, scale: float,
             prec, cross: bool, norm_kind: str, gated: bool, has_sbias: bool,
             b: int, head_v: int | None = None, wt_int8: bool = False,
-            a8: bool = False, eager: bool = False):
+            a8: bool = False, eager: bool = False, embed: bool = False,
+            embed_pos: bool = False, head_a8: bool = False):
     refs = list(refs)
     with_head = head_v is not None
 
@@ -125,7 +126,13 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
     # cross len computed outside — b-unrolled scalar chains in-kernel cost
     # compile time); per-row pads/lens ride as (b, 1) VMEM columns
     pos_ref, lims_ref = pop(2)
-    (x_in, pad_col) = pop(2)
+    eidx_ref = pop(1)[0] if embed else None  # (2, b): [tok ids; pos-emb ids]
+    if embed:
+        # in-kernel embed phase (fold of the gather.py launches): x is built
+        # at layer-0 entry from the embedding tables, no x operand
+        x_in, (pad_col,) = None, pop(1)
+    else:
+        (x_in, pad_col) = pop(2)
     (xlen_col,) = pop(1) if cross else (None,)
     (ln1_s, ln1_b, bqkv_r, bo_r, ln2_s, ln2_b, b1_r, b2_r) = pop(8)
     lnc_s = lnc_b = bqc_r = boc_r = sbias_r = None
@@ -138,9 +145,11 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             s_qc, s_oc = pop(2)
     if has_sbias:
         (sbias_r,) = pop(1)
-    fn_s = fn_b = emb_hbm = tok_out = emb_scr = emb_sem = None
+    fn_s = fn_b = emb_hbm = tok_out = emb_scr = emb_sem = embs_ref = None
     if with_head:
         fn_s, fn_b = pop(2)
+        if head_a8:
+            (embs_ref,) = pop(1)
     wqkv_hbm, wo_hbm, w1_hbm, w2_hbm = pop(4)
     wqc_hbm = woc_hbm = kxc_hbm = vxc_hbm = None
     if cross:
@@ -150,6 +159,11 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
         kxc_hbm, vxc_hbm = pop(2)
     if with_head:
         (emb_hbm,) = pop(1)
+    temb_hbm = pemb_hbm = None
+    if embed:
+        (temb_hbm,) = pop(1)
+        if embed_pos:
+            (pemb_hbm,) = pop(1)
     x_out, knew_ref, vnew_ref = pop(3)
     if with_head:
         (tok_out,) = pop(1)
@@ -163,6 +177,9 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
         kx_scr, vx_scr = pop(2)
     if with_head:
         (emb_scr,) = pop(1)
+    gw_scr = None
+    if embed:  # (n_tab*b, 8, d) gather windows for the embed phase
+        (gw_scr,) = pop(1)
     qkv_sem, wo_sem, w1_sem, w2_sem = pop(4)
     qc_sem = oc_sem = None
     if cross:
@@ -172,11 +189,14 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
         (kvx_sem,) = pop(1)
     if with_head:
         (emb_sem,) = pop(1)
+    g_sem = None
+    if embed:
+        (g_sem,) = pop(1)
     assert not refs, f"{len(refs)} unconsumed refs"
 
     l = pl.program_id(0)
     head_dim = hd // n_heads
-    cdt = x_in.dtype
+    cdt = x_scr.dtype if embed else x_in.dtype
     f32 = jnp.float32
     n_qkv, n_o = d // rows["qkv"], hd // rows["o"]
     n_1, n_2 = d // rows["w1"], dff // rows["w2"]
@@ -203,12 +223,29 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
         n_xkv = (lims_ref[1] + bkv_x - 1) // bkv_x  # lims[1] = max cross len
         n_xkv_max = kxc_hbm.shape[-2] // bkv_x  # static bound for warmup slices
 
+    def _emb_dma(tab, row, r):
+        # aligned 8-row window (ids pre-clamped to the row-padded table, so
+        # the window is in bounds and the start provably 8-divisible)
+        start = (eidx_ref[row, r] // 8) * 8
+        slot = r + row * b
+        return pltpu.make_async_copy(tab.at[pl.ds(start, 8), :],
+                                     gw_scr.at[slot], g_sem.at[slot])
+
     def layer_warmups():
         # ---- layer 0's first QKV tiles (later layers get theirs from the
         # previous layer's MLP phase), this layer's first self-KV blocks
         @pl.when(l == 0)
         def _():
-            x_scr[...] = x_in[...]
+            if embed:
+                # ---- in-kernel embed phase: issue the per-row 8-row-aligned
+                # window copies FIRST (x is needed before the first qkv tile
+                # is consumed), collect them after all warmups are queued
+                for r in range(b):
+                    _emb_dma(temb_hbm, 0, r).start()
+                    if embed_pos:
+                        _emb_dma(pemb_hbm, 1, r).start()
+            else:
+                x_scr[...] = x_in[...]
             for t in range(min(2, n_qkv)):
                 wdma(wqkv_hbm, qkv_scr, qkv_sem, 0, t, rows["qkv"], t % 2).start()
 
@@ -246,6 +283,29 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                 wdma(w1_hbm, w1_scr, w1_sem, l, t, rows["w1"], t % 2).start()
             for t in range(min(2, n_2)):
                 wdma(w2_hbm, w2_scr, w2_sem, l, t, rows["w2"], t % 2).start()
+
+        if embed:
+            # collect the embed windows AFTER every warmup above is queued —
+            # the row waits overlap the weight/KV issue latency. Mask-select
+            # each row's sublane in VMEM (gather.py's trick); tok + pos sum
+            # in fp32 then one cast = the same single-rounding as a cdt add.
+            @pl.when(l == 0)
+            def _():
+                sub_iota = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+                xr = []
+                for r in range(b):
+                    _emb_dma(temb_hbm, 0, r).wait()
+                    pick = sub_iota == (eidx_ref[0, r] - (eidx_ref[0, r] // 8) * 8)
+                    row = jnp.sum(jnp.where(pick, gw_scr[r].astype(jnp.float32), 0.0),
+                                  axis=0)
+                    if embed_pos:
+                        _emb_dma(pemb_hbm, 1, r).wait()
+                        pickp = sub_iota == (eidx_ref[1, r] - (eidx_ref[1, r] // 8) * 8)
+                        row = row + jnp.sum(
+                            jnp.where(pickp, gw_scr[b + r].astype(jnp.float32), 0.0),
+                            axis=0)
+                    xr.append(row)
+                x_scr[...] = jnp.stack(xr).astype(cdt)
 
     def stream(x_act, hbm, scr, sem, r, n_tiles, n_cols, next_warmup):
         """acc = x_act @ W with W double-buffer-streamed in full-width row
@@ -490,6 +550,15 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
         tv = rows["emb"]
         n_v = emb_hbm.shape[0] // tv
         xn = _norm(x_scr[...], fn_s[...], fn_b[...], eps, norm_kind)
+        if head_a8:
+            # w8a8 head: per-row symmetric quant of the hidden state. Its
+            # per-row scale is positive and constant within a row, so it is
+            # argmax-invariant and never applied; the per-vocab-row table
+            # scales (embs_ref) are applied per tile below.
+            xn32 = xn.astype(f32)
+            xn_absmax = jnp.max(jnp.abs(xn32), axis=1, keepdims=True)
+            xn_scale = jnp.where(xn_absmax == 0.0, 1.0, xn_absmax) * (1.0 / 127.0)
+            xn_q = jnp.clip(jnp.round(xn32 / xn_scale), -127, 127).astype(jnp.int8)
         int_max = jnp.int32(jnp.iinfo(jnp.int32).max)
 
         def emb_dma(t, slot):
@@ -505,11 +574,16 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                 emb_dma(t + 2, slot).start()
 
             emb_dma(t, slot).wait()
-            s = lax.dot_general(xn, emb_scr[slot], (((1,), (1,)), ((), ())),
-                                preferred_element_type=f32, precision=prec)  # (B, tv)
-            if cdt == jnp.bfloat16:
-                # round like XLA's bf16 head matmul: identical argmax winner
-                s = s.astype(jnp.bfloat16).astype(f32)
+            if head_a8:
+                s_i = lax.dot_general(xn_q, emb_scr[slot], (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.int32)  # (B, tv)
+                s = s_i.astype(f32) * embs_ref[pl.ds(t, 1), :]
+            else:
+                s = lax.dot_general(xn, emb_scr[slot], (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32, precision=prec)  # (B, tv)
+                if cdt == jnp.bfloat16:
+                    # round like XLA's bf16 head matmul: identical argmax winner
+                    s = s.astype(jnp.bfloat16).astype(f32)
             row = t * tv + lax.broadcasted_iota(jnp.int32, (b, tv), 1)
             s = jnp.where(row < head_v, s, -jnp.inf)  # vocab-pad rows
             lm = jnp.max(s, axis=1, keepdims=True)
@@ -672,38 +746,90 @@ def fused_step_eligible(layers_p: dict, cfg, cache_len: int,
 
 def head_tile_rows(d: int, dtype) -> int:
     """Embedding-tile row count for the fused greedy head phase; the head
-    table must be row-padded to a multiple of this (see pack_greedy_head)."""
+    table must be row-padded to a multiple of this (see pack_greedy_head).
+    int8 tiles align to 32 rows (T(32,128) tiling)."""
     itemsize = jnp.dtype(dtype).itemsize
-    return min(1024, max(8, (TILE_BYTES // (d * itemsize)) // 8 * 8))
+    align = 32 if itemsize == 1 else 8
+    return min(1024, max(align, (TILE_BYTES // (d * itemsize)) // align * align))
 
 
-def pack_greedy_head(w, norm_p: dict, dtype=jnp.bfloat16, tied: bool = True):
+def pack_greedy_head(w, norm_p: dict, dtype=jnp.bfloat16, tied: bool = True,
+                     a8: bool = False):
     """Head weights + final-norm params for the in-kernel greedy head phase.
 
     ``w``: (V, d) tied embedding or (d, V) classifier (``tied=False``).
     Returns ``(head_dict, v)`` — pass as ``head=head_dict, head_v=v``.
+
+    ``a8`` (w8a8 serving): the head table streams as per-vocab-row symmetric
+    int8 (halving the largest single stream of a decode step — GPT-2's head
+    is 77 MB bf16) and the head phase runs int8 x int8 -> int32 MXU dots on
+    a per-row-quantized hidden state; the per-vocab-row dequant scales ride
+    whole in VMEM as ``emb_s`` (n_tiles, tile_rows). Changes winners only
+    within int8 rounding (the hidden state's per-row scale is
+    argmax-invariant and is never applied).
     """
-    if isinstance(w, dict):  # int8-quantized head: dequantize (head stays bf16
-        # — its read is shared with the embedding gather and argmax rounding
-        # must keep matching the XLA bf16-logits winner)
+    if isinstance(w, dict):  # int8-quantized head: dequantize first (per-
+        # output-channel scales don't match the head's per-vocab-row axis;
+        # the a8 path re-quantizes per row below, the bf16 path must keep
+        # matching the XLA bf16-logits winner)
         w = w["w_q"].astype(jnp.float32) * w["w_s"].astype(jnp.float32)
     emb = w if tied else w.T
     v, d = emb.shape
-    tv = head_tile_rows(d, dtype)
+    tv = head_tile_rows(d, jnp.int8 if a8 else dtype)
     pad = -v % tv
-    emb = emb.astype(dtype)
-    if pad:
-        emb = jnp.pad(emb, ((0, pad), (0, 0)))
+    if a8:
+        w32 = emb.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(w32), axis=1, keepdims=True)
+        r_scale = jnp.where(absmax == 0.0, 1.0, absmax) * (1.0 / 127.0)
+        emb = jnp.clip(jnp.round(w32 / r_scale), -127, 127).astype(jnp.int8)
+        emb_s = r_scale[:, 0]
+        if pad:  # pad rows: zero weights, unit scale (masked by head_v anyway)
+            emb = jnp.pad(emb, ((0, pad), (0, 0)))
+            emb_s = jnp.pad(emb_s, ((0, pad),), constant_values=1.0)
+    else:
+        emb = emb.astype(dtype)
+        if pad:
+            emb = jnp.pad(emb, ((0, pad), (0, 0)))
     scale = norm_p["scale"].astype(jnp.float32)[None]
     bias = (norm_p["bias"].astype(jnp.float32) if "bias" in norm_p
             else jnp.zeros_like(norm_p["scale"], jnp.float32))[None]
-    return {"emb": emb, "fn_s": scale, "fn_b": bias}, v
+    out = {"emb": emb, "fn_s": scale, "fn_b": bias}
+    if a8:
+        out["emb_s"] = emb_s.reshape(-1, tv)
+    return out, v
+
+
+def pack_embed_tables(token_embs, pos_embs=None, dtype=jnp.bfloat16) -> dict:
+    """Embedding tables for the in-kernel embed phase (``emb=`` kwarg of the
+    fused steps): rows padded to the 8-sublane DMA alignment, cast to the
+    serving dtype. Cheap enough to build inside a decode-loop body (XLA's
+    while-loop LICM hoists the loop-invariant pad/cast, like ops/gather.py's
+    table pad)."""
+    def prep(t):
+        t = t.astype(dtype)
+        if t.shape[0] % 8:
+            t = jnp.pad(t, ((0, -t.shape[0] % 8), (0, 0)))
+        return t
+
+    out = {"tok": prep(token_embs)}
+    if pos_embs is not None:
+        out["pos"] = prep(pos_embs)
+    return out
 
 
 def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
                 norm, gated, sbias, cross_k, cross_v, cross_lens,
-                head=None, head_v=None, a8=False):
-    b, d = x.shape
+                head=None, head_v=None, a8=False, emb=None, tok_ids=None,
+                pos_rows=None):
+    embed = emb is not None
+    embed_pos = embed and "pos" in emb
+    if embed:  # in-kernel embed phase replaces the x operand
+        assert x is None and tok_ids is not None
+        b, d = tok_ids.shape[0], emb["tok"].shape[-1]
+        xdt = emb["tok"].dtype
+    else:
+        b, d = x.shape
+        xdt = x.dtype
     n_layers, _, l_max, hd = k_caches.shape
     cross = cross_k is not None
     with_head = head_v is not None
@@ -731,7 +857,7 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
         rows["qc"] = _pick_rows(d, hd, itemsize)
         rows["oc"] = _pick_rows(hd, d, itemsize)
         assert cross_k.shape[-2] % KV_BLOCK == 0
-    prec = lax.Precision.HIGHEST if x.dtype == jnp.float32 else lax.Precision.DEFAULT
+    prec = lax.Precision.HIGHEST if xdt == jnp.float32 else lax.Precision.DEFAULT
     # small-batch eager warmup (see _kernel): issue every phase's first tiles
     # at layer entry. Gated to b <= 4 — at large batch the KV streams dominate
     # and must stay ahead of the MLP weights in the DMA queues. Env override
@@ -749,6 +875,19 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
     lims = jnp.stack([jnp.min(pad_arr),
                       jnp.max(xlen_arr) if cross else jnp.int32(0)]).astype(jnp.int32)
     scalars = [pos_arr, lims]
+    if embed:
+        # ids clamp to the row-padded tables (DMA safety: an out-of-range id
+        # must not issue an out-of-bounds window copy; decode ids are always
+        # in range, so the clamp never changes a real lookup)
+        tok_c = jnp.clip(jnp.asarray(tok_ids, jnp.int32).reshape(-1),
+                         0, emb["tok"].shape[0] - 1)
+        if embed_pos:
+            pos_c = jnp.clip(
+                jnp.broadcast_to(jnp.asarray(pos_rows, jnp.int32).reshape(-1), (b,)),
+                0, emb["pos"].shape[0] - 1)
+        else:
+            pos_c = jnp.zeros((b,), jnp.int32)
+        scalars.append(jnp.stack([tok_c, pos_c]))
 
     whole = lambda i, *refs: (0, 0)
     # clamp: the head grid step (i == n_layers) revisits the last layer's
@@ -757,8 +896,8 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
     small3 = lambda n: pl.BlockSpec((1, 1, n), perl3)
     any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
 
-    in_specs = [pl.BlockSpec((b, d), whole),
-                pl.BlockSpec((b, 1), whole)]  # per-row pad column
+    in_specs = [] if embed else [pl.BlockSpec((b, d), whole)]
+    in_specs += [pl.BlockSpec((b, 1), whole)]  # per-row pad column
     if cross:
         in_specs += [pl.BlockSpec((b, 1), whole)]  # per-row cross-len column
     in_specs += [small3(d), small3(d), small3(3 * hd), small3(d),
@@ -774,18 +913,24 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
         if cross:
             in_specs += [small3(hd), small3(d)]
             small_keys += ["s_qc", "s_oc"]
-    operands = [x, pad_arr[:, None]]
+    operands = [] if embed else [x]
+    operands += [pad_arr[:, None]]
     if cross:
         operands += [xlen_arr[:, None]]
     operands += [packed[k][:, None, :] for k in small_keys]
     if sbias is not None:
         in_specs.append(pl.BlockSpec((sbias.shape[0], sbias.shape[1]), whole))
         operands.append(sbias)
+    head_a8 = with_head and "emb_s" in head
     if with_head:
         rows["emb"] = head_tile_rows(d, head["emb"].dtype)
         assert head["emb"].shape[0] % rows["emb"] == 0, "pad head via pack_greedy_head"
         in_specs += [pl.BlockSpec((1, d), whole), pl.BlockSpec((1, d), whole)]
         operands += [head["fn_s"], head["fn_b"]]
+        if head_a8:  # per-vocab-row dequant scales, whole in VMEM (~V*4 bytes)
+            assert head["emb"].dtype == jnp.int8 and head["emb_s"].shape[1] == rows["emb"]
+            in_specs += [pl.BlockSpec(head["emb_s"].shape, whole)]
+            operands += [head["emb_s"]]
     in_specs += [any_spec] * 4
     operands += [packed["wqkv"], packed["wo"], packed["w1"], packed["w2"]]
     if cross:
@@ -799,9 +944,12 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
     if with_head:
         in_specs += [any_spec]
         operands += [head["emb"]]
+    if embed:
+        in_specs += [any_spec] * (2 if embed_pos else 1)
+        operands += [emb["tok"]] + ([emb["pos"]] if embed_pos else [])
 
     scratch = [
-        pltpu.VMEM((b, d), x.dtype),
+        pltpu.VMEM((b, d), xdt),
         pltpu.VMEM((2, rows["qkv"], 3 * hd), wt_dtype),
         pltpu.VMEM((2, rows["o"], d), wt_dtype),
         pltpu.VMEM((2, rows["w1"], 2 * dff if gated else dff), wt_dtype),
@@ -817,12 +965,16 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
                     pltpu.VMEM((2, b, bkv_x, hd), cross_v.dtype)]
     if with_head:
         scratch += [pltpu.VMEM((2, rows["emb"], d), head["emb"].dtype)]
+    if embed:
+        scratch += [pltpu.VMEM(((2 if embed_pos else 1) * b, 8, d), xdt)]
     scratch += [pltpu.SemaphoreType.DMA((2,))] * (6 if cross else 4)
     scratch += [pltpu.SemaphoreType.DMA((2, 2))]
     if cross:
         scratch += [pltpu.SemaphoreType.DMA((2, 2))]
     if with_head:
         scratch += [pltpu.SemaphoreType.DMA((2,))]
+    if embed:
+        scratch += [pltpu.SemaphoreType.DMA(((2 if embed_pos else 1) * b,))]
 
     out_specs = [
         pl.BlockSpec((b, d), whole),
@@ -830,9 +982,9 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
         pl.BlockSpec((1, b, hd), perl3),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((b, d), x.dtype),
-        jax.ShapeDtypeStruct((n_layers, b, hd), x.dtype),
-        jax.ShapeDtypeStruct((n_layers, b, hd), x.dtype),
+        jax.ShapeDtypeStruct((b, d), xdt),
+        jax.ShapeDtypeStruct((n_layers, b, hd), xdt),
+        jax.ShapeDtypeStruct((n_layers, b, hd), xdt),
     ]
     if with_head:
         out_specs.append(pl.BlockSpec((b, 128), whole))
@@ -850,7 +1002,8 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
         rows=rows, bkv=bkv, bkv_x=bkv_x, act=act, eps=eps,
         scale=1.0 / (head_dim ** 0.5), prec=prec, cross=cross,
         norm_kind=norm, gated=gated, has_sbias=sbias is not None, b=b,
-        head_v=head_v, wt_int8=wt_int8, a8=a8, eager=eager)
+        head_v=head_v, wt_int8=wt_int8, a8=a8, eager=eager, embed=embed,
+        embed_pos=embed_pos, head_a8=head_a8)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -869,7 +1022,8 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
 @functools.partial(jax.jit, static_argnames=("n_heads", "act", "eps", "head_v", "a8"))
 def fused_decode_step(x, packed, k_caches, v_caches, pos, pad_lens,
                       n_heads: int, act: str = "gelu", eps: float = 1e-5,
-                      head=None, head_v: int | None = None, a8: bool = False):
+                      head=None, head_v: int | None = None, a8: bool = False,
+                      emb=None, tok_ids=None, pos_rows=None):
     """One full decode step over a self-attention-only layer stack (GPT-2).
 
     ``x``: (B, d) hidden states (embeddings already applied);
@@ -890,10 +1044,16 @@ def fused_decode_step(x, packed, k_caches, v_caches, pos, pad_lens,
     phase (see ``stream``). Changes numerics (~8-bit per-phase rounding);
     attention, norms, the residual stream, and the greedy head stay
     bf16/fp32.
+    With ``emb`` (:func:`pack_embed_tables`) + ``tok_ids`` (B,) [+
+    ``pos_rows`` (B,) when the pack has a position table], the embedding
+    lookup itself moves INTO the kernel (layer-0 entry DMAs the 8-row-aligned
+    table windows and mask-selects in VMEM) and ``x`` must be None — two
+    fewer kernel launches per decode step (the B=1 glue lever, PERF.md #28).
     """
     return _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads,
                        act, eps, "ln", False, None, None, None, None,
-                       head=head, head_v=head_v, a8=a8)
+                       head=head, head_v=head_v, a8=a8, emb=emb,
+                       tok_ids=tok_ids, pos_rows=pos_rows)
 
 
 @functools.partial(jax.jit,
@@ -903,15 +1063,18 @@ def fused_cross_decode_step(x, packed, k_caches, v_caches, cross_k, cross_v,
                             act: str = "gelu", eps: float = 1e-5,
                             norm: str = "ln", gated: bool = False, sbias=None,
                             head=None, head_v: int | None = None,
-                            a8: bool = False):
+                            a8: bool = False, emb=None, tok_ids=None,
+                            pos_rows=None):
     """Decode step for cross-attention decoders (Whisper ``norm="ln"``;
     T5 ``norm="rms", gated=True`` with ``sbias`` the key-major rel-pos
     decode-bias table ``(Lmax, 128)`` fp32, shared across layers/batch).
 
     ``cross_k``/``cross_v``: (L, B, Lx, H*D) precomputed encoder caches;
-    ``cross_lens``: (B,) per-row valid memory lengths. ``head``/``head_v``
-    and ``a8`` (w8a8 serving mode) as in :func:`fused_decode_step`.
+    ``cross_lens``: (B,) per-row valid memory lengths. ``head``/``head_v``,
+    ``a8`` (w8a8 serving mode) and ``emb``/``tok_ids``/``pos_rows`` (in-kernel
+    embed phase) as in :func:`fused_decode_step`.
     """
     return _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads,
                        act, eps, norm, gated, sbias, cross_k, cross_v, cross_lens,
-                       head=head, head_v=head_v, a8=a8)
+                       head=head, head_v=head_v, a8=a8, emb=emb,
+                       tok_ids=tok_ids, pos_rows=pos_rows)

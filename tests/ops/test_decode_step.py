@@ -646,3 +646,292 @@ def test_fused_step_a8_cross_gated_close_to_w8a16():
     got = np.asarray(outs[True], np.float32)
     scale = max(np.abs(ref).max(), 1.0)
     assert np.abs(got - ref).max() / scale < 5e-2
+
+
+def test_fused_step_embed_fold_matches_outside():
+    """In-kernel embed phase (emb=/tok_ids=/pos_rows=) must be bit-identical
+    to gathering the embeddings outside, across all three kernel variants:
+    plain+pos (GPT-2), tok-only with head (T5-style), cross+pos (Whisper)."""
+    from pytorch_models_tpu.ops.decode_step import (
+        fused_cross_decode_step,
+        pack_embed_tables,
+        pack_greedy_head,
+    )
+
+    r = rng(231)
+    b, d, n_layers, l_max, pos, v, pmax = 2, 128, 2, 128, 37, 300, 96
+    cfg, params = _setup(b=b, d=d, n_layers=n_layers, l_max=l_max)
+    hd = cfg.n_heads * cfg.head_dim
+    temb = jnp.asarray(r.standard_normal((v, d)), jnp.float32)
+    pemb = jnp.asarray(r.standard_normal((pmax, d)), jnp.float32)
+    tok = jnp.asarray([5, 299], jnp.int32)
+    prow = jnp.full((b,), pos, jnp.int32)
+    caches = {
+        "k": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+        "v": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+    }
+    packed = pack_decode_weights(params["layers"], jnp.float32)
+    x = jnp.take(temb, tok, axis=0) + jnp.take(pemb, prow, axis=0)
+    emb = pack_embed_tables(temb, pemb, jnp.float32)
+    kw = dict(n_heads=cfg.n_heads, act=cfg.act, eps=cfg.norm_eps)
+
+    with pltpu.force_tpu_interpret_mode():
+        ref = fused_decode_step(x, packed, caches["k"], caches["v"], pos, None, **kw)
+        got = fused_decode_step(None, packed, caches["k"], caches["v"], pos, None,
+                                emb=emb, tok_ids=tok, pos_rows=prow, **kw)
+    for a, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(g))
+
+    # tok-only (no position table) + greedy head phase
+    fnorm = {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)}
+    head, head_v = pack_greedy_head(temb, fnorm, jnp.float32)
+    x2 = jnp.take(temb, tok, axis=0)
+    emb2 = pack_embed_tables(temb, None, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        ref = fused_decode_step(x2, packed, caches["k"], caches["v"], pos, None,
+                                head=head, head_v=head_v, **kw)
+        got = fused_decode_step(None, packed, caches["k"], caches["v"], pos, None,
+                                head=head, head_v=head_v, emb=emb2, tok_ids=tok, **kw)
+    for a, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(g))
+
+    # cross-attention variant (whisper): per-row memory lengths + pos table
+    cfgx = tfm.LayerConfig.make(d, n_heads=2, cross_attn=True,
+                                act="approximate_gelu")
+    paramsx = tfm.decoder_init(jax.random.PRNGKey(1), n_layers, cfgx)
+    packedx = pack_decode_weights(paramsx["layers"], jnp.float32, cross=True)
+    lx = 64
+    xk = jnp.asarray(r.standard_normal((n_layers, b, lx, hd)), jnp.float32)
+    xv = jnp.asarray(r.standard_normal((n_layers, b, lx, hd)), jnp.float32)
+    lens = jnp.asarray([40, 64], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        ref = fused_cross_decode_step(x, packedx, caches["k"], caches["v"],
+                                      xk, xv, lens, pos, None, **kw)
+        got = fused_cross_decode_step(None, packedx, caches["k"], caches["v"],
+                                      xk, xv, lens, pos, None,
+                                      emb=emb, tok_ids=tok, pos_rows=prow, **kw)
+    for a, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(g))
+
+
+def test_embed_fold_end_to_end_generation():
+    """Batched GPT-2-style generation with the in-kernel embed phase forced on
+    == the per-op baseline, token for token (left-padded rows exercise per-row
+    position ids)."""
+    jax.clear_caches()
+    from pytorch_models_tpu.models.text import GPT2, DecoderGenerator
+
+    class Tok:
+        eos_token_id = -1
+
+    GPT2.vocab_size, GPT2.max_seq_len = 128, 128
+    try:
+        m = GPT2(2, 128)
+    finally:
+        GPT2.vocab_size, GPT2.max_seq_len = 50257, 1024
+    gen = DecoderGenerator(m, Tok())
+    prompts = [[5, 6, 7], [9] * 40]
+
+    attn_mod.USE_FUSED_STEP = False
+    attn_mod.USE_DECODE_KERNEL = False
+    try:
+        baseline = gen.generate_tokens_batch(prompts, max_tokens=8)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        attn_mod.USE_DECODE_KERNEL = None
+
+    attn_mod.USE_FUSED_STEP = True
+    attn_mod.USE_FUSED_EMBED = True
+    try:
+        jax.clear_caches()
+        with pltpu.force_tpu_interpret_mode():
+            folded = gen.generate_tokens_batch(prompts, max_tokens=8)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        attn_mod.USE_FUSED_EMBED = None
+        jax.clear_caches()
+    assert folded == baseline
+
+
+def test_embed_fold_whisper_end_to_end():
+    """Whisper batched greedy decode with the embed fold forced on == per-op."""
+    jax.clear_caches()
+    from pytorch_models_tpu.models.audio2text.whisper import (
+        Whisper,
+        _whisper_generate_batch_body,
+    )
+
+    m = Whisper(vocab_size=64, n_layers=2, d_model=128)
+    r = rng(232)
+    memory = jnp.asarray(r.standard_normal((2, 64, 128)) * 0.3, jnp.float32)
+    init = jnp.asarray([3, 5], jnp.int32)
+
+    attn_mod.USE_FUSED_STEP = False
+    attn_mod.USE_DECODE_KERNEL = False
+    try:
+        base_buf, base_len = _whisper_generate_batch_body(
+            m.params, m.cfg, memory, init, 16, eot_id=-1)
+        base_buf, base_len = np.asarray(base_buf), np.asarray(base_len)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        attn_mod.USE_DECODE_KERNEL = None
+
+    attn_mod.USE_FUSED_STEP = True
+    attn_mod.USE_FUSED_EMBED = True
+    try:
+        jax.clear_caches()
+        with pltpu.force_tpu_interpret_mode():
+            f_buf, f_len = _whisper_generate_batch_body(
+                m.params, m.cfg, memory, init, 16, eot_id=-1)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        attn_mod.USE_FUSED_EMBED = None
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(f_buf), base_buf)
+    np.testing.assert_array_equal(np.asarray(f_len), base_len)
+
+
+def test_embed_fold_t5_end_to_end():
+    """T5 greedy generation with the embed fold forced on (tok-only embed
+    phase, batch-of-1 route) == the per-op path."""
+    jax.clear_caches()
+    from pytorch_models_tpu.models.text.t5 import T5Generator, T5Model
+
+    m = T5Model(vocab_size=100, dim=128, n_heads=2, n_layers=2, mlp_dim=256)
+    gen = T5Generator(model=m, tokenizer=object())
+    prompt = [7, 8, 9, 4, 5]
+
+    attn_mod.USE_FUSED_STEP = False
+    attn_mod.USE_DECODE_KERNEL = False
+    try:
+        baseline = gen.generate_tokens(prompt, 12, 0, 1)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        attn_mod.USE_DECODE_KERNEL = None
+
+    attn_mod.USE_FUSED_STEP = True
+    attn_mod.USE_FUSED_EMBED = True
+    try:
+        jax.clear_caches()
+        with pltpu.force_tpu_interpret_mode():
+            folded = gen.generate_tokens(prompt, 12, 0, 1)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        attn_mod.USE_FUSED_EMBED = None
+        jax.clear_caches()
+    assert folded == baseline
+
+
+def test_fused_step_a8_head_matches_int_oracle():
+    """w8a8 greedy head (pack_greedy_head(a8=True)): the head table streams
+    as per-vocab-row int8 and the head phase runs int8 x int8 -> int32 dots.
+    int32 accumulation is exact, so an XLA oracle doing the SAME quantize ->
+    int-dot -> per-row rescale -> argmax math must pick identical tokens.
+
+    v=2000 -> TWO head tiles: exercises the per-tile scale slicing without
+    reusing a double-buffer slot — interpret executes ``start()`` copies
+    immediately, so any >=3-tile stream clobbers the slot it is reading
+    (hardware's FIFO DMA queues serialize this; see stream()'s ring)."""
+    from pytorch_models_tpu.ops.decode_step import fused_decode_step, pack_greedy_head
+    from pytorch_models_tpu.utils.params import quantize_tree_int8
+
+    r = rng(241)
+    b, d, n_layers, l_max, pos, v = 4, 128, 2, 128, 21, 2000
+    cfg, params = _setup(b=b, d=d, n_layers=n_layers, l_max=l_max)
+    qlayers = quantize_tree_int8(params["layers"])
+    hd = cfg.n_heads * cfg.head_dim
+    x = jnp.asarray(r.standard_normal((b, d)), jnp.float32)
+    caches = {
+        "k": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+        "v": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+    }
+    emb = jnp.asarray(r.standard_normal((v, d)), jnp.float32)
+    fnorm = {"scale": jnp.asarray(1 + 0.1 * r.standard_normal(d), jnp.float32),
+             "bias": jnp.asarray(0.1 * r.standard_normal(d), jnp.float32)}
+
+    packed = pack_decode_weights(qlayers, jnp.float32)
+    head, head_v = pack_greedy_head(emb, fnorm, jnp.float32, a8=True)
+    assert head["emb"].dtype == jnp.int8 and "emb_s" in head
+    assert head["emb"].shape[0] % head["emb_s"].shape[1] == 0
+    kw = dict(n_heads=cfg.n_heads, act=cfg.act, eps=cfg.norm_eps, a8=True)
+    with pltpu.force_tpu_interpret_mode():
+        x_out, _, _, tok = fused_decode_step(
+            x, packed, caches["k"], caches["v"], pos, None,
+            head=head, head_v=head_v, **kw)
+        # same stack without the head phase -> the oracle's hidden state
+        x_ref, _, _ = fused_decode_step(
+            x, packed, caches["k"], caches["v"], pos, None, **kw)
+    np.testing.assert_array_equal(np.asarray(x_out), np.asarray(x_ref))
+
+    # ---- oracle: final norm -> per-row quant -> int32 dot -> rescale ------
+    # (the kernel's own _norm: a different LN formulation differs in ULPs,
+    # which flips int8 rounding and with it near-tie argmax winners)
+    from pytorch_models_tpu.ops.decode_step import _norm
+
+    xn = _norm(x_ref, fnorm["scale"][None], fnorm["bias"][None],
+               cfg.norm_eps, "ln").astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xn), axis=1, keepdims=True)
+    r_scale = jnp.where(absmax == 0.0, 1.0, absmax) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xn / r_scale), -127, 127).astype(jnp.int8)
+    emb_q = head["emb"][:v]  # drop pad rows
+    emb_s = head["emb_s"].reshape(-1)[:v]
+    s_i = jax.lax.dot_general(xq, emb_q, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    logits = s_i.astype(jnp.float32) * emb_s[None, :]
+    np.testing.assert_array_equal(np.asarray(tok),
+                                  np.argmax(np.asarray(logits), axis=-1))
+
+
+def test_fused_step_a8_head_cross_gated():
+    """a8 head over the cross-attention + GEGLU + RMSNorm variant with an
+    untied (d, V) classifier (the T5 shape) picks the oracle's tokens."""
+    from pytorch_models_tpu.models.text.t5 import T5Config, t5_stack_init
+    from pytorch_models_tpu.ops.decode_step import (
+        fused_cross_decode_step,
+        pack_greedy_head,
+    )
+    from pytorch_models_tpu.utils.params import quantize_tree_int8
+
+    r = rng(242)
+    b, n_layers, l_max, lx, pos, v = 2, 2, 128, 64, 19, 1500
+    cfg = T5Config(vocab_size=v, dim=128, n_heads=2, n_layers=n_layers, mlp_dim=256)
+    d, lc = cfg.dim, cfg.layer
+    dec = t5_stack_init(jax.random.PRNGKey(3), cfg, cross_attn=True)
+    qlayers = quantize_tree_int8(dec["layers"])
+    hd = lc.n_heads * lc.head_dim
+    x = jnp.asarray(r.standard_normal((b, d)), jnp.float32)
+    caches = {
+        "k": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+        "v": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+    }
+    xk = jnp.asarray(r.standard_normal((n_layers, b, lx, hd)), jnp.float32)
+    xv = jnp.asarray(r.standard_normal((n_layers, b, lx, hd)), jnp.float32)
+    lens = jnp.asarray([40, 64], jnp.int32)
+    clf = jnp.asarray(r.standard_normal((d, v)), jnp.float32)  # (d, V) untied
+    fnorm = {"scale": jnp.asarray(1 + 0.1 * r.standard_normal(d), jnp.float32)}
+
+    packed = pack_decode_weights(qlayers, jnp.float32, gated=True, cross=True,
+                                 norm="rms")
+    assert packed["wqkv"].dtype == jnp.int8
+    head, head_v = pack_greedy_head(clf, fnorm, jnp.float32, tied=False, a8=True)
+    kw = dict(n_heads=lc.n_heads, act="approximate_gelu", eps=1e-5,
+              norm="rms", gated=True, a8=True)
+    with pltpu.force_tpu_interpret_mode():
+        x_out, _, _, tok = fused_cross_decode_step(
+            x, packed, caches["k"], caches["v"], xk, xv, lens, pos, None,
+            head=head, head_v=head_v, **kw)
+        x_ref, _, _ = fused_cross_decode_step(
+            x, packed, caches["k"], caches["v"], xk, xv, lens, pos, None, **kw)
+
+    from pytorch_models_tpu.ops.decode_step import _norm
+
+    xn = _norm(x_ref, fnorm["scale"][None],
+               jnp.zeros((1, d), jnp.float32), 1e-5, "rms").astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xn), axis=1, keepdims=True)
+    r_scale = jnp.where(absmax == 0.0, 1.0, absmax) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xn / r_scale), -127, 127).astype(jnp.int8)
+    s_i = jax.lax.dot_general(xq, head["emb"][:v], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    logits = s_i.astype(jnp.float32) * head["emb_s"].reshape(-1)[None, :v]
+    np.testing.assert_array_equal(np.asarray(tok),
+                                  np.argmax(np.asarray(logits), axis=-1))

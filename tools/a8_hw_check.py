@@ -3,6 +3,10 @@ path, and a timing bracket vs bf16/int8 at the GPT-2 bench shape.
 
 The a8 path's only hardware-specific risk is the int8 x int8 -> int32 MXU
 dot inside the megakernel (interpret mode can't validate Mosaic lowering).
+Also checks the a8 GREEDY HEAD (pack_greedy_head(a8=True)): int8 head-table
+streaming with per-vocab-row rescale — its 50-tile vocab stream exercises
+the double-buffer ring depth interpret mode can't (interpret executes
+``start()`` copies immediately, so >=3-tile streams clobber slots there).
 
 Run: python tools/a8_hw_check.py [quick]
 """
@@ -61,15 +65,43 @@ def main():
     relk = np.abs(np.asarray(ka, np.float32) - np.asarray(kw, np.float32)).max() / \
         max(np.abs(np.asarray(kw, np.float32)).max(), 1.0)
     print(f"k_new max rel diff: {relk:.4f}", flush=True)
+
+    # ---- a8 head: int8 vocab stream + per-row rescale vs exact int oracle --
+    from pytorch_models_tpu.ops.decode_step import _norm, pack_greedy_head
+
+    head8, head8_v = pack_greedy_head(params["token_embs"], params["norm"],
+                                      jnp.bfloat16, a8=True)
+    t0 = time.time()
+    _, _, _, tok8 = fused_decode_step(x, packed, kc, vc, pos, None,
+                                      n_heads=lc.n_heads, act=lc.act,
+                                      eps=cfg.norm_eps, head=head8,
+                                      head_v=head8_v, a8=True)
+    tok8.block_until_ready()
+    print(f"a8 head compile+run OK in {time.time()-t0:.0f}s "
+          f"({head8['emb'].shape[0] // head8['emb_s'].shape[1]} vocab tiles)",
+          flush=True)
+    xn = _norm(xa, params["norm"]["scale"][None].astype(jnp.float32),
+               params["norm"]["bias"][None].astype(jnp.float32),
+               cfg.norm_eps, "ln").astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xn), axis=1, keepdims=True)
+    r_s = jnp.where(absmax == 0.0, 1.0, absmax) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xn / r_s), -127, 127).astype(jnp.int8)
+    s_i = jax.lax.dot_general(xq, head8["emb"], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    lg = np.asarray(s_i, np.float32) * np.asarray(head8["emb_s"]).reshape(-1)[None]
+    lg = np.where(np.arange(lg.shape[1])[None] < head8_v, lg, -np.inf)
+    match = (np.asarray(tok8) == np.argmax(lg, axis=-1)).mean()
+    print(f"a8 head token match vs int oracle: {match:.3f}", flush=True)
+    assert match == 1.0, "a8 head diverged from the exact int oracle"
     if quick:
         return
 
     # ---- timing bracket at the bench shape --------------------------------
-    def timed(a8_flag, reps=50):
+    def timed(a8_flag, h, hv, reps=50):
         def step():
             return fused_decode_step(x, packed, kc, vc, pos, None, n_heads=lc.n_heads,
-                                     act=lc.act, eps=cfg.norm_eps, head=head,
-                                     head_v=head_v, a8=a8_flag)
+                                     act=lc.act, eps=cfg.norm_eps, head=h,
+                                     head_v=hv, a8=a8_flag)
         step()[0].block_until_ready()
         outs = None
         t0 = time.perf_counter()
@@ -78,10 +110,12 @@ def main():
         np.asarray(outs[0])
         return (time.perf_counter() - t0) / reps
 
-    t_w8a16 = timed(False)
-    t_a8 = timed(True)
+    t_w8a16 = timed(False, head, head_v)
+    t_a8 = timed(True, head, head_v)
+    t_a8h = timed(True, head8, head8_v)
     print(f"megakernel step @ (b=32, pos=544): w8a16 {t_w8a16*1e3:.3f} ms, "
-          f"a8 {t_a8*1e3:.3f} ms ({t_w8a16/t_a8:.2f}x)", flush=True)
+          f"a8+bf16 head {t_a8*1e3:.3f} ms ({t_w8a16/t_a8:.2f}x), "
+          f"a8+int8 head {t_a8h*1e3:.3f} ms ({t_w8a16/t_a8h:.2f}x)", flush=True)
 
 
 if __name__ == "__main__":
