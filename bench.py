@@ -9,7 +9,9 @@ BASELINE.json north star asks for >= 0.9. Sweep details go to stderr.
 
 ``BENCH_MODEL=whisper`` instead reports Whisper-base real-time factor
 (greedy KV-cached decode, single 30 s segment); ``BENCH_MODEL=gpt2`` reports
-GPT-2-small batched decode throughput in tokens/sec.
+GPT-2-small batched decode throughput in tokens/sec. ``BENCH_DTYPE=int8_a8``
+with the default ViT mode benches w8a8 serving (int8 projections/MLP on the
+2x-peak int8 MXU path; roofline switches to the mixed int8/bf16 ceiling).
 
 Reliability (the remote-TPU tunnel sporadically hangs, CLAUDE.md): the parent
 process supervises the actual measurement in a child process with a
@@ -74,6 +76,18 @@ def vit_flops_per_image(n_layers=12, d=768, patch=16, img=224, mlp_ratio=4) -> f
     attn = 2 * n_tok * n_tok * d
     mlp = 2 * n_tok * d * (d * mlp_ratio)
     return 2.0 * (patch_macs + n_layers * (qkvo + attn + mlp))
+
+
+def vit_a8_roofline_ips(peak, n_layers=12, d=768, patch=16, img=224, mlp_ratio=4) -> float:
+    """img/s ceiling for w8a8 ViT serving: projection/MLP flops run at the
+    int8 MXU peak (2x bf16 on v5e), attention einsums and the conv stem stay
+    bf16 (quantize_tree_int8 leaves conv kernels alone; scores/softmax are
+    not quantized)."""
+    n_tok = (img // patch) ** 2 + 1
+    f_int8 = 2.0 * n_layers * (4 * n_tok * d * d + 2 * n_tok * d * (d * mlp_ratio))
+    f_bf16 = 2.0 * ((img // patch) ** 2 * (patch * patch * 3) * d
+                    + n_layers * 2 * n_tok * n_tok * d)
+    return 1.0 / (f_int8 / (2.0 * peak) + f_bf16 / peak)
 
 
 def transformer_layer_macs(L, d, d_ff, ctx=None):
@@ -417,6 +431,13 @@ def bench_vit(peak, bw):
     params = cast_tree(model.params, jnp.bfloat16)
     cfg = model.cfg
     flops = vit_flops_per_image()
+    a8 = os.environ.get("BENCH_DTYPE") == "int8_a8"
+    if a8:  # w8a8 serving: int8 projections/MLP on the 2x-peak int8 MXU path
+        from pytorch_models_tpu.ops import layers as _layers
+        from pytorch_models_tpu.utils.params import quantize_tree_int8
+
+        params = quantize_tree_int8(params)
+        _layers.USE_A8_LINEAR = True
 
     n1, n2 = 10, 40
     best = 0.0
@@ -453,7 +474,7 @@ def bench_vit(peak, bw):
         print(f"batch {batch}: {ips:,.0f} img/s  (MFU {mfu:.1%})", file=sys.stderr)
         best = max(best, ips)
 
-    roofline = peak / flops
+    roofline = vit_a8_roofline_ips(peak) if a8 else peak / flops
     return best, best / roofline
 
 

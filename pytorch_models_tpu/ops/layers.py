@@ -12,6 +12,7 @@ Activations mirror the reference's MLP table (transformer.py:60-65):
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -59,11 +60,48 @@ def linear_init(key, in_dim: int, out_dim: int, bias: bool = True) -> dict:
     return p
 
 
+# w8a8 serving for encoder/prefill matmuls (opt-in): with int8-quantized
+# weights AND this flag, linear() symmetric-quantizes activations per row
+# and runs int8 x int8 -> int32 MXU dots — the v5e MXU's int8 path has 2x
+# the bf16 peak (394 vs 197 TOPS), and compute-bound encoders (ViT at its
+# bf16 flop floor, PERF.md #27) can only move by switching peaks. Attention
+# scores/softmax/norms stay bf16/fp32. Env A8_LINEAR=0/1 overrides at trace
+# time for A/B sweeps. Engaged via model.quantize_int8() + this flag.
+USE_A8_LINEAR = False
+
+
+def use_a8_linear() -> bool:
+    env = os.environ.get("A8_LINEAR")
+    if env is not None:
+        return env == "1"
+    return USE_A8_LINEAR
+
+
+def _a8_matmul(x: jnp.ndarray, wd: dict) -> jnp.ndarray:
+    """x (..., d) float @ int8-dict weight -> (..., out) fp32: per-row dynamic
+    activation quantization, exact int32 accumulation, one (row x col) rescale."""
+    x32 = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    r_s = jnp.where(absmax == 0.0, 1.0, absmax) * (1.0 / 127.0)
+    x_q = jnp.clip(jnp.round(x32 / r_s), -127, 127).astype(jnp.int8)
+    d, out = wd["w_q"].shape[-2], wd["w_q"].shape[-1]
+    acc = lax.dot_general(x_q.reshape(-1, d), wd["w_q"],
+                          (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.int32)
+    y = acc.reshape(x.shape[:-1] + (out,)).astype(jnp.float32)
+    return y * r_s * wd["w_s"].astype(jnp.float32)
+
+
 def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     # compute dtype follows the PARAMS (serving mode: bf16 params force bf16
     # compute even for fp32 inputs; fp32 params keep full precision)
     w = p["w"]
     if isinstance(w, dict):  # weight-only int8 (utils.params.quantize_tree_int8)
+        if use_a8_linear():  # w8a8: int8 MXU dots, bf16 result like the cast path
+            y = _a8_matmul(x, w).astype(jnp.bfloat16)
+            if "b" in p:
+                y = y + p["b"].astype(y.dtype)
+            return y
         w = w["w_q"].astype(jnp.bfloat16) * w["w_s"].astype(jnp.bfloat16)
     if jnp.issubdtype(x.dtype, jnp.floating) and x.dtype != w.dtype:
         x = x.astype(w.dtype)
