@@ -96,13 +96,16 @@ def transformer_layer_macs(L, d, d_ff, ctx=None):
     return 4 * L * d * d + 2 * L * ctx * d + 2 * L * d * d_ff
 
 
-def whisper_base_floor(peak, bw, n_tok=64, dtype_bytes=2):
+def whisper_base_floor(peak, bw, n_tok=64, dtype_bytes=2, kv_bytes=None):
     """Analytic time floor for 30 s audio -> encoder -> n_tok greedy tokens.
 
     Encoder (L=1500, batch 1) is compute-bound; batch-1 decode is
     bandwidth-bound: every step must read the decoder weights, the logits
     embedding, the cross-KV cache, and the growing self-KV cache from HBM.
+    ``kv_bytes`` separates cache bytes from weight bytes (w8a8 halves only
+    the weights; caches stay bf16) — defaults to ``dtype_bytes``.
     """
+    kv_bytes = dtype_bytes if kv_bytes is None else kv_bytes
     d, d_ff, n_layers, L_enc, vocab, n_mels = 512, 2048, 6, 1500, 51865, 80
     stem = 3000 * 3 * n_mels * d + 1500 * 3 * d * d
     enc_macs = stem + n_layers * transformer_layer_macs(L_enc, d, d_ff)
@@ -116,13 +119,14 @@ def whisper_base_floor(peak, bw, n_tok=64, dtype_bytes=2):
         + vocab * d  # tied embedding read by the logits matmul
         + 448 * d
     )
-    cross_kv_bytes = dtype_bytes * n_layers * 2 * L_enc * d
-    self_kv_bytes = dtype_bytes * n_layers * 2 * (n_tok / 2) * d  # average position
+    cross_kv_bytes = kv_bytes * n_layers * 2 * L_enc * d
+    self_kv_bytes = kv_bytes * n_layers * 2 * (n_tok / 2) * d  # average position
     t_dec = n_tok * (dec_param_bytes + cross_kv_bytes + self_kv_bytes) / bw
     return t_enc + t_cross + t_dec
 
 
-def gpt2_decode_roofline(peak, bw, batch, prompt_len, new_tokens, proj_bytes=2):
+def gpt2_decode_roofline(peak, bw, batch, prompt_len, new_tokens, proj_bytes=2,
+                         head_bytes=2):
     """Tokens/sec floor-derived ceiling for batched greedy decode.
 
     Each step reads the weights once (amortized over the batch) plus each
@@ -134,7 +138,9 @@ def gpt2_decode_roofline(peak, bw, batch, prompt_len, new_tokens, proj_bytes=2):
     proj_params = n_layers * (4 * d * d + 2 * d * d_ff)
     other_params = vocab * d + ctx * d  # embeddings (logits matmul reads all of it)
     avg_pos = prompt_len + new_tokens / 2
-    step_bytes = proj_bytes * proj_params + 2 * other_params + 2 * batch * n_layers * 2 * avg_pos * d
+    # w8a8 (head_bytes=1) streams the greedy-head table as int8 too
+    step_bytes = proj_bytes * proj_params + head_bytes * vocab * d + 2 * ctx * d \
+        + 2 * batch * n_layers * 2 * avg_pos * d
     step_flops = 2.0 * batch * (proj_params + other_params + n_layers * 2 * avg_pos * d)
     t_step = max(step_bytes / bw, step_flops / peak)
     return batch / t_step
@@ -157,6 +163,20 @@ def encodec_24k_floor(peak, bw, seconds, dtype_bytes=4):
     return max(2.0 * macs / peak, params_bytes / bw) + params_bytes / bw
 
 
+def _maybe_a8(model):
+    """BENCH_DTYPE=int8_a8: full w8a8 serving — int8 weights + per-row
+    activation quant in the decode megakernel (incl. the int8 greedy head)
+    AND in every encoder/prefill linear (ops.layers.USE_A8_LINEAR)."""
+    if os.environ.get("BENCH_DTYPE") != "int8_a8":
+        return model, False
+    from pytorch_models_tpu.ops import attention as attn_mod
+    from pytorch_models_tpu.ops import layers as layers_mod
+
+    attn_mod.USE_A8_DECODE = True
+    layers_mod.USE_A8_LINEAR = True
+    return model.quantize_int8(), True
+
+
 def bench_whisper(peak, bw):
     """Whisper-base RTF: 30 s of audio -> mel -> encoder -> 64 greedy tokens."""
     from pytorch_models_tpu.models.audio2text.whisper import Whisper, WhisperGenerator
@@ -164,6 +184,7 @@ def bench_whisper(peak, bw):
     import jax.numpy as jnp
 
     model = Whisper.from_openai("base").to_bf16()  # random weights: timing-only (zero egress)
+    model, a8 = _maybe_a8(model)
     gen = WhisperGenerator(model)
     # pre-staged on device: the remote tunnel uploads ~2 MB/30 s segment at
     # ~12 MB/s, which would swamp the measurement (co-located hosts don't)
@@ -186,9 +207,13 @@ def bench_whisper(peak, bw):
     np.asarray(out[0])  # one sync: the device ran the calls back-to-back
     dt = (time.perf_counter() - t0) / reps
     rtf = 30.0 / dt
-    floor = whisper_base_floor(peak, bw, n_tok=n_tok)
+    # a8: weight streams halve (approx — KV/embeds stay bf16) and the encoder
+    # runs on the 2x int8 MXU peak; approximate the floor with 1-byte weights
+    floor = whisper_base_floor(2 * peak if a8 else peak, bw, n_tok=n_tok,
+                               dtype_bytes=1 if a8 else 2, kv_bytes=2)
     rtf_roof = 30.0 / floor
-    print(f"whisper-base: {dt*1e3:.0f} ms for 30 s audio + {n_tok} tokens -> RTF {rtf:.1f}x "
+    print(f"whisper-base{' w8a8' if a8 else ''}: {dt*1e3:.0f} ms for 30 s audio "
+          f"+ {n_tok} tokens -> RTF {rtf:.1f}x "
           f"(analytic floor {floor*1e3:.1f} ms -> {rtf_roof:.0f}x)", file=sys.stderr)
     return rtf, rtf / rtf_roof
 
@@ -201,6 +226,7 @@ def bench_whisper_batch(peak, bw):
     import jax.numpy as jnp
 
     model = Whisper.from_openai("base").to_bf16()  # random weights: timing-only
+    model, a8 = _maybe_a8(model)
     gen = WhisperGenerator(model)
     b, n_tok = 16, 64
     r = np.random.default_rng(0)
@@ -219,14 +245,16 @@ def bench_whisper_batch(peak, bw):
     rtf = b * 30.0 / dt
     # floor: batch-b encoder compute + decode weight read amortized over b rows
     d, d_ff, n_layers, L_enc, vocab, n_mels = 512, 2048, 6, 1500, 51865, 80
+    wb, enc_peak = (1, 2 * peak) if a8 else (2, peak)  # w8a8: int8 weights + 2x MXU
     stem = 3000 * 3 * n_mels * d + 1500 * 3 * d * d
-    t_enc = 2.0 * b * (stem + n_layers * transformer_layer_macs(L_enc, d, d_ff)) / peak
-    t_cross = 2.0 * b * n_layers * 2 * L_enc * d * d / peak
-    step_bytes = 2 * (n_layers * (8 * d * d + 2 * d * d_ff) + vocab * d + 448 * d) + \
+    t_enc = 2.0 * b * (stem + n_layers * transformer_layer_macs(L_enc, d, d_ff)) / enc_peak
+    t_cross = 2.0 * b * n_layers * 2 * L_enc * d * d / enc_peak
+    step_bytes = wb * (n_layers * (8 * d * d + 2 * d * d_ff) + vocab * d + 448 * d) + \
         2 * b * n_layers * 2 * (1536 + n_tok / 2) * d
     t_dec = n_tok * step_bytes / bw
     rtf_roof = b * 30.0 / (t_enc + t_cross + t_dec)
-    print(f"whisper-base batch {b}: {dt*1e3:.0f} ms for {b}x30 s -> throughput RTF {rtf:.0f}x "
+    print(f"whisper-base batch {b}{' w8a8' if a8 else ''}: {dt*1e3:.0f} ms for "
+          f"{b}x30 s -> throughput RTF {rtf:.0f}x "
           f"(analytic {rtf_roof:,.0f}x)", file=sys.stderr)
     return rtf, rtf / rtf_roof
 
@@ -280,7 +308,9 @@ def bench_gpt2_decode(peak, bw):
     np.asarray(out[0])  # one sync: the device ran the calls back-to-back
     dt = (time.perf_counter() - t0) / reps
     tps = batch * new_tokens / dt
-    roof = gpt2_decode_roofline(peak, bw, batch, prompt_len, new_tokens, proj_bytes=1 if int8 else 2)
+    roof = gpt2_decode_roofline(peak, bw, batch, prompt_len, new_tokens,
+                                proj_bytes=1 if int8 else 2,
+                                head_bytes=1 if dtype_mode == "int8_a8" else 2)
     print(f"gpt2 batched decode ({dtype_mode}): {tps:,.0f} tok/s "
           f"(batch {batch}, {new_tokens} new; bandwidth roofline {roof:,.0f} tok/s)", file=sys.stderr)
     return tps, tps / roof
@@ -338,12 +368,15 @@ def bench_gpt2_speculative(peak, bw):
     return tps_spec, tps_spec / tps_plain
 
 
-def t5_generate_roofline(peak, bw, batch, enc_len, new_tokens, dtype_bytes=2):
+def t5_generate_roofline(peak, bw, batch, enc_len, new_tokens, dtype_bytes=2,
+                         kv_bytes=None):
     """Tokens/sec ceiling for batched T5-base generation (encode + decode).
 
     The encoder and one-time cross-KV projections are compute-bound; each
     decode step reads the decoder weights once plus every row's cross- and
-    self-KV caches (bandwidth-bound at batch 32)."""
+    self-KV caches (bandwidth-bound at batch 32). ``kv_bytes`` separates
+    cache bytes from weight bytes (w8a8 halves only the weights)."""
+    kv_bytes = dtype_bytes if kv_bytes is None else kv_bytes
     d, n_layers, mlp, vocab = 768, 12, 2048, 32128
     enc_macs = n_layers * (4 * enc_len * d * d + 2 * enc_len * enc_len * d + 3 * enc_len * d * mlp)
     t_enc = 2.0 * batch * enc_macs / peak
@@ -352,7 +385,7 @@ def t5_generate_roofline(peak, bw, batch, enc_len, new_tokens, dtype_bytes=2):
     enc_pad = -(-enc_len // 128) * 128  # caches padded to the kernel block
     dec_params = n_layers * (4 * d * d + 2 * d * d + 3 * d * mlp) + vocab * d
     cache_rows = n_layers * 2 * (enc_pad + new_tokens / 2) * d
-    step_bytes = dtype_bytes * (dec_params + batch * cache_rows)
+    step_bytes = dtype_bytes * dec_params + kv_bytes * batch * cache_rows
     step_flops = 2.0 * batch * (dec_params + cache_rows)
     t_step = max(step_bytes / bw, step_flops / peak)
     return batch * new_tokens / (t_enc + t_cross + new_tokens * t_step)
@@ -364,6 +397,7 @@ def bench_t5_generate(peak, bw):
     from pytorch_models_tpu.models.text.t5 import T5Generator, T5Model
 
     model = T5Model(32128, *_t5_dims()).to_bf16()  # random weights: timing-only
+    model, a8 = _maybe_a8(model)
     gen = T5Generator(model=model, tokenizer=object())
     batch, enc_len, new_tokens = 32, 64, 64
     prompts = [[7] * enc_len] * batch
@@ -384,8 +418,10 @@ def bench_t5_generate(peak, bw):
     dt = (time.perf_counter() - t0) / reps
     n_generated = sum(len(o) - 1 for o in outs)  # minus the pad start token
     tps = n_generated / dt
-    roof = t5_generate_roofline(peak, bw, batch, enc_len, new_tokens)
-    print(f"t5-base batched generate: {tps:,.0f} tok/s (batch {batch}, enc {enc_len}, "
+    roof = t5_generate_roofline(2 * peak if a8 else peak, bw, batch, enc_len,
+                                new_tokens, dtype_bytes=1 if a8 else 2, kv_bytes=2)
+    print(f"t5-base batched generate{' w8a8' if a8 else ''}: {tps:,.0f} tok/s "
+          f"(batch {batch}, enc {enc_len}, "
           f"{new_tokens} new; roofline {roof:,.0f} tok/s)", file=sys.stderr)
     return tps, tps / roof
 
