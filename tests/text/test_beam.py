@@ -183,3 +183,30 @@ def test_fused_step_path_matches_einsum(model):
         jax.clear_caches()
     assert fused[0] == base[0]
     np.testing.assert_allclose(fused[1], base[1], atol=1e-3)
+
+
+def test_fused_step_embed_fold_matches_einsum(model):
+    """Beam via the batched fused path with the in-kernel embed fold forced
+    on (off by default on CPU) must match the per-op path exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pytorch_models_tpu.ops import attention as attn_mod
+
+    gen = DecoderGenerator(model, _Tok())
+    base = gen.beam_search_tokens([3, 1, 4, 1, 5], max_tokens=8, beam_width=3,
+                                  return_all=True)
+    attn_mod.USE_FUSED_STEP = True
+    attn_mod.USE_DECODE_KERNEL = True
+    attn_mod.USE_FUSED_EMBED = True
+    try:
+        jax.clear_caches()
+        with pltpu.force_tpu_interpret_mode():
+            fused = gen.beam_search_tokens([3, 1, 4, 1, 5], max_tokens=8, beam_width=3,
+                                           return_all=True)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        attn_mod.USE_DECODE_KERNEL = None
+        attn_mod.USE_FUSED_EMBED = None
+        jax.clear_caches()
+    assert fused[0] == base[0]
+    np.testing.assert_allclose(fused[1], base[1], atol=1e-3)
