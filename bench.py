@@ -506,8 +506,11 @@ def bench_vit(peak, bw):
             float(loop(params, x))
             ts[n] = time.perf_counter() - t0
         ips = batch * (n2 - n1) / (ts[n2] - ts[n1])
-        mfu = ips * flops / peak
-        print(f"batch {batch}: {ips:,.0f} img/s  (MFU {mfu:.1%})", file=sys.stderr)
+        # a8: report utilization against the mixed int8/bf16 ceiling (same
+        # basis as the returned score), not the bf16 flops/peak MFU
+        mfu = ips / vit_a8_roofline_ips(peak) if a8 else ips * flops / peak
+        print(f"batch {batch}: {ips:,.0f} img/s  "
+              f"({'util' if a8 else 'MFU'} {mfu:.1%})", file=sys.stderr)
         best = max(best, ips)
 
     roofline = vit_a8_roofline_ips(peak) if a8 else peak / flops

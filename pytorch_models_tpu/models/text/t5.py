@@ -253,21 +253,32 @@ def _t5_key_major_bias(bias_table: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(km, ((0, 0), (0, 0), (0, 128 - km.shape[-1])))
 
 
+def _t5_embed_or_fold(token_embs, tok):
+    """Decoder embeddings for a fused T5 step: at small batch the token
+    gather folds into the kernel's embed phase (ops/decode_step.py — T5 has
+    no decoder position table); else gather outside. Returns
+    ``(h_or_None (B, 1, d), emb_kwargs)``."""
+    from ...ops.decode_step import pack_embed_tables
+
+    if _attn.use_fused_embed(tok.shape[0]):
+        emb = pack_embed_tables(token_embs, None, token_embs.dtype)
+        return None, {"emb": emb, "tok_ids": tok[:, 0]}
+    return embed_rows(token_embs, tok), {}
+
+
 def _fused_t5_step(dec, packed, head, head_v, cfg: "T5Config", h, caches, cross_caches,
-                   bias_km, pos, tok=None, token_embs=None):
+                   bias_km, pos, emb_kw=None):
     """One fused decode step for the T5 decoder (RMSNorm + rel-pos bias +
     cross-attention + GEGLU + final RMSNorm + streamed greedy argmax, one
-    Pallas call). ``h``: (B, 1, d) — or None with ``tok`` (B, 1) +
-    ``token_embs`` to fold the embedding gather into the kernel's embed
-    phase (small-batch glue lever; T5 has no decoder position table);
-    ``bias_km``: (P, L, 128) key-major decode-bias table; ``caches`` the
-    layer-stacked dict. Returns ``(next_token (B,), caches)``."""
-    from ...ops.decode_step import fused_cross_decode_step, pack_embed_tables
+    Pallas call). ``h``: (B, 1, d) — or None with ``emb_kw`` from
+    :func:`_t5_embed_or_fold` (the embedding gather folds into the kernel's
+    embed phase); ``bias_km``: (P, L, 128) key-major decode-bias table;
+    ``caches`` the layer-stacked dict. Returns ``(next_token (B,), caches)``."""
+    from ...ops.decode_step import fused_cross_decode_step
 
     lc = cfg.layer
-    cdt = (token_embs if h is None else h).dtype
-    emb_kw = ({"emb": pack_embed_tables(token_embs, None, cdt), "tok_ids": tok[:, 0]}
-              if h is None else {})
+    emb_kw = emb_kw or {}
+    cdt = (emb_kw["emb"]["tok"] if h is None else h).dtype
     sbias = lax.dynamic_slice(bias_km, (pos, 0, 0), (1,) + bias_km.shape[1:])[0]
     _, k_new, v_new, nxt = fused_cross_decode_step(
         None if h is None else h[:, 0, :], packed, caches["k"], caches["v"],
@@ -392,12 +403,9 @@ def _t5_generate_batch_body(params, cfg: T5Config, enc_tokens, n_enc, max_tokens
         if fused:
             # layer stack + cross-attn + final RMSNorm + argmax in ONE kernel
             # (small batch folds the embedding gather in too)
-            fold = _attn.use_fused_embed(b)
-            h = None if fold else embed_rows(params["token_embs"], tok)
+            h, emb_kw = _t5_embed_or_fold(params["token_embs"], tok)
             nxt, caches = _fused_t5_step(dec, packed, head, head_v, cfg, h, caches,
-                                         cross_caches, bias_km, pos,
-                                         tok=tok if fold else None,
-                                         token_embs=params["token_embs"] if fold else None)
+                                         cross_caches, bias_km, pos, emb_kw=emb_kw)
             nxt = jnp.where(done, jnp.int32(eos_id), nxt)
             buf = lax.dynamic_update_slice(buf, nxt[:, None], (0, pos + 1))
             return buf, pos + 1, caches, jnp.logical_or(done, nxt == eos_id)
@@ -473,16 +481,11 @@ def _t5_beam_body(params, cfg: T5Config, enc_tokens, n_enc, max_tokens: int,
     def forward(tok, caches, pos):
         # token at buffer index pos-1 -> cache/bias position pos-1
         if fused:
-            from ...ops.decode_step import pack_embed_tables
-
             cdt = params["token_embs"].dtype
-            fold = _attn.use_fused_embed(w)
-            emb_kw = ({"emb": pack_embed_tables(params["token_embs"], None, cdt),
-                       "tok_ids": tok[:, 0]} if fold else {})
-            h = None if fold else embed_rows(params["token_embs"], tok)[:, 0, :]
+            h, emb_kw = _t5_embed_or_fold(params["token_embs"], tok)
             sbias = lax.dynamic_slice(bias_km, (pos - 1, 0, 0), (1,) + bias_km.shape[1:])[0]
             hx, k_new, v_new = fused_cross_decode_step(
-                h, packed, caches["k"], caches["v"],
+                None if h is None else h[:, 0, :], packed, caches["k"], caches["v"],
                 cross_caches["k"].astype(cdt), cross_caches["v"].astype(cdt),
                 cross_caches["len"][0], pos - 1, None, n_heads=lc.n_heads,
                 act="approximate_gelu", eps=1e-5, norm="rms", gated=True, sbias=sbias,

@@ -77,13 +77,15 @@ USE_FUSED_EMBED: bool | None = None
 
 
 def use_fused_embed(batch: int) -> bool:
-    if USE_FUSED_EMBED is not None:
-        return USE_FUSED_EMBED
     import os
 
+    # env wins over the module flag (hardware A/B sweeps export DECODE_EMBED
+    # and must not be silently overridden by a flag left set elsewhere)
     env = os.environ.get("DECODE_EMBED")
     if env is not None:
         return env == "1"
+    if USE_FUSED_EMBED is not None:
+        return USE_FUSED_EMBED
     return batch <= 4 and _on_tpu()
 
 

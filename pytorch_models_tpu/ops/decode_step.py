@@ -825,6 +825,11 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
     embed_pos = embed and "pos" in emb
     if embed:  # in-kernel embed phase replaces the x operand
         assert x is None and tok_ids is not None
+        # the id clamp below assumes row-padded tables: an 8-row window from
+        # an unpadded table's last rows would DMA out of bounds
+        assert emb["tok"].shape[0] % 8 == 0, "pad tables via pack_embed_tables"
+        assert not embed_pos or emb["pos"].shape[0] % 8 == 0, \
+            "pad tables via pack_embed_tables"
         b, d = tok_ids.shape[0], emb["tok"].shape[-1]
         xdt = emb["tok"].dtype
     else:
