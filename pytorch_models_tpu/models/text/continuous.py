@@ -28,6 +28,12 @@ How admission works on fixed shapes (no paging):
   resets to the prompt bucket — an "epoch reset". Stale buffers need no
   clearing (masked as above).
 
+Prefix caching: ``generate_tokens_many(..., shared_prefix=...)`` forwards a
+common prompt prefix (system prompt) ONCE per call; admissions paste its KV
+into the slot (K/V depend only on row-relative positions, so one prefix
+cache serves every slot and position) and prefill only the request suffix.
+This also lifts the per-request prompt cap to ``len(prefix) + prompt_bucket``.
+
 Greedy only, like the speculative decoder: the equivalence oracle is the
 plain greedy loop.
 """
@@ -52,6 +58,34 @@ from ._decoder_lm import (
 from .generator import PROMPT_BUCKET
 
 
+def _cb_row_prefill(params, cfg, buf, caches, row, pos, pad_len, p):
+    """Prefill slot ``row``'s KV cache over the chunk ``[c0, c0+P)`` with
+    ``c0 = max(0, pos-1-P)`` (the last P buffer slots before the decode
+    position). Slots below ``pad_len`` hold garbage the pad mask hides;
+    cached KV below ``c0`` (e.g. a pasted shared prefix) is attended to but
+    not recomputed. Returns the updated layer-stacked caches."""
+    c0 = jnp.maximum(pos - 1 - p, 0)
+    chunk = lax.dynamic_slice(buf, (row, c0), (1, p))
+    p_ids = jnp.clip(jnp.arange(p)[None, :] + c0 - pad_len, 0, None)
+    n_layers = caches["k"].shape[0]
+    l_max, width = caches["k"].shape[2], caches["k"].shape[3]
+    row_caches = {
+        kv: lax.dynamic_slice(caches[kv], (0, row, 0, 0), (n_layers, 1, l_max, width))
+        for kv in ("k", "v")
+    }
+    _, row_caches = decoder_lm_hidden_cached_batch(
+        params, cfg, chunk, p_ids, row_caches, c0, pad_len[None])
+    return {kv: lax.dynamic_update_slice(caches[kv], row_caches[kv], (0, row, 0, 0))
+            for kv in ("k", "v")}
+
+
+def _cb_arm_row(pad_lens, limits, done, row, pad_len, pos, max_new):
+    pad_lens = lax.dynamic_update_slice(pad_lens, pad_len[None], (row,))
+    limits = lax.dynamic_update_slice(limits, (pos + max_new)[None], (row,))
+    done = lax.dynamic_update_slice(done, jnp.zeros((1,), bool), (row,))
+    return pad_lens, limits, done
+
+
 def _cb_admit_body(params, cfg, buf, caches, pad_lens, limits, done,
                    row, pos, n, prompt_chunk, max_new):
     """Admit one request into slot ``row`` at global position ``pos``.
@@ -71,23 +105,70 @@ def _cb_admit_body(params, cfg, buf, caches, pad_lens, limits, done,
     merged = jnp.where(jnp.arange(p) >= p - n, prompt_chunk.astype(jnp.int32), old)
     buf = lax.dynamic_update_slice(buf, merged[None], (row, pos - p))
 
-    c0 = jnp.maximum(pos - 1 - p, 0)
-    chunk = lax.dynamic_slice(buf, (row, c0), (1, p))
-    p_ids = jnp.clip(jnp.arange(p)[None, :] + c0 - pad_len, 0, None)
-    n_layers = caches["k"].shape[0]
-    l_max, width = caches["k"].shape[2], caches["k"].shape[3]
-    row_caches = {
-        kv: lax.dynamic_slice(caches[kv], (0, row, 0, 0), (n_layers, 1, l_max, width))
-        for kv in ("k", "v")
-    }
-    _, row_caches = decoder_lm_hidden_cached_batch(
-        params, cfg, chunk, p_ids, row_caches, c0, pad_len[None])
-    caches = {kv: lax.dynamic_update_slice(caches[kv], row_caches[kv], (0, row, 0, 0))
-              for kv in ("k", "v")}
+    caches = _cb_row_prefill(params, cfg, buf, caches, row, pos, pad_len, p)
+    pad_lens, limits, done = _cb_arm_row(pad_lens, limits, done, row, pad_len, pos, max_new)
+    return buf, caches, pad_lens, limits, done
 
-    pad_lens = lax.dynamic_update_slice(pad_lens, pad_len[None], (row,))
-    limits = lax.dynamic_update_slice(limits, (pos + max_new)[None], (row,))
-    done = lax.dynamic_update_slice(done, jnp.zeros((1,), bool), (row,))
+
+def _cb_prefix_body(params, cfg, prefix_chunk):
+    """KV cache for a SHARED prompt prefix, computed once per serving call.
+
+    ``prefix_chunk``: (Kp,) LEFT-aligned prefix tokens (slots ``[k, Kp)``
+    are pad). Returns a fresh layer-stacked (L, 1, max_seq_len, W) cache
+    whose slots ``[0, k)`` hold the prefix KV at relative positions
+    ``0..k-1`` — K/V depend only on the row-relative position, so the same
+    cache pastes into any slot at any admission position.
+    """
+    kp = prefix_chunk.shape[0]
+    caches = decoder_lm_make_cache(cfg, (1,), dtype=params["token_embs"].dtype, stacked=True)
+    pos_ids = jnp.arange(kp, dtype=jnp.int32)[None]
+    _, caches = decoder_lm_hidden_cached_batch(
+        params, cfg, prefix_chunk[None], pos_ids, caches, 0,
+        jnp.zeros((1,), jnp.int32))
+    return caches
+
+
+def _cb_admit_prefix_body(params, cfg, buf, caches, pad_lens, limits, done,
+                          row, pos, n, k, prefix_chunk, prefix_caches,
+                          suffix_chunk, max_new):
+    """Admit a request whose prompt is ``shared_prefix[:k] + suffix`` into
+    slot ``row`` at position ``pos`` WITHOUT re-forwarding the prefix: the
+    precomputed prefix KV (:func:`_cb_prefix_body`) is pasted into the
+    slot's cache at ``[pos-n, pos-n+k)`` and only the suffix chunk is
+    prefilled. ``n = k + s`` is the full prompt length; ``prefix_chunk``:
+    (Kp,) LEFT-aligned prefix tokens; ``suffix_chunk``: (P,) suffix tokens
+    RIGHT-aligned. Host-enforced: k >= 1, 1 <= s <= P (the prefill chunk
+    ``[pos-1-P, pos-1)`` must cover every non-prefix prompt slot),
+    n <= pos, pos+1 <= max_seq_len.
+    """
+    kp = prefix_chunk.shape[0]
+    p = suffix_chunk.shape[0]
+    pad_len = pos - n
+
+    # prefix tokens + pasted KV land at buffer slots [pos-n, pos-n+k);
+    # the Kp-k pad tail is masked off so stale state there survives
+    keep = jnp.arange(kp) < k
+    old = lax.dynamic_slice(buf, (row, pad_len), (1, kp))[0]
+    buf = lax.dynamic_update_slice(
+        buf, jnp.where(keep, prefix_chunk.astype(jnp.int32), old)[None], (row, pad_len))
+    n_layers, _, _, width = caches["k"].shape
+    new_caches = {}
+    for kv in ("k", "v"):
+        old_kv = lax.dynamic_slice(caches[kv], (0, row, pad_len, 0), (n_layers, 1, kp, width))
+        pre = lax.dynamic_slice(prefix_caches[kv], (0, 0, 0, 0), (n_layers, 1, kp, width))
+        merged_kv = jnp.where(keep[None, None, :, None], pre, old_kv)
+        new_caches[kv] = lax.dynamic_update_slice(caches[kv], merged_kv, (0, row, pad_len, 0))
+
+    # suffix tokens land at [pos-s, pos)
+    s = n - k
+    old = lax.dynamic_slice(buf, (row, pos - p), (1, p))[0]
+    merged = jnp.where(jnp.arange(p) >= p - s, suffix_chunk.astype(jnp.int32), old)
+    buf = lax.dynamic_update_slice(buf, merged[None], (row, pos - p))
+
+    # the chunk forward recomputes any prefix-tail tokens it covers (reading
+    # the pasted KV below c0) and writes the suffix KV
+    caches = _cb_row_prefill(params, cfg, buf, new_caches, row, pos, pad_len, p)
+    pad_lens, limits, done = _cb_arm_row(pad_lens, limits, done, row, pad_len, pos, max_new)
     return buf, caches, pad_lens, limits, done
 
 
@@ -139,6 +220,8 @@ def _cb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, pos, fused,
 
 
 _cb_admit = partial(jax.jit, static_argnums=(1,))(_cb_admit_body)
+_cb_prefix = partial(jax.jit, static_argnums=(1,))(_cb_prefix_body)
+_cb_admit_prefix = partial(jax.jit, static_argnums=(1,))(_cb_admit_prefix_body)
 _cb_steps = partial(jax.jit, static_argnums=(1, 8, 14))(_cb_steps_body)
 
 
@@ -177,17 +260,37 @@ class ContinuousBatchingGenerator:
     def _admit(self, *args):
         return _cb_admit(*args)
 
+    def _prefill_prefix(self, *args):
+        return _cb_prefix(*args)
+
+    def _admit_prefix(self, *args):
+        return _cb_admit_prefix(*args)
+
     def _steps(self, *args, **kw):
         return _cb_steps(*args, **kw)
 
-    def generate_many(self, prompts: list[str], max_tokens: int | list[int] = 100) -> list[str]:
-        outs = self.generate_tokens_many([self.tokenizer.encode(p) for p in prompts], max_tokens)
+    def generate_many(self, prompts: list[str], max_tokens: int | list[int] = 100,
+                      shared_prefix: str | None = None) -> list[str]:
+        outs = self.generate_tokens_many(
+            [self.tokenizer.encode(p) for p in prompts], max_tokens,
+            shared_prefix=None if shared_prefix is None else self.tokenizer.encode(shared_prefix))
         return [self.tokenizer.decode(o) for o in outs]
 
     def generate_tokens_many(self, requests: list[list[int]],
-                             max_tokens: int | list[int] = 100) -> list[list[int]]:
+                             max_tokens: int | list[int] = 100,
+                             shared_prefix: list[int] | None = None) -> list[list[int]]:
         """Schedule all ``requests`` (admitted in order as slots free up) and
-        return each request's full prompt+generated token list, in order."""
+        return each request's full prompt+generated token list, in order.
+
+        ``shared_prefix``: optional common prompt prefix (a system prompt).
+        Each request's full prompt is ``shared_prefix + request``; the prefix
+        is forwarded ONCE per call and its KV is pasted into each slot at
+        admission (prefix caching), so per-request prefill cost is the suffix
+        only — and the per-request cap becomes ``len(shared_prefix) +
+        prompt_bucket`` instead of ``prompt_bucket``. Outputs include the
+        prefix, identical to ``DecoderGenerator.generate_tokens(prefix +
+        request)`` per request.
+        """
         params, cfg = self._params_cfg()
         n_req = len(requests)
         if n_req == 0:
@@ -200,17 +303,39 @@ class ContinuousBatchingGenerator:
         if eos is None:
             eos = -1
 
+        k = len(shared_prefix) if shared_prefix else 0
+        if k:
+            # prefix chunk is LEFT-aligned in a bucket-multiple shape (one
+            # compile per bucket count); its KV is computed once, up front
+            kp = -(-k // p_bucket) * p_bucket
+            prefix_chunk = np.zeros((kp,), np.int32)
+            prefix_chunk[:k] = shared_prefix
+            prefix_chunk = jnp.asarray(prefix_chunk)
+        else:
+            kp = 0
+        base = kp + p_bucket  # epoch start: admissions need pos >= n = k + s
+
+        def fits(pos, n, m_eff):
+            if pos + m_eff > l_max or pos + 1 > l_max:
+                return False
+            # the prefix paste window [pos-n, pos-n+kp) must stay in bounds
+            # (dynamic_update_slice would clamp-shift it, corrupting the slot)
+            return not k or pos - n + kp <= l_max
+
         plans = []  # (tokens, effective max_new) with the plain generator's clamp
         for toks, m in zip(requests, budgets):
-            n = len(toks)
-            assert 1 <= n <= p_bucket, (
-                f"prompt length {n} exceeds prompt_bucket={p_bucket}; raise prompt_bucket "
+            s = len(toks)
+            assert 1 <= s <= p_bucket, (
+                f"request length {s} exceeds prompt_bucket={p_bucket}; raise prompt_bucket "
                 f"(one-time recompile) or use DecoderGenerator for this request")
+            n = k + s
             m_eff = min(m, l_max - n)  # plain generator: limit = min(n+max_tokens, L)
-            assert m_eff >= 1 and p_bucket + m_eff <= l_max, (
+            assert m_eff >= 1 and fits(base, n, m_eff), (
                 f"request (n={n}, max_tokens={m}) cannot fit a fresh epoch "
-                f"(bucket {p_bucket} + {m_eff} > max_seq_len {l_max})")
+                f"(epoch base {base} + {m_eff} > max_seq_len {l_max})")
             plans.append((toks, m_eff))
+
+        prefix_caches = self._prefill_prefix(params, cfg, prefix_chunk) if k else None
 
         b = self.batch_size
         fused, packed, head, head_v, caches = self._init_pool(params, cfg, b)
@@ -220,7 +345,7 @@ class ContinuousBatchingGenerator:
         ends = jnp.zeros((b,), jnp.int32)
         done = jnp.ones((b,), bool)
 
-        pos = p_bucket  # host-tracked; device copies flow through the jits
+        pos = base  # host-tracked; device copies flow through the jits
         next_req = 0
         slot_req = [None] * b  # request index occupying each slot
         slot_pad = [0] * b
@@ -236,17 +361,25 @@ class ContinuousBatchingGenerator:
                     slot_req[row] = None
                 if slot_req[row] is None and next_req < n_req:
                     toks, m_eff = plans[next_req]
-                    if pos + m_eff > l_max or pos + 1 > l_max:
+                    n = k + len(toks)
+                    if not fits(pos, n, m_eff):
                         continue  # head-of-queue doesn't fit this epoch
                     chunk = np.zeros((p_bucket,), np.int32)
                     chunk[p_bucket - len(toks):] = toks
-                    buf, caches, pad_lens, limits, done = self._admit(
-                        params, cfg, buf, caches, pad_lens, limits, done,
-                        jnp.int32(row), jnp.int32(pos), jnp.int32(len(toks)),
-                        jnp.asarray(chunk), jnp.int32(m_eff))
+                    if k:
+                        buf, caches, pad_lens, limits, done = self._admit_prefix(
+                            params, cfg, buf, caches, pad_lens, limits, done,
+                            jnp.int32(row), jnp.int32(pos), jnp.int32(n), jnp.int32(k),
+                            prefix_chunk, prefix_caches, jnp.asarray(chunk),
+                            jnp.int32(m_eff))
+                    else:
+                        buf, caches, pad_lens, limits, done = self._admit(
+                            params, cfg, buf, caches, pad_lens, limits, done,
+                            jnp.int32(row), jnp.int32(pos), jnp.int32(n),
+                            jnp.asarray(chunk), jnp.int32(m_eff))
                     done_h[row] = False
                     slot_req[row] = next_req
-                    slot_pad[row] = pos - len(toks)
+                    slot_pad[row] = pos - n
                     next_req += 1
 
             if all(r is None for r in slot_req):
@@ -255,7 +388,7 @@ class ContinuousBatchingGenerator:
                     # pad_lens/limits must be zeroed so parked rows don't
                     # compute negative position ids against the rewound pos
                     # (their stale cache/buffer stays — admission masks it).
-                    pos = p_bucket
+                    pos = base
                     pad_lens = jnp.zeros_like(pad_lens)
                     limits = jnp.zeros_like(limits)
                     continue

@@ -24,6 +24,8 @@ from .. import transformer as tfm
 from ..models.text.continuous import (
     ContinuousBatchingGenerator,
     _cb_admit_body,
+    _cb_admit_prefix_body,
+    _cb_prefix_body,
     _cb_steps_body,
 )
 from ..models.text.generator import PROMPT_BUCKET
@@ -79,7 +81,32 @@ class TPContinuousBatchingGenerator(ContinuousBatchingGenerator):
             return fn(params, buf, pad_lens, limits, ends, caches, pos,
                       done, n_steps, eos_id)
 
+        def prefill_prefix(params, prefix_chunk):
+            fn = jax.shard_map(
+                lambda p, c: _cb_prefix_body(p, cfg_local, c),
+                mesh=mesh, in_specs=(pspecs, P()), out_specs=cache_spec,
+                check_vma=False,
+            )
+            return fn(params, prefix_chunk)
+
+        def admit_prefix(params, buf, caches, pad_lens, limits, done,
+                         row, pos, n, k, prefix_chunk, prefix_caches,
+                         suffix_chunk, max_new):
+            fn = jax.shard_map(
+                lambda p, *a: _cb_admit_prefix_body(p, cfg_local, *a),
+                mesh=mesh,
+                in_specs=(pspecs, P(), cache_spec, P(), P(), P(), P(), P(), P(),
+                          P(), P(), cache_spec, P(), P()),
+                out_specs=(P(), cache_spec, P(), P(), P()),
+                check_vma=False,
+            )
+            return fn(params, buf, caches, pad_lens, limits, done,
+                      row, pos, n, k, prefix_chunk, prefix_caches,
+                      suffix_chunk, max_new)
+
         self._admit_jit = jax.jit(admit)
+        self._prefix_jit = jax.jit(prefill_prefix)
+        self._admit_prefix_jit = jax.jit(admit_prefix)
         self._steps_jit = jax.jit(steps)
 
     # ---- sharding hooks ----------------------------------------------------
@@ -97,6 +124,12 @@ class TPContinuousBatchingGenerator(ContinuousBatchingGenerator):
 
     def _admit(self, params, cfg, *args):
         return self._admit_jit(params, *args)
+
+    def _prefill_prefix(self, params, cfg, prefix_chunk):
+        return self._prefix_jit(params, prefix_chunk)
+
+    def _admit_prefix(self, params, cfg, *args):
+        return self._admit_prefix_jit(params, *args)
 
     def _steps(self, params, cfg, buf, pad_lens, limits, ends, caches, pos,
                fused, done, n_steps, eos_id, packed=None, head=None, head_v=None):

@@ -61,6 +61,27 @@ def test_tp_cb_epoch_reset_path(tp=2):
     assert outs == ref
 
 
+def test_tp_cb_shared_prefix_matches_single_device(tp=2):
+    """Prefix caching under tp: the prefix KV is computed once per rank
+    (head-sharded) and pasted at admission; outputs stay token-identical to
+    the single-device generator on prefix + request."""
+    from pytorch_models_tpu.models.text import DecoderGenerator
+
+    m = _tiny_gpt2()
+    prefix = [2, 7, 1, 8, 2, 8]
+    requests = [[5, 6, 7], [9] * 12, [11, 12], [3] * 7]
+    budgets = [8, 5, 11, 6]
+    plain = DecoderGenerator(m, Tok())
+    ref = [plain.generate_tokens(prefix + r, max_tokens=mt)
+           for r, mt in zip(requests, budgets)]
+
+    mesh = make_mesh(tp, shape=(tp,), axes=("tp",))
+    gen = TPContinuousBatchingGenerator(m, Tok(), mesh, batch_size=2,
+                                        prompt_bucket=16, check_every=4)
+    outs = gen.generate_tokens_many(requests, budgets, shared_prefix=prefix)
+    assert outs == ref
+
+
 def test_tp_cb_cache_is_head_sharded():
     m = _tiny_gpt2()
     mesh = make_mesh(4, shape=(4,), axes=("tp",))

@@ -147,3 +147,52 @@ def test_fused_step_path_matches_plain(model):
         attn_mod.USE_DECODE_KERNEL = None
         jax.clear_caches()
     assert outs == base
+
+
+def test_shared_prefix_matches_plain(model):
+    """Prefix caching: outputs must equal the plain generator on
+    prefix + request per request, including mid-flight admissions whose
+    slots hold a previous request's stale prefix paste."""
+    tok = _Tok()
+    prefix = [7, 3, 9, 1, 4, 4, 2]
+    budgets = [15, 5, 23, 9, 3, 17]
+    reqs = PROMPTS[:6]
+    cb = ContinuousBatchingGenerator(model, tok, batch_size=2, prompt_bucket=16,
+                                     check_every=4)
+    outs = cb.generate_tokens_many(reqs, budgets, shared_prefix=prefix)
+    assert outs == _oracle(model, tok, [prefix + r for r in reqs], budgets)
+
+
+def test_long_prefix_exceeds_bucket(model):
+    """A prefix longer than prompt_bucket is legal: the per-request prompt
+    cap becomes len(prefix) + bucket (the no-prefix path would reject it)."""
+    tok = _Tok()
+    prefix = [(i * 37) % 512 for i in range(45)]  # kp = 48 > bucket 16
+    reqs = PROMPTS[:3]
+    budgets = [9, 12, 7]
+    cb = ContinuousBatchingGenerator(model, tok, batch_size=2, prompt_bucket=16,
+                                     check_every=4)
+    outs = cb.generate_tokens_many(reqs, budgets, shared_prefix=prefix)
+    assert outs == _oracle(model, tok, [prefix + r for r in reqs], budgets)
+
+
+def test_prefix_epoch_reset(model):
+    """Epoch resets rewind to the prefix-aware base position and re-paste
+    into stale slots correctly."""
+    small = _model(seed=5, max_seq_len=96)
+    tok = _Tok()
+    prefix = [5, 8, 13, 21, 34]  # kp = 16, base = 32
+    reqs = PROMPTS[:4]
+    budgets = [40, 40, 40, 40]  # two back-to-back in one slot exceed 96
+    cb = ContinuousBatchingGenerator(small, tok, batch_size=2, prompt_bucket=16,
+                                     check_every=8)
+    outs = cb.generate_tokens_many(reqs, budgets, shared_prefix=prefix)
+    assert outs == _oracle(small, tok, [prefix + r for r in reqs], budgets)
+
+
+def test_prefix_text_api(model):
+    tok = _Tok()
+    cb = ContinuousBatchingGenerator(model, tok, batch_size=2, prompt_bucket=16)
+    outs = cb.generate_many(["ab", "cde"], max_tokens=6, shared_prefix="sys: ")
+    plain = DecoderGenerator(model, tok)
+    assert outs == [plain.generate("sys: " + p, max_tokens=6) for p in ["ab", "cde"]]
