@@ -52,10 +52,11 @@ from ._decoder_lm import (
     decoder_lm_fused_ok,
     decoder_lm_fused_tok_batch,
     decoder_lm_hidden_cached_batch,
+    decoder_lm_hidden_fused_batch,
     decoder_lm_make_cache,
     decoder_lm_pack,
 )
-from .generator import PROMPT_BUCKET
+from .generator import PROMPT_BUCKET, _check_sampling, _is_greedy, _sample
 
 
 def _cb_row_prefill(params, cfg, buf, caches, row, pos, pad_len, p):
@@ -173,16 +174,24 @@ def _cb_admit_prefix_body(params, cfg, buf, caches, pad_lens, limits, done,
 
 
 def _cb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, pos, fused,
-                   done, n_steps, eos_id, packed=None, head=None, head_v=None):
-    """Up to ``n_steps`` greedy decode steps over the whole pool (early exit
-    when every row is done). Finished rows park writing EOS; a row's ``ends``
+                   done, n_steps, eos_id, packed=None, head=None, head_v=None,
+                   topk=1, top_p=None, temperature=1.0, keys=None, t0s=None):
+    """Up to ``n_steps`` decode steps over the whole pool (early exit when
+    every row is done). Finished rows park writing EOS; a row's ``ends``
     is latched to pos+1 the step it finishes (EOS emitted or per-row limit
     reached). ``packed/head/head_v`` are the pre-packed fused-step weights
     (hoisted to the host so they aren't re-packed every scheduling chunk).
-    Returns ``(buf, ends, caches, pos, done)``.
+
+    Sampling (``topk``/``top_p``/``temperature`` beyond greedy): each row
+    draws with the SCHEDULE-INVARIANT key ``fold_in(keys[row], pos -
+    t0s[row])`` — ``keys[row]`` is the request's own key and ``t0s[row]``
+    its admission position, so generated token g of a request always uses
+    ``fold_in(request_key, g)`` regardless of pool size, admission order,
+    check_every, or epoch resets. Returns ``(buf, ends, caches, pos, done)``.
     """
     b = buf.shape[0]
     l_max = cfg.max_seq_len
+    greedy = _is_greedy(topk, top_p)
 
     def cond(s):
         _, _, _, pos, done, i = s
@@ -195,7 +204,23 @@ def _cb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, pos, fused,
         buf, ends, caches, pos, done, i = s
         tok = lax.dynamic_slice(buf, (0, pos - 1), (b, 1))
         p_ids = (pos - 1 - pad_lens)[:, None]
-        if fused:
+        if not greedy:
+            if fused:
+                hidden, caches = decoder_lm_hidden_fused_batch(
+                    params, packed, cfg, tok, p_ids, caches, pos - 1, pad_lens)
+                from ...ops.layers import dot_precision
+
+                # hidden is already final-normed by the fused step
+                logits = jnp.matmul(hidden[:, 0], params["token_embs"].astype(hidden.dtype).T,
+                                    precision=dot_precision(hidden))
+            else:
+                full, caches = decoder_lm_forward_cached_batch(params, cfg, tok, p_ids, caches,
+                                                               pos - 1, pad_lens)
+                logits = full[:, 0]
+            step_keys = jax.vmap(jax.random.fold_in)(keys, pos - t0s)
+            nxt = jax.vmap(lambda l, sk: _sample(l, sk, topk, top_p, temperature))(
+                logits, step_keys).astype(jnp.int32)
+        elif fused:
             nxt, caches = decoder_lm_fused_tok_batch(params, packed, head, head_v, cfg,
                                                      tok, p_ids, caches, pos - 1, pad_lens)
         elif _attn.use_greedy_head(b):
@@ -222,7 +247,7 @@ def _cb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, pos, fused,
 _cb_admit = partial(jax.jit, static_argnums=(1,))(_cb_admit_body)
 _cb_prefix = partial(jax.jit, static_argnums=(1,))(_cb_prefix_body)
 _cb_admit_prefix = partial(jax.jit, static_argnums=(1,))(_cb_admit_prefix_body)
-_cb_steps = partial(jax.jit, static_argnums=(1, 8, 14))(_cb_steps_body)
+_cb_steps = partial(jax.jit, static_argnums=(1, 8, 14, 15, 16))(_cb_steps_body)
 
 
 class ContinuousBatchingGenerator:
@@ -270,15 +295,20 @@ class ContinuousBatchingGenerator:
         return _cb_steps(*args, **kw)
 
     def generate_many(self, prompts: list[str], max_tokens: int | list[int] = 100,
-                      shared_prefix: str | None = None) -> list[str]:
+                      shared_prefix: str | None = None, topk: int = 1,
+                      top_p: float | None = None, temperature: float = 1.0,
+                      seed: int = 0) -> list[str]:
         outs = self.generate_tokens_many(
             [self.tokenizer.encode(p) for p in prompts], max_tokens,
-            shared_prefix=None if shared_prefix is None else self.tokenizer.encode(shared_prefix))
+            shared_prefix=None if shared_prefix is None else self.tokenizer.encode(shared_prefix),
+            topk=topk, top_p=top_p, temperature=temperature, seed=seed)
         return [self.tokenizer.decode(o) for o in outs]
 
     def generate_tokens_many(self, requests: list[list[int]],
                              max_tokens: int | list[int] = 100,
-                             shared_prefix: list[int] | None = None) -> list[list[int]]:
+                             shared_prefix: list[int] | None = None,
+                             topk: int = 1, top_p: float | None = None,
+                             temperature: float = 1.0, seed: int = 0) -> list[list[int]]:
         """Schedule all ``requests`` (admitted in order as slots free up) and
         return each request's full prompt+generated token list, in order.
 
@@ -290,7 +320,15 @@ class ContinuousBatchingGenerator:
         prompt_bucket`` instead of ``prompt_bucket``. Outputs include the
         prefix, identical to ``DecoderGenerator.generate_tokens(prefix +
         request)`` per request.
+
+        ``topk``/``top_p``/``temperature``/``seed``: sampling (greedy by
+        default). Request r's generated token g always draws with
+        ``fold_in(fold_in(PRNGKey(seed), r), g)`` — outputs are independent
+        of pool size, admission order, and scheduling, so a request's sample
+        stream is reproducible from ``(seed, r)`` alone.
         """
+        _check_sampling(topk, top_p, temperature)
+        greedy = _is_greedy(topk, top_p)
         params, cfg = self._params_cfg()
         n_req = len(requests)
         if n_req == 0:
@@ -344,6 +382,12 @@ class ContinuousBatchingGenerator:
         limits = jnp.zeros((b,), jnp.int32)
         ends = jnp.zeros((b,), jnp.int32)
         done = jnp.ones((b,), bool)
+        if greedy:
+            keys = t0s = None
+        else:
+            base_key = jax.random.PRNGKey(seed)
+            keys = jnp.zeros((b,) + base_key.shape, base_key.dtype)
+            t0s = jnp.zeros((b,), jnp.int32)
 
         pos = base  # host-tracked; device copies flow through the jits
         next_req = 0
@@ -377,6 +421,11 @@ class ContinuousBatchingGenerator:
                             params, cfg, buf, caches, pad_lens, limits, done,
                             jnp.int32(row), jnp.int32(pos), jnp.int32(n),
                             jnp.asarray(chunk), jnp.int32(m_eff))
+                    if not greedy:
+                        # the request's own key + admission position: token g
+                        # of request r draws fold_in(fold_in(base, r), g)
+                        keys = keys.at[row].set(jax.random.fold_in(base_key, next_req))
+                        t0s = t0s.at[row].set(pos)
                     done_h[row] = False
                     slot_req[row] = next_req
                     slot_pad[row] = pos - n
@@ -397,7 +446,8 @@ class ContinuousBatchingGenerator:
             # ---- run a chunk of decode steps, then sync the scheduler view
             buf, ends, caches, pos_d, done = self._steps(
                 params, cfg, buf, pad_lens, limits, ends, caches, jnp.int32(pos),
-                fused, done, jnp.int32(self.check_every), eos, packed, head, head_v)
+                fused, done, jnp.int32(self.check_every), eos, packed, head, head_v,
+                topk, top_p, jnp.float32(temperature), keys, t0s)
             pos = int(np.asarray(pos_d))
             done_h = np.array(done)  # np.asarray of a device array is read-only
 

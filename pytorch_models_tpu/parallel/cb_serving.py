@@ -81,6 +81,28 @@ class TPContinuousBatchingGenerator(ContinuousBatchingGenerator):
             return fn(params, buf, pad_lens, limits, ends, caches, pos,
                       done, n_steps, eos_id)
 
+        def steps_sample(params, buf, pad_lens, limits, ends, caches, pos, done,
+                         n_steps, eos_id, topk, top_p, temperature, keys, t0s):
+            # per-rank sampling is replicated math: hidden is psum-complete
+            # and token_embs/keys are replicated, so every rank draws the
+            # same token (same argument as the TP greedy argmax)
+            def local(p, buf, pads, lims, ends, caches, pos, done, n_steps, eos,
+                      temp, keys, t0s):
+                return _cb_steps_body(p, cfg_local, buf, pads, lims, ends, caches,
+                                      pos, False, done, n_steps, eos,
+                                      topk=topk, top_p=top_p, temperature=temp,
+                                      keys=keys, t0s=t0s)
+
+            fn = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(pspecs, P(), P(), P(), P(), cache_spec, P(), P(), P(),
+                          P(), P(), P(), P()),
+                out_specs=(P(), P(), cache_spec, P(), P()),
+                check_vma=False,
+            )
+            return fn(params, buf, pad_lens, limits, ends, caches, pos,
+                      done, n_steps, eos_id, temperature, keys, t0s)
+
         def prefill_prefix(params, prefix_chunk):
             fn = jax.shard_map(
                 lambda p, c: _cb_prefix_body(p, cfg_local, c),
@@ -108,6 +130,7 @@ class TPContinuousBatchingGenerator(ContinuousBatchingGenerator):
         self._prefix_jit = jax.jit(prefill_prefix)
         self._admit_prefix_jit = jax.jit(admit_prefix)
         self._steps_jit = jax.jit(steps)
+        self._steps_sample_jit = jax.jit(steps_sample, static_argnums=(10, 11))
 
     # ---- sharding hooks ----------------------------------------------------
     def _params_cfg(self):
@@ -132,6 +155,11 @@ class TPContinuousBatchingGenerator(ContinuousBatchingGenerator):
         return self._admit_prefix_jit(params, *args)
 
     def _steps(self, params, cfg, buf, pad_lens, limits, ends, caches, pos,
-               fused, done, n_steps, eos_id, packed=None, head=None, head_v=None):
-        return self._steps_jit(params, buf, pad_lens, limits, ends, caches,
-                               pos, done, n_steps, eos_id)
+               fused, done, n_steps, eos_id, packed=None, head=None, head_v=None,
+               topk=1, top_p=None, temperature=None, keys=None, t0s=None):
+        if topk == 1 and top_p is None:
+            return self._steps_jit(params, buf, pad_lens, limits, ends, caches,
+                                   pos, done, n_steps, eos_id)
+        return self._steps_sample_jit(params, buf, pad_lens, limits, ends, caches,
+                                      pos, done, n_steps, eos_id, topk, top_p,
+                                      temperature, keys, t0s)

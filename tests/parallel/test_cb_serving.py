@@ -82,6 +82,27 @@ def test_tp_cb_shared_prefix_matches_single_device(tp=2):
     assert outs == ref
 
 
+def test_tp_cb_sampling_matches_single_device(tp=2):
+    """Sampling under tp: hidden is psum-complete and token_embs/keys are
+    replicated, so per-rank draws agree — outputs must equal the
+    single-device pool's (same schedule-invariant fold_in chain)."""
+    from pytorch_models_tpu.models.text import ContinuousBatchingGenerator
+
+    m = _tiny_gpt2()
+    requests = [[5, 6, 7], [9] * 12, [11, 12]]
+    budgets = [8, 5, 9]
+    kw = dict(topk=4, temperature=0.9, seed=7)
+    ref = ContinuousBatchingGenerator(m, Tok(), batch_size=2, prompt_bucket=16,
+                                      check_every=4).generate_tokens_many(
+                                          requests, budgets, **kw)
+
+    mesh = make_mesh(tp, shape=(tp,), axes=("tp",))
+    gen = TPContinuousBatchingGenerator(m, Tok(), mesh, batch_size=2,
+                                        prompt_bucket=16, check_every=4)
+    outs = gen.generate_tokens_many(requests, budgets, **kw)
+    assert outs == ref
+
+
 def test_tp_cb_cache_is_head_sharded():
     m = _tiny_gpt2()
     mesh = make_mesh(4, shape=(4,), axes=("tp",))

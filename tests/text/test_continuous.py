@@ -196,3 +196,88 @@ def test_prefix_text_api(model):
     outs = cb.generate_many(["ab", "cde"], max_tokens=6, shared_prefix="sys: ")
     plain = DecoderGenerator(model, tok)
     assert outs == [plain.generate("sys: " + p, max_tokens=6) for p in ["ab", "cde"]]
+
+
+def _sampling_oracle(model, request, max_new, seed, req_idx, topk, top_p, temp):
+    """The documented sampling chain — token g of request r draws
+    ``fold_in(fold_in(PRNGKey(seed), r), g)`` — computed with full UNCACHED
+    forwards, independent of the pool/cache machinery under test."""
+    import jax.numpy as jnp
+
+    from pytorch_models_tpu.models.text._decoder_lm import decoder_lm_apply
+    from pytorch_models_tpu.models.text.generator import _sample
+
+    key_r = jax.random.fold_in(jax.random.PRNGKey(seed), req_idx)
+    toks = list(request)
+    for g in range(max_new):
+        logits = decoder_lm_apply(model.params, model.cfg, jnp.asarray(toks)[None])[0, -1]
+        toks.append(int(_sample(logits, jax.random.fold_in(key_r, g), topk, top_p, temp)))
+    return toks
+
+
+def test_sampling_schedule_invariant(model):
+    """topk/temperature serving: request r's sample stream depends only on
+    (seed, r) — identical across pool sizes, admission orders, and
+    check_every — and matches the documented fold_in chain."""
+    tok = _Tok()
+    reqs = PROMPTS[:4]
+    budgets = [9, 5, 12, 7]
+    kw = dict(topk=5, temperature=0.9, seed=3)
+    cb_a = ContinuousBatchingGenerator(model, tok, batch_size=3, prompt_bucket=16,
+                                       check_every=4)
+    cb_b = ContinuousBatchingGenerator(model, tok, batch_size=1, prompt_bucket=16,
+                                       check_every=1)
+    outs = cb_a.generate_tokens_many(reqs, budgets, **kw)
+    assert outs == cb_b.generate_tokens_many(reqs, budgets, **kw)
+    assert outs == [_sampling_oracle(model, r, m, 3, i, 5, None, 0.9)
+                    for i, (r, m) in enumerate(zip(reqs, budgets))]
+
+
+def test_topp_sampling_matches_oracle(model):
+    tok = _Tok()
+    reqs = PROMPTS[:3]
+    cb = ContinuousBatchingGenerator(model, tok, batch_size=2, prompt_bucket=16,
+                                     check_every=3)
+    outs = cb.generate_tokens_many(reqs, 8, top_p=0.9, temperature=1.1, seed=11)
+    assert outs == [_sampling_oracle(model, r, 8, 11, i, 1, 0.9, 1.1)
+                    for i, r in enumerate(reqs)]
+
+
+def test_sampling_with_shared_prefix(model):
+    """Sampling composes with prefix caching: the chain indexes by request,
+    the prompt is prefix + request."""
+    tok = _Tok()
+    prefix = [7, 3, 9, 1]
+    reqs = PROMPTS[:3]
+    cb = ContinuousBatchingGenerator(model, tok, batch_size=2, prompt_bucket=16,
+                                     check_every=4)
+    outs = cb.generate_tokens_many(reqs, 7, shared_prefix=prefix, topk=4, seed=5)
+    assert outs == [_sampling_oracle(model, prefix + r, 7, 5, i, 4, None, 1.0)
+                    for i, r in enumerate(reqs)]
+
+
+def test_fused_sampling_path_matches_xla(model):
+    """The TPU sampling route (headless fused megakernel + XLA head matmul
+    + per-row fold_in draw) in interpret mode must reproduce the CPU path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pytorch_models_tpu.ops import attention as attn_mod
+
+    tok = _Tok()
+    reqs, budgets = PROMPTS[:3], [7, 4, 6]
+    kw = dict(topk=3, temperature=0.8, seed=2)
+    base = ContinuousBatchingGenerator(model, tok, batch_size=2, prompt_bucket=16,
+                                       check_every=3).generate_tokens_many(reqs, budgets, **kw)
+    attn_mod.USE_FUSED_STEP = True
+    attn_mod.USE_DECODE_KERNEL = True
+    try:
+        jax.clear_caches()
+        with pltpu.force_tpu_interpret_mode():
+            cb = ContinuousBatchingGenerator(model, tok, batch_size=2,
+                                             prompt_bucket=16, check_every=3)
+            outs = cb.generate_tokens_many(reqs, budgets, **kw)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        attn_mod.USE_DECODE_KERNEL = None
+        jax.clear_caches()
+    assert outs == base
