@@ -65,3 +65,17 @@ cb = TPContinuousBatchingGenerator(model, Tok(), make_mesh(4, (4,), ("tp",)),
 assert cb.generate_tokens_many(prompts, 8) == [
     DecoderGenerator(model, Tok()).generate_tokens(p, max_tokens=8) for p in prompts]
 print("tp continuous batch:  token-identical per request")
+
+# prefix caching: the system prompt is forwarded once, its KV pasted per slot
+sys_prompt = [2, 7, 1, 8]
+assert cb.generate_tokens_many(prompts, 8, shared_prefix=sys_prompt) == [
+    DecoderGenerator(model, Tok()).generate_tokens(sys_prompt + p, max_tokens=8)
+    for p in prompts]
+print("tp prefix caching:    token-identical per request")
+
+# schedule-invariant sampling: request r's stream depends only on (seed, r)
+samp = cb.generate_tokens_many(prompts, 8, topk=4, temperature=0.9, seed=1)
+solo = TPContinuousBatchingGenerator(model, Tok(), make_mesh(4, (4,), ("tp",)),
+                                     batch_size=1, prompt_bucket=16, check_every=1)
+assert samp == solo.generate_tokens_many(prompts, 8, topk=4, temperature=0.9, seed=1)
+print("tp sampled serving:   schedule-invariant streams")

@@ -308,7 +308,8 @@ class ContinuousBatchingGenerator:
                              max_tokens: int | list[int] = 100,
                              shared_prefix: list[int] | None = None,
                              topk: int = 1, top_p: float | None = None,
-                             temperature: float = 1.0, seed: int = 0) -> list[list[int]]:
+                             temperature: float = 1.0, seed: int = 0,
+                             on_tokens=None) -> list[list[int]]:
         """Schedule all ``requests`` (admitted in order as slots free up) and
         return each request's full prompt+generated token list, in order.
 
@@ -326,6 +327,12 @@ class ContinuousBatchingGenerator:
         ``fold_in(fold_in(PRNGKey(seed), r), g)`` — outputs are independent
         of pool size, admission order, and scheduling, so a request's sample
         stream is reproducible from ``(seed, r)`` alone.
+
+        ``on_tokens(request_index, new_tokens)``: streaming callback, invoked
+        at every scheduling point (each ``check_every``-step chunk) with the
+        tokens each live request generated since the previous point. Every
+        generated token is delivered exactly once, in order; concatenated
+        deliveries equal the returned output minus the prompt.
         """
         _check_sampling(topk, top_p, temperature)
         greedy = _is_greedy(topk, top_p)
@@ -393,6 +400,7 @@ class ContinuousBatchingGenerator:
         next_req = 0
         slot_req = [None] * b  # request index occupying each slot
         slot_pad = [0] * b
+        slot_seen = [0] * b  # next unstreamed buffer slot (on_tokens)
         outputs: list[list[int] | None] = [None] * n_req
         done_h = np.ones((b,), bool)
 
@@ -429,6 +437,7 @@ class ContinuousBatchingGenerator:
                     done_h[row] = False
                     slot_req[row] = next_req
                     slot_pad[row] = pos - n
+                    slot_seen[row] = pos  # generated tokens start at slot pos
                     next_req += 1
 
             if all(r is None for r in slot_req):
@@ -450,6 +459,18 @@ class ContinuousBatchingGenerator:
                 topk, top_p, jnp.float32(temperature), keys, t0s)
             pos = int(np.asarray(pos_d))
             done_h = np.array(done)  # np.asarray of a device array is read-only
+
+            if on_tokens is not None:
+                ends_h = np.asarray(ends)
+                for row in range(b):
+                    r = slot_req[row]
+                    if r is None:
+                        continue
+                    # finished rows park writing EOS past their latched end
+                    upto = int(ends_h[row]) if done_h[row] else pos
+                    if upto > slot_seen[row]:
+                        on_tokens(r, np.asarray(buf[row, slot_seen[row]: upto]).tolist())
+                        slot_seen[row] = upto
 
         assert all(o is not None for o in outputs)
         return outputs  # type: ignore[return-value]

@@ -198,6 +198,39 @@ def test_prefix_text_api(model):
     assert outs == [plain.generate("sys: " + p, max_tokens=6) for p in ["ab", "cde"]]
 
 
+def test_streaming_callback_delivers_every_token_once(model):
+    """on_tokens streams each generated token exactly once, in order, at
+    scheduling-point granularity — concatenated deliveries equal the final
+    output minus the prompt (greedy, with mid-flight admissions)."""
+    tok = _Tok()
+    reqs = PROMPTS[:5]
+    budgets = [11, 4, 17, 7, 9]
+    streams = {i: [] for i in range(len(reqs))}
+    calls = []
+    cb = ContinuousBatchingGenerator(model, tok, batch_size=2, prompt_bucket=16,
+                                     check_every=4)
+    outs = cb.generate_tokens_many(
+        reqs, budgets, on_tokens=lambda r, ts: (streams[r].extend(ts), calls.append((r, len(ts)))))
+    assert outs == _oracle(model, tok, reqs, budgets)
+    for i, (req, out) in enumerate(zip(reqs, outs)):
+        assert streams[i] == out[len(req):]
+    # chunked delivery: no call exceeds the scheduling chunk
+    assert all(1 <= n <= 4 for _, n in calls)
+
+
+def test_streaming_with_prefix_and_sampling(model):
+    tok = _Tok()
+    prefix = [7, 3, 9]
+    reqs = PROMPTS[:3]
+    streams = {i: [] for i in range(len(reqs))}
+    cb = ContinuousBatchingGenerator(model, tok, batch_size=2, prompt_bucket=16,
+                                     check_every=3)
+    outs = cb.generate_tokens_many(reqs, 8, shared_prefix=prefix, topk=4, seed=9,
+                                   on_tokens=lambda r, ts: streams[r].extend(ts))
+    for i, (req, out) in enumerate(zip(reqs, outs)):
+        assert streams[i] == out[len(prefix) + len(req):]
+
+
 def _sampling_oracle(model, request, max_new, seed, req_idx, topk, top_p, temp):
     """The documented sampling chain — token g of request r draws
     ``fold_in(fold_in(PRNGKey(seed), r), g)`` — computed with full UNCACHED
