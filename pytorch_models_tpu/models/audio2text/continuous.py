@@ -1,0 +1,311 @@
+"""Continuous batching for Whisper transcription: a fixed pool of decoder
+slots serves 30 s segments with mid-flight admission (the serving-engine
+pattern of models/text/continuous.py, extended to a cross-attention decoder).
+
+Static batching decodes a cohort in lockstep and waits for the slowest
+transcript; here a pool of B slots runs one shared decode loop, and the
+moment a slot's transcript finishes the next segment is admitted — encoder
++ cross-KV projection for the new segment runs once at admission while the
+other rows keep decoding between scheduling points.
+
+Fixed shapes throughout (two jitted programs: admit + steps), exactly like
+the text pool:
+- All rows share one monotonic cache position ``pos``; a segment admitted at
+  ``pos`` puts its I initial tokens at buffer/cache slots ``[pos-I, pos)``
+  and sets ``pad_lens[row] = pos-I`` — the left-pad mask hides every earlier
+  slot, including the previous transcript's stale self-KV, so no eviction.
+- Admission pastes the segment's freshly projected cross-attention K/V over
+  the slot's cross cache (each row attends to its OWN memory via per-row
+  ``cross_lens``) and prefills self-KV for the first I-1 prompt tokens.
+- Per-row position-table rows (``pos - pad_len``) keep each slot's math
+  identical to a fresh batch row: outputs are token-identical to
+  ``WhisperGenerator.transcribe_tokens`` per segment.
+- ``pos`` never rewinds mid-epoch; a drained pool resets to the base
+  position (stale buffers stay — masked as above). The pool context may
+  exceed the decoder position table: position-table rows are per-row
+  RELATIVE, so only a single transcript's length is bounded by it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ... import transformer as tfm
+from ...ops.gather import embed_rows
+from ...ops import layer_norm
+from .whisper import (
+    DEC_MAX_LEN,
+    WhisperPreprocessor,
+    _fused_whisper_step,
+    _whisper_encode_body,
+    _whisper_fused_ok,
+)
+
+
+def _wcb_hidden(p, lc, cross, tokens, pos_ids, caches, pos, pad_lens):
+    """Pad-aware decode-side forward for a pooled (B, S) chunk at cache slots
+    ``[pos, pos+S)``: per-row position-table gather + KV-cached decoder +
+    final LN (the left-padded analogue of whisper._decoder_hidden_chunk)."""
+    x = embed_rows(p["token_embs"], tokens)
+    x = x + embed_rows(p["pos_embs"], pos_ids).astype(x.dtype)
+    x, caches = tfm.decoder_apply(p, lc, x, self_caches=caches, cross_caches=cross,
+                                  pos=pos, pad_lens=pad_lens)
+    return layer_norm(p["norm"], x), caches
+
+
+def _wcb_admit_body(params, cfg, buf, caches, cross, pad_lens, limits, done,
+                    row, pos, memory_row, init_chunk, max_new):
+    """Admit one segment into slot ``row`` at global position ``pos``.
+
+    ``memory_row``: (1, T, d) encoder output for the segment; ``init_chunk``:
+    (I,) the initial token sequence. Projects the segment's cross-attention
+    K/V (the same per-segment work the plain generator does once), pastes it
+    over the slot's cross cache, writes the prompt into ``buf[row, pos-I:pos)``,
+    prefills the row's self-KV for the first I-1 prompt tokens (chunk
+    ``[pos-1-I, pos-1)``; the one slot below ``pos-I`` is pad-masked), and
+    arms the row. Host-enforced: I >= 1, pos >= I + 1, pos + 1 <= pool ctx.
+    """
+    p = params["decoder"]
+    lc = cfg.dec_layer
+    i = init_chunk.shape[0]
+    pad_len = pos - i
+
+    row_cross = tfm.precompute_cross_caches(p, lc, memory_row)
+    new_cross = {
+        kv: lax.dynamic_update_slice(cross[kv], row_cross[kv].astype(cross[kv].dtype),
+                                     (0, row, 0, 0))
+        for kv in ("k", "v")
+    }
+    new_cross["len"] = lax.dynamic_update_slice(
+        cross["len"], row_cross["len"].astype(cross["len"].dtype), (0, row))
+
+    buf = lax.dynamic_update_slice(buf, init_chunk.astype(jnp.int32)[None], (row, pad_len))
+
+    c0 = pos - 1 - i
+    chunk = lax.dynamic_slice(buf, (row, c0), (1, i))
+    p_ids = jnp.clip(jnp.arange(i)[None, :] + c0 - pad_len, 0, None)
+    n_layers = caches["k"].shape[0]
+    l_max, width = caches["k"].shape[2], caches["k"].shape[3]
+    row_self = {
+        kv: lax.dynamic_slice(caches[kv], (0, row, 0, 0), (n_layers, 1, l_max, width))
+        for kv in ("k", "v")
+    }
+    _, row_self = _wcb_hidden(p, lc, row_cross, chunk, p_ids, row_self, c0, pad_len[None])
+    caches = {kv: lax.dynamic_update_slice(caches[kv], row_self[kv], (0, row, 0, 0))
+              for kv in ("k", "v")}
+
+    pad_lens = lax.dynamic_update_slice(pad_lens, pad_len[None], (row,))
+    limits = lax.dynamic_update_slice(limits, (pos + max_new)[None], (row,))
+    done = lax.dynamic_update_slice(done, jnp.zeros((1,), bool), (row,))
+    return buf, caches, new_cross, pad_lens, limits, done
+
+
+def _wcb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, cross, pos,
+                    fused, done, n_steps, eot_id, packed=None, head=None, head_v=None):
+    """Up to ``n_steps`` greedy decode steps over the whole pool (early exit
+    when every row is done); finished rows park writing EOT, ``ends`` latches
+    pos+1 the step a row finishes. Returns ``(buf, ends, caches, pos, done)``."""
+    p = params["decoder"]
+    lc = cfg.dec_layer
+    b, l_max = buf.shape
+
+    def cond(s):
+        _, _, _, pos, done, i = s
+        return jnp.logical_and(i < n_steps,
+                               jnp.logical_and(jnp.logical_not(jnp.all(done)), pos < l_max))
+
+    from ...ops import attention as _attn
+
+    def body(s):
+        buf, ends, caches, pos, done, i = s
+        tok = lax.dynamic_slice(buf, (0, pos - 1), (b, 1))
+        p_ids = pos - 1 - pad_lens
+        if fused:
+            nxt, caches = _fused_whisper_step(p, packed, head, head_v, cfg, tok, caches,
+                                              cross, pos - 1, pad_lens=pad_lens,
+                                              pos_ids=p_ids)
+        elif _attn.use_greedy_head(b):
+            from ...ops.greedy_head import greedy_argmax_tied
+
+            hn, caches = _wcb_hidden(p, lc, cross, tok, p_ids[:, None], caches,
+                                     pos - 1, pad_lens)
+            nxt = greedy_argmax_tied(hn[:, 0], p["token_embs"].astype(hn.dtype))
+        else:
+            from ...ops.layers import dot_precision
+
+            hn, caches = _wcb_hidden(p, lc, cross, tok, p_ids[:, None], caches,
+                                     pos - 1, pad_lens)
+            logits = jnp.matmul(hn[:, 0], p["token_embs"].astype(hn.dtype).T,
+                                precision=dot_precision(hn))
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, jnp.int32(eot_id), nxt)
+        new_done = jnp.logical_or(done, jnp.logical_or(nxt == eot_id, pos + 1 >= limits))
+        ends = jnp.where(jnp.logical_and(new_done, jnp.logical_not(done)), pos + 1, ends)
+        buf = lax.dynamic_update_slice(buf, nxt[:, None], (0, pos))
+        return buf, ends, caches, pos + 1, new_done, i + 1
+
+    buf, ends, caches, pos, done, _ = lax.while_loop(
+        cond, body, (buf, ends, caches, pos, done, jnp.int32(0)))
+    return buf, ends, caches, pos, done
+
+
+_wcb_admit = partial(jax.jit, static_argnums=(1,))(_wcb_admit_body)
+_wcb_steps = partial(jax.jit, static_argnums=(1, 9))(_wcb_steps_body)
+
+
+class WhisperContinuousBatchingGenerator:
+    """Greedy transcription serving over a fixed pool of ``batch_size``
+    decoder slots with mid-flight segment admission. Per-segment outputs are
+    token-identical to ``WhisperGenerator.transcribe_tokens``.
+
+    ``pool_ctx`` is the pool's shared position budget (may exceed the
+    decoder position table — per-row positions are relative; a LARGER pool
+    context just means fewer epoch resets); ``check_every`` is decode steps
+    between host scheduling points.
+    """
+
+    SAMPLE_RATE = 16_000
+    N_SAMPLES = 30 * 16_000
+
+    def __init__(self, model, tokenizer=None, batch_size: int = 4,
+                 check_every: int = 16, pool_ctx: int = 2 * DEC_MAX_LEN) -> None:
+        assert batch_size >= 1 and check_every >= 1
+        self.model = model
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.check_every = check_every
+        self.pool_ctx = pool_ctx
+        variant = "large-v3" if model.cfg.n_mels == 128 else "tiny"
+        self.preprocessor = WhisperPreprocessor(variant)
+        pre_fwd, cfg = self.preprocessor._forward, model.cfg
+
+        @jax.jit
+        def _encode(params, wav):  # (1, N_SAMPLES) -> (1, T, d)
+            return _whisper_encode_body(params, cfg, pre_fwd(wav))
+
+        self._encode = _encode
+
+    def _stage_segment(self, audio) -> jnp.ndarray:
+        if isinstance(audio, jnp.ndarray) and audio.shape == (self.N_SAMPLES,):
+            return audio.astype(jnp.float32)[None]
+        audio = np.asarray(audio, np.float32)[: self.N_SAMPLES]
+        return jnp.asarray(np.pad(audio, (0, self.N_SAMPLES - len(audio)))[None])
+
+    def transcribe_many(self, audios, language: str = "en", task: str = "transcribe",
+                        max_tokens: int = DEC_MAX_LEN) -> list[str]:
+        """Waveforms -> transcribed texts (requires a WhisperTokenizer)."""
+        if self.tokenizer is None:
+            raise ValueError(
+                "transcribe_many() returns text and needs a tokenizer: construct with "
+                "WhisperContinuousBatchingGenerator(model, WhisperTokenizer.from_openai()), "
+                "or call transcribe_tokens_many(...) for raw token ids")
+        init = self.tokenizer.sot_sequence(language, task)
+        outs = self.transcribe_tokens_many(audios, init, self.tokenizer.eot, max_tokens)
+        return [self.tokenizer.decode(o) for o in outs]
+
+    def transcribe_tokens_many(self, audios, initial_tokens: list[int], eot_id: int,
+                               max_tokens: int = DEC_MAX_LEN) -> list[list[int]]:
+        """Schedule all segments (admitted in order as slots free up); returns
+        each segment's prompt+transcript token list, in order — identical per
+        segment to ``WhisperGenerator.transcribe_tokens(audio, initial_tokens,
+        eot_id, max_tokens)``."""
+        assert max_tokens <= DEC_MAX_LEN, (
+            f"max_tokens={max_tokens} exceeds the decoder position table ({DEC_MAX_LEN}); "
+            "dynamic_slice would silently clamp into the last position embedding")
+        params, cfg = self.model.params, self.model.cfg
+        n_req = len(audios)
+        if n_req == 0:
+            return []
+        n_init = len(initial_tokens)
+        assert 1 <= n_init < max_tokens, "prompt leaves no room to generate"
+        max_new = max_tokens - n_init  # plain generator: buffer = max_tokens total
+        l_max = self.pool_ctx
+        base = n_init + 1  # admission prefill chunk [pos-1-I, pos-1) needs pos >= I+1
+        assert base + max_new <= l_max, (
+            f"max_tokens={max_tokens} cannot fit the pool context ({l_max}); "
+            "raise pool_ctx")
+
+        b = self.batch_size
+        p = params["decoder"]
+        lc = cfg.dec_layer
+        dtype = p["token_embs"].dtype
+        fused = _whisper_fused_ok(p, cfg, l_max)
+        if fused:
+            from ...ops import attention as _attn
+            from ...ops.decode_step import pack_decode_weights, pack_greedy_head
+
+            packed = pack_decode_weights(p["layers"], dtype, cross=True)
+            head, head_v = pack_greedy_head(p["token_embs"], p["norm"], dtype,
+                                            a8=_attn.use_a8_decode(packed["wqkv"].dtype))
+        else:
+            packed = head = head_v = None
+        caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, l_max, lc.head_dim,
+                                   dtype=dtype, stacked=True)
+        # cross pool sized from one probe projection (padded memory length)
+        mem0 = self._encode(params, self._stage_segment(audios[0]))
+        t_pad = tfm.padded_cache_len(mem0.shape[1])
+        width = lc.n_heads * lc.head_dim
+        cross = {
+            "k": jnp.zeros((cfg.n_layers, b, t_pad, width), dtype),
+            "v": jnp.zeros((cfg.n_layers, b, t_pad, width), dtype),
+            "len": jnp.zeros((cfg.n_layers, b), jnp.int32),
+        }
+        buf = jnp.zeros((b, l_max), jnp.int32)
+        pad_lens = jnp.zeros((b,), jnp.int32)
+        limits = jnp.zeros((b,), jnp.int32)
+        ends = jnp.zeros((b,), jnp.int32)
+        done = jnp.ones((b,), bool)
+        init_dev = jnp.asarray(initial_tokens, jnp.int32)
+
+        pos = base
+        next_req = 0
+        slot_req = [None] * b
+        slot_pad = [0] * b
+        outputs: list[list[int] | None] = [None] * n_req
+        done_h = np.ones((b,), bool)
+
+        while next_req < n_req or any(r is not None for r in slot_req):
+            for row in range(b):
+                if slot_req[row] is not None and done_h[row]:
+                    end = int(np.asarray(ends[row]))
+                    outputs[slot_req[row]] = np.asarray(buf[row, slot_pad[row]: end]).tolist()
+                    slot_req[row] = None
+                if slot_req[row] is None and next_req < n_req:
+                    if pos + max_new > l_max or pos + 1 > l_max:
+                        continue  # doesn't fit this epoch
+                    memory = mem0 if next_req == 0 else self._encode(
+                        params, self._stage_segment(audios[next_req]))
+                    buf, caches, cross, pad_lens, limits, done = _wcb_admit(
+                        params, cfg, buf, caches, cross, pad_lens, limits, done,
+                        jnp.int32(row), jnp.int32(pos), memory, init_dev,
+                        jnp.int32(max_new))
+                    done_h[row] = False
+                    slot_req[row] = next_req
+                    slot_pad[row] = pos - n_init
+                    next_req += 1
+
+            if all(r is None for r in slot_req):
+                if next_req < n_req:
+                    # epoch reset (see models/text/continuous.py): zero the
+                    # per-row state so parked rows can't compute negative
+                    # position ids against the rewound pos
+                    pos = base
+                    pad_lens = jnp.zeros_like(pad_lens)
+                    limits = jnp.zeros_like(limits)
+                    continue
+                break
+
+            buf, ends, caches, pos_d, done = _wcb_steps(
+                params, cfg, buf, pad_lens, limits, ends, caches, cross,
+                jnp.int32(pos), fused, done, jnp.int32(self.check_every), eot_id,
+                packed, head, head_v)
+            pos = int(np.asarray(pos_d))
+            done_h = np.array(done)
+
+        assert all(o is not None for o in outputs)
+        return outputs  # type: ignore[return-value]

@@ -141,37 +141,44 @@ def _whisper_fused_ok(p: dict, cfg: WhisperConfig, max_tokens: int) -> bool:
                                tfm.padded_cache_len(max_tokens), cross=True)
 
 
-def _whisper_embed_or_fold(p, cfg: WhisperConfig, tok, pos):
+def _whisper_embed_or_fold(p, cfg: WhisperConfig, tok, pos, pos_ids=None):
     """Decoder embeddings for a fused step: at small batch the token gather +
-    position-row slice fold into the kernel's embed phase (ops/decode_step.py
-    — all rows share position ``pos``); else gather outside. Returns
+    position-row slice fold into the kernel's embed phase (ops/decode_step.py).
+    ``pos_ids`` (B,) gives per-row position-table rows (left-padded pools,
+    continuous batching); default: all rows share position ``pos``. Returns
     ``(x_or_None, extra_kwargs)``."""
     from ...ops import attention as _attn
     from ...ops.decode_step import pack_embed_tables
 
     if _attn.use_fused_embed(tok.shape[0]):
         emb = pack_embed_tables(p["token_embs"], p["pos_embs"], p["token_embs"].dtype)
-        return None, {"emb": emb, "tok_ids": tok[:, 0], "pos_rows": pos}
+        return None, {"emb": emb, "tok_ids": tok[:, 0],
+                      "pos_rows": pos if pos_ids is None else pos_ids}
     x = embed_rows(p["token_embs"], tok[:, 0])  # (B, d)
-    x = x + lax.dynamic_slice(p["pos_embs"], (pos, 0), (1, cfg.d_model)).astype(x.dtype)
+    if pos_ids is None:
+        x = x + lax.dynamic_slice(p["pos_embs"], (pos, 0), (1, cfg.d_model)).astype(x.dtype)
+    else:
+        x = x + embed_rows(p["pos_embs"], pos_ids).astype(x.dtype)
     return x, {}
 
 
-def _fused_whisper_step(p, packed, head, head_v, cfg: WhisperConfig, tok, caches, cross, pos):
+def _fused_whisper_step(p, packed, head, head_v, cfg: WhisperConfig, tok, caches, cross, pos,
+                        pad_lens=None, pos_ids=None):
     """One fused decode step for the whisper decoder: embeddings -> ONE Pallas
     call over the whole layer stack (self + cross attention + MLP + final LN
     + streamed greedy argmax head). ``caches``/``cross`` leaves are
-    (L, B, Lmax|Lx, H*D); returns ``(next_token (B,), caches)``."""
+    (L, B, Lmax|Lx, H*D); ``pad_lens``/``pos_ids`` support left-padded pools
+    (continuous batching); returns ``(next_token (B,), caches)``."""
     from ...ops import attention as _attn
     from ...ops.decode_step import fused_cross_decode_step
 
-    x, emb_kw = _whisper_embed_or_fold(p, cfg, tok, pos)
+    x, emb_kw = _whisper_embed_or_fold(p, cfg, tok, pos, pos_ids)
     lc = cfg.dec_layer
     cdt = p["token_embs"].dtype
     _, k_new, v_new, nxt = fused_cross_decode_step(
         x, packed, caches["k"], caches["v"],
         cross["k"].astype(cdt), cross["v"].astype(cdt), cross["len"][0],
-        pos, None, n_heads=lc.n_heads, act=lc.act, eps=lc.norm_eps, norm="ln",
+        pos, pad_lens, n_heads=lc.n_heads, act=lc.act, eps=lc.norm_eps, norm="ln",
         head=head, head_v=head_v, a8=_attn.use_a8_decode(packed["wqkv"].dtype),
         **emb_kw)
     start = (0, 0, pos, 0)

@@ -1,0 +1,91 @@
+"""Whisper continuous batching must be token-identical, per segment, to the
+plain greedy generator — including segments admitted mid-flight into slots
+whose self/cross caches hold a previous transcript's stale state, and across
+epoch resets."""
+
+import numpy as np
+import pytest
+
+from pytorch_models_tpu.audio2text import (
+    Whisper,
+    WhisperContinuousBatchingGenerator,
+    WhisperGenerator,
+)
+
+TINY = dict(vocab_size=100, n_layers=2, d_model=64, n_mels=80)
+INIT = [50, 51, 52]
+EOT = 99
+
+
+@pytest.fixture(scope="module")
+def model():
+    return Whisper(**TINY)
+
+
+@pytest.fixture(scope="module")
+def plain(model):
+    return WhisperGenerator(model)
+
+
+@pytest.fixture(scope="module")
+def audios():
+    rng = np.random.default_rng(7)
+    return [(rng.standard_normal(16000) * 0.1).astype(np.float32) for _ in range(5)]
+
+
+def _oracle(plain, audios, max_tokens):
+    return [plain.transcribe_tokens(a, INIT, EOT, max_tokens=max_tokens) for a in audios]
+
+
+def test_pool_matches_plain_per_segment(model, plain, audios):
+    """More segments than slots: mid-flight admissions against stale
+    self-KV AND stale cross-KV must reproduce every transcript."""
+    cb = WhisperContinuousBatchingGenerator(model, batch_size=2, check_every=4,
+                                            pool_ctx=128)
+    outs = cb.transcribe_tokens_many(audios, INIT, EOT, max_tokens=24)
+    assert outs == _oracle(plain, audios, 24)
+
+
+def test_epoch_reset(model, plain, audios):
+    """A pool context small enough that the position budget runs out
+    mid-queue: drain, rewind, re-admit — still exact."""
+    cb = WhisperContinuousBatchingGenerator(model, batch_size=2, check_every=8,
+                                            pool_ctx=40)
+    outs = cb.transcribe_tokens_many(audios, INIT, EOT, max_tokens=18)
+    assert outs == _oracle(plain, audios, 18)
+
+
+def test_single_slot_pool(model, plain, audios):
+    cb = WhisperContinuousBatchingGenerator(model, batch_size=1, check_every=5,
+                                            pool_ctx=64)
+    outs = cb.transcribe_tokens_many(audios[:3], INIT, EOT, max_tokens=20)
+    assert outs == _oracle(plain, audios[:3], 20)
+
+
+def test_empty_queue(model):
+    cb = WhisperContinuousBatchingGenerator(model, batch_size=2)
+    assert cb.transcribe_tokens_many([], INIT, EOT) == []
+
+
+def test_fused_step_path_matches_plain(model, plain, audios):
+    """The TPU route: pooled decode through the fused cross-attention
+    megakernel with per-row pad_lens/pos_ids (interpret mode)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pytorch_models_tpu.ops import attention as attn_mod
+
+    base = _oracle(plain, audios[:3], 16)
+    attn_mod.USE_FUSED_STEP = True
+    attn_mod.USE_DECODE_KERNEL = True
+    try:
+        jax.clear_caches()
+        with pltpu.force_tpu_interpret_mode():
+            cb = WhisperContinuousBatchingGenerator(model, batch_size=2,
+                                                    check_every=3, pool_ctx=64)
+            outs = cb.transcribe_tokens_many(audios[:3], INIT, EOT, max_tokens=16)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        attn_mod.USE_DECODE_KERNEL = None
+        jax.clear_caches()
+    assert outs == base
