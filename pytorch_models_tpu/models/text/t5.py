@@ -146,11 +146,13 @@ def t5_block_apply(
     cross_cache: dict | None = None,
     pos=None,
     cache_layer=None,
+    pad_lens: jnp.ndarray | None = None,
 ):
     lc = cfg.layer
     if self_cache is not None:
         out, new_cache = tfm.mha_apply(p["sa"], lc, rms_norm(p["sa_norm"], x), attn_bias=attn_bias,
-                                       cache=self_cache, cache_pos=pos, cache_layer=cache_layer)
+                                       cache=self_cache, cache_pos=pos, cache_layer=cache_layer,
+                                       pad_lens=pad_lens)
         x = x + out
     else:
         new_cache = None
@@ -267,7 +269,7 @@ def _t5_embed_or_fold(token_embs, tok):
 
 
 def _fused_t5_step(dec, packed, head, head_v, cfg: "T5Config", h, caches, cross_caches,
-                   bias_km, pos, emb_kw=None):
+                   bias_km, pos, emb_kw=None, pad_lens=None):
     """One fused decode step for the T5 decoder (RMSNorm + rel-pos bias +
     cross-attention + GEGLU + final RMSNorm + streamed greedy argmax, one
     Pallas call). ``h``: (B, 1, d) — or None with ``emb_kw`` from
@@ -283,7 +285,7 @@ def _fused_t5_step(dec, packed, head, head_v, cfg: "T5Config", h, caches, cross_
     _, k_new, v_new, nxt = fused_cross_decode_step(
         None if h is None else h[:, 0, :], packed, caches["k"], caches["v"],
         cross_caches["k"].astype(cdt), cross_caches["v"].astype(cdt),
-        cross_caches["len"][0], pos, None, n_heads=lc.n_heads,
+        cross_caches["len"][0], pos, pad_lens, n_heads=lc.n_heads,
         act="approximate_gelu", eps=1e-5, norm="rms", gated=True, sbias=sbias,
         head=head, head_v=head_v, a8=_attn.use_a8_decode(packed["wqkv"].dtype),
         **emb_kw)

@@ -1,0 +1,303 @@
+"""Continuous batching for T5 generation: a fixed pool of decoder slots
+serves encoder-decoder requests with mid-flight admission (the serving-engine
+pattern of models/text/continuous.py + models/audio2text/continuous.py,
+instantiated for the rel-pos-bias seq2seq decoder).
+
+Static batching decodes a cohort in lockstep and waits for the slowest
+output; here a pool of B slots runs one shared decode loop, and the moment a
+slot's generation finishes the next request is admitted — the encoder +
+cross-KV projection for the new prompt runs once at admission while the
+other rows keep decoding between scheduling points.
+
+Fixed shapes throughout (two jitted programs: admit + steps):
+- All rows share one monotonic cache position ``pos``; a request admitted at
+  ``pos`` puts its leading pad token at buffer/cache slot ``pos-1`` and sets
+  ``pad_lens[row] = pos-1`` — the left-pad mask hides every earlier slot,
+  including the previous occupant's stale self-KV, so no eviction.
+- T5's relative-position bias depends only on ``q_pos - k_pos``, which is
+  invariant under the per-row shift: one GLOBAL (H, pool_ctx, L_pad) decode
+  bias table serves every row exactly, no per-row position ids needed.
+- Admission pastes the prompt's freshly projected cross-attention K/V over
+  the slot's cross cache (each row attends to its OWN memory via per-row
+  ``len``); there is no self-KV prefill — the decoder "prompt" is the single
+  pad token, whose K/V the first decode step computes.
+- Per-request outputs are token-identical to ``T5Generator.generate_tokens``
+  (pad + generated + EOS). T5 has no decoder position table, so ``pool_ctx``
+  may exceed ``max_tokens`` freely (default 4x: fewer epoch resets).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ... import transformer as tfm
+from ...ops import attention as _attn
+from ...ops import linear
+from ...ops.gather import embed_rows
+from .t5 import (
+    ENC_BUCKET,
+    NEG_INF,
+    T5Config,
+    _fused_t5_step,
+    _t5_embed_or_fold,
+    _t5_fused_ok,
+    _t5_key_major_bias,
+    relative_position_bias,
+    rms_norm,
+    t5_block_apply,
+    t5_encoder_apply,
+)
+
+
+@partial(jax.jit, static_argnums=1)
+def _t5cb_encode(params, cfg: T5Config, enc_tokens, n_enc):
+    """(1, P) right-padded prompt -> (1, P, d) memory (pad positions masked
+    out of encoder self-attention, as t5._t5_generate_batch_body)."""
+    p_len = enc_tokens.shape[1]
+    enc_valid = jnp.arange(p_len)[None, :] < n_enc[:, None]
+    pad_bias = jnp.where(enc_valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, None, :]
+    x = jnp.take(params["token_embs"], enc_tokens, axis=0)
+    return t5_encoder_apply(params["encoder"], cfg, x, pad_bias=pad_bias)
+
+
+def _t5cb_hidden(params, cfg: T5Config, cross, tok, caches, pos, pad_lens, bias):
+    """Pad-aware single-position decode through the layer stack at cache slot
+    ``pos`` (stacked caches, per-layer ``cache_layer`` writes) + final RMSNorm.
+    ``bias``: the global table's (H, 1, L_pad) q-row at ``pos``."""
+    dec = params["decoder"]
+    h = embed_rows(params["token_embs"], tok)  # (B, 1, d)
+    n_layers = cross["k"].shape[0]
+    for i in range(n_layers):
+        lp = jax.tree.map(lambda a: a[i], dec["layers"])
+        cc = jax.tree.map(lambda a: a[i], cross)
+        h, caches = t5_block_apply(lp, cfg, h, attn_bias=bias, self_cache=caches,
+                                   cross_cache=cc, pos=pos, cache_layer=i,
+                                   pad_lens=pad_lens)
+    return rms_norm(dec["norm"], h), caches
+
+
+def _t5cb_admit_body(params, cfg, buf, cross, pad_lens, limits, done,
+                     row, pos, memory_row, n_enc_row, max_new, pad_id):
+    """Admit one request into slot ``row`` at global position ``pos``:
+    project the prompt's cross-attention K/V (the same once-per-request work
+    the plain generator does), paste it over the slot's cross cache, write
+    the leading pad token at ``buf[row, pos-1]``, and arm the row.
+    Host-enforced: pos >= 1, pos + max_new <= pool ctx."""
+    dec = params["decoder"]
+    lc = cfg.layer
+
+    row_cross = tfm.precompute_cross_caches(dec, lc, memory_row, valid_lens=n_enc_row)
+    new_cross = {
+        kv: lax.dynamic_update_slice(cross[kv], row_cross[kv].astype(cross[kv].dtype),
+                                     (0, row, 0, 0))
+        for kv in ("k", "v")
+    }
+    new_cross["len"] = lax.dynamic_update_slice(
+        cross["len"], row_cross["len"].astype(cross["len"].dtype), (0, row))
+
+    buf = lax.dynamic_update_slice(buf, jnp.full((1, 1), pad_id, jnp.int32), (row, pos - 1))
+    pad_lens = lax.dynamic_update_slice(pad_lens, (pos - 1)[None], (row,))
+    limits = lax.dynamic_update_slice(limits, (pos + max_new)[None], (row,))
+    done = lax.dynamic_update_slice(done, jnp.zeros((1,), bool), (row,))
+    return buf, new_cross, pad_lens, limits, done
+
+
+def _t5cb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, cross, pos,
+                     fused, done, n_steps, eos_id, bias_tab, packed=None, head=None,
+                     head_v=None):
+    """Up to ``n_steps`` greedy decode steps over the whole pool (early exit
+    when every row is done); finished rows park writing EOS, ``ends`` latches
+    pos+1 the step a row finishes. ``bias_tab``: the pool-global decode bias
+    — key-major (P, L, 128) when ``fused`` else (H, P, L). Returns
+    ``(buf, ends, caches, pos, done)``."""
+    dec = params["decoder"]
+    b, l_max = buf.shape
+
+    def cond(s):
+        _, _, _, pos, done, i = s
+        return jnp.logical_and(i < n_steps,
+                               jnp.logical_and(jnp.logical_not(jnp.all(done)), pos < l_max))
+
+    def body(s):
+        buf, ends, caches, pos, done, i = s
+        tok = lax.dynamic_slice(buf, (0, pos - 1), (b, 1))
+        if fused:
+            h, emb_kw = _t5_embed_or_fold(params["token_embs"], tok)
+            nxt, caches = _fused_t5_step(dec, packed, head, head_v, cfg, h, caches,
+                                         cross, bias_tab, pos - 1, emb_kw=emb_kw,
+                                         pad_lens=pad_lens)
+        else:
+            bias = lax.dynamic_slice(bias_tab, (0, pos - 1, 0),
+                                     (bias_tab.shape[0], 1, bias_tab.shape[2]))
+            hn, caches = _t5cb_hidden(params, cfg, cross, tok, caches, pos - 1,
+                                      pad_lens, bias)
+            if _attn.use_greedy_head(b):
+                from ...ops.greedy_head import greedy_argmax
+
+                nxt = greedy_argmax(hn[:, 0], params["classifier"]["w"].astype(hn.dtype))
+            else:
+                nxt = jnp.argmax(linear(params["classifier"], hn)[:, 0],
+                                 axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+        new_done = jnp.logical_or(done, jnp.logical_or(nxt == eos_id, pos + 1 >= limits))
+        ends = jnp.where(jnp.logical_and(new_done, jnp.logical_not(done)), pos + 1, ends)
+        buf = lax.dynamic_update_slice(buf, nxt[:, None], (0, pos))
+        return buf, ends, caches, pos + 1, new_done, i + 1
+
+    buf, ends, caches, pos, done, _ = lax.while_loop(
+        cond, body, (buf, ends, caches, pos, done, jnp.int32(0)))
+    return buf, ends, caches, pos, done
+
+
+_t5cb_admit = partial(jax.jit, static_argnums=(1,))(_t5cb_admit_body)
+_t5cb_steps = partial(jax.jit, static_argnums=(1, 9))(_t5cb_steps_body)
+
+
+class T5ContinuousBatchingGenerator:
+    """Greedy T5 generation serving over a fixed pool of ``batch_size``
+    decoder slots with mid-flight request admission. Per-request outputs are
+    token-identical to ``T5Generator.generate_tokens``.
+
+    ``pool_ctx`` is the pool's shared position budget (defaults to 4x the
+    call's ``max_tokens``; a larger pool context just means fewer epoch
+    resets — T5's relative positions put no upper bound on it);
+    ``check_every`` is decode steps between host scheduling points.
+    """
+
+    def __init__(self, model, tokenizer=None, batch_size: int = 4,
+                 check_every: int = 16, pool_ctx: int | None = None) -> None:
+        assert batch_size >= 1 and check_every >= 1
+        self.model = model
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.check_every = check_every
+        self.pool_ctx = pool_ctx
+
+    def generate_many(self, prompts: list[str], max_tokens: int = 100) -> list[str]:
+        """Prompts -> generated texts (requires a sentencepiece tokenizer)."""
+        if self.tokenizer is None:
+            raise ValueError(
+                "generate_many() returns text and needs a tokenizer: construct with "
+                "T5ContinuousBatchingGenerator(model, T5Model.get_tokenizer(tag)), "
+                "or call generate_tokens_many(...) for raw token ids")
+        token_lists = [self.tokenizer.Encode(p, add_eos=True) for p in prompts]
+        outs = self.generate_tokens_many(token_lists, max_tokens,
+                                         self.tokenizer.pad_id(), self.tokenizer.eos_id())
+        return [self.tokenizer.Decode(o) for o in outs]
+
+    def generate_tokens_many(self, token_lists: list[list[int]], max_tokens: int,
+                             pad_id: int, eos_id: int) -> list[list[int]]:
+        """Schedule all requests (admitted in order as slots free up); returns
+        each request's pad+generated token list, in order — identical per
+        request to ``T5Generator.generate_tokens(token_ids, max_tokens,
+        pad_id, eos_id)``."""
+        params, cfg = self.model.params, self.model.cfg
+        n_req = len(token_lists)
+        if n_req == 0:
+            return []
+        assert max_tokens >= 2, "max_tokens must fit the pad token plus one"
+        assert all(len(ts) >= 1 for ts in token_lists), "empty prompt"
+        max_new = max_tokens - 1  # plain generator: buffer = max_tokens total
+        l_max = self.pool_ctx if self.pool_ctx is not None else 4 * max_tokens
+        base = 1  # admission writes the pad token at slot pos-1
+        assert base + max_new <= l_max, (
+            f"max_tokens={max_tokens} cannot fit the pool context ({l_max}); "
+            "raise pool_ctx")
+
+        b = self.batch_size
+        dec = params["decoder"]
+        lc = cfg.layer
+        dtype = params["token_embs"].dtype
+        fused = _t5_fused_ok(dec, cfg, l_max)
+        l_pad = tfm.padded_cache_len(l_max)
+        # ONE global decode-bias table: rel-pos bias is a function of
+        # q_pos - k_pos only, so the pool's shifted rows reuse it exactly
+        bias_table = relative_position_bias(
+            dec["attn_bias"], jnp.arange(l_max), jnp.arange(l_pad), False, cfg)
+        if fused:
+            from ...ops.decode_step import pack_decode_weights, pack_greedy_head
+
+            packed = pack_decode_weights(dec["layers"], dtype, gated=True, cross=True,
+                                         norm="rms")
+            head, head_v = pack_greedy_head(params["classifier"]["w"], dec["norm"], dtype,
+                                            tied=False,
+                                            a8=_attn.use_a8_decode(packed["wqkv"].dtype))
+            bias_tab = _t5_key_major_bias(bias_table)
+        else:
+            packed = head = head_v = None
+            bias_tab = bias_table
+        caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, l_max, lc.head_dim,
+                                   dtype=dtype, stacked=True)
+        # one shared encoder bucket: per-row cross "len" masks the tail, so a
+        # wider bucket changes nothing (and avoids per-length admit retraces)
+        p_pad = -(-max(len(ts) for ts in token_lists) // ENC_BUCKET) * ENC_BUCKET
+        t_pad = tfm.padded_cache_len(p_pad)
+        width = lc.n_heads * lc.head_dim
+        cross = {
+            "k": jnp.zeros((cfg.n_layers, b, t_pad, width), dtype),
+            "v": jnp.zeros((cfg.n_layers, b, t_pad, width), dtype),
+            "len": jnp.zeros((cfg.n_layers, b), jnp.int32),
+        }
+        buf = jnp.zeros((b, l_max), jnp.int32)
+        pad_lens = jnp.zeros((b,), jnp.int32)
+        limits = jnp.zeros((b,), jnp.int32)
+        ends = jnp.zeros((b,), jnp.int32)
+        done = jnp.ones((b,), bool)
+
+        pos = base
+        next_req = 0
+        slot_req = [None] * b
+        slot_pad = [0] * b
+        outputs: list[list[int] | None] = [None] * n_req
+        done_h = np.ones((b,), bool)
+
+        enc_buf = np.zeros((1, p_pad), np.int32)
+        while next_req < n_req or any(r is not None for r in slot_req):
+            for row in range(b):
+                if slot_req[row] is not None and done_h[row]:
+                    end = int(np.asarray(ends[row]))
+                    outputs[slot_req[row]] = np.asarray(buf[row, slot_pad[row]: end]).tolist()
+                    slot_req[row] = None
+                if slot_req[row] is None and next_req < n_req:
+                    if pos + max_new > l_max:
+                        continue  # doesn't fit this epoch
+                    ts = token_lists[next_req]
+                    enc_buf[:] = 0
+                    enc_buf[0, : len(ts)] = ts
+                    memory = _t5cb_encode(params, cfg, jnp.asarray(enc_buf),
+                                          jnp.asarray([len(ts)], jnp.int32))
+                    buf, cross, pad_lens, limits, done = _t5cb_admit(
+                        params, cfg, buf, cross, pad_lens, limits, done,
+                        jnp.int32(row), jnp.int32(pos),
+                        memory, jnp.asarray([len(ts)], jnp.int32),
+                        jnp.int32(max_new), jnp.int32(pad_id))
+                    done_h[row] = False
+                    slot_req[row] = next_req
+                    slot_pad[row] = pos - 1
+                    next_req += 1
+
+            if all(r is None for r in slot_req):
+                if next_req < n_req:
+                    # epoch reset (see models/text/continuous.py): zero the
+                    # per-row state so parked rows can't reference the
+                    # rewound pos
+                    pos = base
+                    pad_lens = jnp.zeros_like(pad_lens)
+                    limits = jnp.zeros_like(limits)
+                    continue
+                break
+
+            buf, ends, caches, pos_d, done = _t5cb_steps(
+                params, cfg, buf, pad_lens, limits, ends, caches, cross,
+                jnp.int32(pos), fused, done, jnp.int32(self.check_every), eos_id,
+                bias_tab, packed, head, head_v)
+            pos = int(np.asarray(pos_d))
+            done_h = np.array(done)
+
+        assert all(o is not None for o in outputs)
+        return outputs  # type: ignore[return-value]
