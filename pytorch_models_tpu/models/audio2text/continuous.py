@@ -197,7 +197,7 @@ class WhisperContinuousBatchingGenerator:
         return jnp.asarray(np.pad(audio, (0, self.N_SAMPLES - len(audio)))[None])
 
     def transcribe_many(self, audios, language: str = "en", task: str = "transcribe",
-                        max_tokens: int = DEC_MAX_LEN) -> list[str]:
+                        max_tokens: int = DEC_MAX_LEN, on_tokens=None) -> list[str]:
         """Waveforms -> transcribed texts (requires a WhisperTokenizer)."""
         if self.tokenizer is None:
             raise ValueError(
@@ -205,15 +205,23 @@ class WhisperContinuousBatchingGenerator:
                 "WhisperContinuousBatchingGenerator(model, WhisperTokenizer.from_openai()), "
                 "or call transcribe_tokens_many(...) for raw token ids")
         init = self.tokenizer.sot_sequence(language, task)
-        outs = self.transcribe_tokens_many(audios, init, self.tokenizer.eot, max_tokens)
+        outs = self.transcribe_tokens_many(audios, init, self.tokenizer.eot, max_tokens,
+                                           on_tokens=on_tokens)
         return [self.tokenizer.decode(o) for o in outs]
 
     def transcribe_tokens_many(self, audios, initial_tokens: list[int], eot_id: int,
-                               max_tokens: int = DEC_MAX_LEN) -> list[list[int]]:
+                               max_tokens: int = DEC_MAX_LEN,
+                               on_tokens=None) -> list[list[int]]:
         """Schedule all segments (admitted in order as slots free up); returns
         each segment's prompt+transcript token list, in order — identical per
         segment to ``WhisperGenerator.transcribe_tokens(audio, initial_tokens,
-        eot_id, max_tokens)``."""
+        eot_id, max_tokens)``.
+
+        ``on_tokens(segment_index, new_tokens)``: streaming callback, invoked
+        at every scheduling point (each ``check_every``-step chunk) with the
+        tokens each live segment transcribed since the previous point. Every
+        transcript token is delivered exactly once, in order; concatenated
+        deliveries equal the returned output minus the initial tokens."""
         assert max_tokens <= DEC_MAX_LEN, (
             f"max_tokens={max_tokens} exceeds the decoder position table ({DEC_MAX_LEN}); "
             "dynamic_slice would silently clamp into the last position embedding")
@@ -266,6 +274,7 @@ class WhisperContinuousBatchingGenerator:
         next_req = 0
         slot_req = [None] * b
         slot_pad = [0] * b
+        slot_seen = [0] * b  # next unstreamed buffer slot (on_tokens)
         outputs: list[list[int] | None] = [None] * n_req
         done_h = np.ones((b,), bool)
 
@@ -287,6 +296,7 @@ class WhisperContinuousBatchingGenerator:
                     done_h[row] = False
                     slot_req[row] = next_req
                     slot_pad[row] = pos - n_init
+                    slot_seen[row] = pos  # transcript tokens start at slot pos
                     next_req += 1
 
             if all(r is None for r in slot_req):
@@ -306,6 +316,18 @@ class WhisperContinuousBatchingGenerator:
                 packed, head, head_v)
             pos = int(np.asarray(pos_d))
             done_h = np.array(done)
+
+            if on_tokens is not None:
+                ends_h = np.asarray(ends)
+                for row in range(b):
+                    r = slot_req[row]
+                    if r is None:
+                        continue
+                    # finished rows park writing EOT past their latched end
+                    upto = int(ends_h[row]) if done_h[row] else pos
+                    if upto > slot_seen[row]:
+                        on_tokens(r, np.asarray(buf[row, slot_seen[row]: upto]).tolist())
+                        slot_seen[row] = upto
 
         assert all(o is not None for o in outputs)
         return outputs  # type: ignore[return-value]

@@ -178,7 +178,8 @@ class T5ContinuousBatchingGenerator:
         self.check_every = check_every
         self.pool_ctx = pool_ctx
 
-    def generate_many(self, prompts: list[str], max_tokens: int = 100) -> list[str]:
+    def generate_many(self, prompts: list[str], max_tokens: int = 100,
+                      on_tokens=None) -> list[str]:
         """Prompts -> generated texts (requires a sentencepiece tokenizer)."""
         if self.tokenizer is None:
             raise ValueError(
@@ -187,15 +188,23 @@ class T5ContinuousBatchingGenerator:
                 "or call generate_tokens_many(...) for raw token ids")
         token_lists = [self.tokenizer.Encode(p, add_eos=True) for p in prompts]
         outs = self.generate_tokens_many(token_lists, max_tokens,
-                                         self.tokenizer.pad_id(), self.tokenizer.eos_id())
+                                         self.tokenizer.pad_id(), self.tokenizer.eos_id(),
+                                         on_tokens=on_tokens)
         return [self.tokenizer.Decode(o) for o in outs]
 
     def generate_tokens_many(self, token_lists: list[list[int]], max_tokens: int,
-                             pad_id: int, eos_id: int) -> list[list[int]]:
+                             pad_id: int, eos_id: int,
+                             on_tokens=None) -> list[list[int]]:
         """Schedule all requests (admitted in order as slots free up); returns
         each request's pad+generated token list, in order — identical per
         request to ``T5Generator.generate_tokens(token_ids, max_tokens,
-        pad_id, eos_id)``."""
+        pad_id, eos_id)``.
+
+        ``on_tokens(request_index, new_tokens)``: streaming callback, invoked
+        at every scheduling point (each ``check_every``-step chunk) with the
+        tokens each live request generated since the previous point. Every
+        generated token is delivered exactly once, in order; concatenated
+        deliveries equal the returned output minus the leading pad token."""
         params, cfg = self.model.params, self.model.cfg
         n_req = len(token_lists)
         if n_req == 0:
@@ -253,6 +262,7 @@ class T5ContinuousBatchingGenerator:
         next_req = 0
         slot_req = [None] * b
         slot_pad = [0] * b
+        slot_seen = [0] * b  # next unstreamed buffer slot (on_tokens)
         outputs: list[list[int] | None] = [None] * n_req
         done_h = np.ones((b,), bool)
 
@@ -279,6 +289,7 @@ class T5ContinuousBatchingGenerator:
                     done_h[row] = False
                     slot_req[row] = next_req
                     slot_pad[row] = pos - 1
+                    slot_seen[row] = pos  # generated tokens start at slot pos
                     next_req += 1
 
             if all(r is None for r in slot_req):
@@ -298,6 +309,18 @@ class T5ContinuousBatchingGenerator:
                 bias_tab, packed, head, head_v)
             pos = int(np.asarray(pos_d))
             done_h = np.array(done)
+
+            if on_tokens is not None:
+                ends_h = np.asarray(ends)
+                for row in range(b):
+                    r = slot_req[row]
+                    if r is None:
+                        continue
+                    # finished rows park writing EOS past their latched end
+                    upto = int(ends_h[row]) if done_h[row] else pos
+                    if upto > slot_seen[row]:
+                        on_tokens(r, np.asarray(buf[row, slot_seen[row]: upto]).tolist())
+                        slot_seen[row] = upto
 
         assert all(o is not None for o in outputs)
         return outputs  # type: ignore[return-value]

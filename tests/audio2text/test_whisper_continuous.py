@@ -89,3 +89,20 @@ def test_fused_step_path_matches_plain(model, plain, audios):
         attn_mod.USE_DECODE_KERNEL = None
         jax.clear_caches()
     assert outs == base
+
+
+def test_streaming_callback_delivers_every_token_once(model, plain, audios):
+    """on_tokens streams each transcript token exactly once, in order, at
+    scheduling-point granularity — concatenated deliveries equal the final
+    output minus the initial tokens (with mid-flight admissions)."""
+    streams = {i: [] for i in range(len(audios))}
+    calls = []
+    cb = WhisperContinuousBatchingGenerator(model, batch_size=2, check_every=4,
+                                            pool_ctx=128)
+    outs = cb.transcribe_tokens_many(
+        audios, INIT, EOT, max_tokens=24,
+        on_tokens=lambda r, ts: (streams[r].extend(ts), calls.append((r, len(ts)))))
+    assert outs == _oracle(plain, audios, 24)
+    for i, out in enumerate(outs):
+        assert streams[i] == out[len(INIT):]
+    assert all(1 <= n <= 4 for _, n in calls)

@@ -90,3 +90,20 @@ def test_fused_step_path_matches_plain(model, plain, prompts):
         attn_mod.USE_DECODE_KERNEL = None
         jax.clear_caches()
     assert outs == base
+
+
+def test_streaming_callback_delivers_every_token_once(model, plain, prompts):
+    """on_tokens streams each generated token exactly once, in order, at
+    scheduling-point granularity — concatenated deliveries equal the final
+    output minus the leading pad token (with mid-flight admissions)."""
+    streams = {i: [] for i in range(len(prompts))}
+    calls = []
+    cb = T5ContinuousBatchingGenerator(model, batch_size=2, check_every=4,
+                                       pool_ctx=128)
+    outs = cb.generate_tokens_many(
+        prompts, 24, PAD, EOS,
+        on_tokens=lambda r, ts: (streams[r].extend(ts), calls.append((r, len(ts)))))
+    assert outs == _oracle(plain, prompts, 24)
+    for i, out in enumerate(outs):
+        assert streams[i] == out[1:]
+    assert all(1 <= n <= 4 for _, n in calls)
