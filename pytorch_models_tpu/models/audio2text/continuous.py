@@ -196,6 +196,43 @@ class WhisperContinuousBatchingGenerator:
         audio = np.asarray(audio, np.float32)[: self.N_SAMPLES]
         return jnp.asarray(np.pad(audio, (0, self.N_SAMPLES - len(audio)))[None])
 
+    # ---- sharding hooks (overridden by parallel/cb_serving.py) -------------
+
+    def _params_cfg(self):
+        return self.model.params, self.model.cfg
+
+    def _init_pool(self, params, cfg, b: int, l_max: int, t_pad: int):
+        """Build the pool state: ``(fused, packed, head, head_v, caches,
+        cross)`` — the fused-megakernel gate plus zeroed self/cross caches."""
+        p = params["decoder"]
+        lc = cfg.dec_layer
+        dtype = p["token_embs"].dtype
+        fused = _whisper_fused_ok(p, cfg, l_max)
+        if fused:
+            from ...ops import attention as _attn
+            from ...ops.decode_step import pack_decode_weights, pack_greedy_head
+
+            packed = pack_decode_weights(p["layers"], dtype, cross=True)
+            head, head_v = pack_greedy_head(p["token_embs"], p["norm"], dtype,
+                                            a8=_attn.use_a8_decode(packed["wqkv"].dtype))
+        else:
+            packed = head = head_v = None
+        caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, l_max, lc.head_dim,
+                                   dtype=dtype, stacked=True)
+        width = lc.n_heads * lc.head_dim
+        cross = {
+            "k": jnp.zeros((cfg.n_layers, b, t_pad, width), dtype),
+            "v": jnp.zeros((cfg.n_layers, b, t_pad, width), dtype),
+            "len": jnp.zeros((cfg.n_layers, b), jnp.int32),
+        }
+        return fused, packed, head, head_v, caches, cross
+
+    def _admit(self, params, cfg, *args):
+        return _wcb_admit(params, cfg, *args)
+
+    def _steps(self, params, cfg, *args):
+        return _wcb_steps(params, cfg, *args)
+
     def transcribe_many(self, audios, language: str = "en", task: str = "transcribe",
                         max_tokens: int = DEC_MAX_LEN, on_tokens=None) -> list[str]:
         """Waveforms -> transcribed texts (requires a WhisperTokenizer)."""
@@ -225,7 +262,7 @@ class WhisperContinuousBatchingGenerator:
         assert max_tokens <= DEC_MAX_LEN, (
             f"max_tokens={max_tokens} exceeds the decoder position table ({DEC_MAX_LEN}); "
             "dynamic_slice would silently clamp into the last position embedding")
-        params, cfg = self.model.params, self.model.cfg
+        params, cfg = self._params_cfg()
         n_req = len(audios)
         if n_req == 0:
             return []
@@ -239,30 +276,11 @@ class WhisperContinuousBatchingGenerator:
             "raise pool_ctx")
 
         b = self.batch_size
-        p = params["decoder"]
-        lc = cfg.dec_layer
-        dtype = p["token_embs"].dtype
-        fused = _whisper_fused_ok(p, cfg, l_max)
-        if fused:
-            from ...ops import attention as _attn
-            from ...ops.decode_step import pack_decode_weights, pack_greedy_head
-
-            packed = pack_decode_weights(p["layers"], dtype, cross=True)
-            head, head_v = pack_greedy_head(p["token_embs"], p["norm"], dtype,
-                                            a8=_attn.use_a8_decode(packed["wqkv"].dtype))
-        else:
-            packed = head = head_v = None
-        caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, l_max, lc.head_dim,
-                                   dtype=dtype, stacked=True)
         # cross pool sized from one probe projection (padded memory length)
         mem0 = self._encode(params, self._stage_segment(audios[0]))
         t_pad = tfm.padded_cache_len(mem0.shape[1])
-        width = lc.n_heads * lc.head_dim
-        cross = {
-            "k": jnp.zeros((cfg.n_layers, b, t_pad, width), dtype),
-            "v": jnp.zeros((cfg.n_layers, b, t_pad, width), dtype),
-            "len": jnp.zeros((cfg.n_layers, b), jnp.int32),
-        }
+        fused, packed, head, head_v, caches, cross = self._init_pool(
+            params, cfg, b, l_max, t_pad)
         buf = jnp.zeros((b, l_max), jnp.int32)
         pad_lens = jnp.zeros((b,), jnp.int32)
         limits = jnp.zeros((b,), jnp.int32)
@@ -289,7 +307,7 @@ class WhisperContinuousBatchingGenerator:
                         continue  # doesn't fit this epoch
                     memory = mem0 if next_req == 0 else self._encode(
                         params, self._stage_segment(audios[next_req]))
-                    buf, caches, cross, pad_lens, limits, done = _wcb_admit(
+                    buf, caches, cross, pad_lens, limits, done = self._admit(
                         params, cfg, buf, caches, cross, pad_lens, limits, done,
                         jnp.int32(row), jnp.int32(pos), memory, init_dev,
                         jnp.int32(max_new))
@@ -310,7 +328,7 @@ class WhisperContinuousBatchingGenerator:
                     continue
                 break
 
-            buf, ends, caches, pos_d, done = _wcb_steps(
+            buf, ends, caches, pos_d, done = self._steps(
                 params, cfg, buf, pad_lens, limits, ends, caches, cross,
                 jnp.int32(pos), fused, done, jnp.int32(self.check_every), eot_id,
                 packed, head, head_v)

@@ -54,8 +54,7 @@ from .t5 import (
 )
 
 
-@partial(jax.jit, static_argnums=1)
-def _t5cb_encode(params, cfg: T5Config, enc_tokens, n_enc):
+def _t5cb_encode_body(params, cfg: T5Config, enc_tokens, n_enc):
     """(1, P) right-padded prompt -> (1, P, d) memory (pad positions masked
     out of encoder self-attention, as t5._t5_generate_batch_body)."""
     p_len = enc_tokens.shape[1]
@@ -154,6 +153,7 @@ def _t5cb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, cross, po
     return buf, ends, caches, pos, done
 
 
+_t5cb_encode = partial(jax.jit, static_argnums=(1,))(_t5cb_encode_body)
 _t5cb_admit = partial(jax.jit, static_argnums=(1,))(_t5cb_admit_body)
 _t5cb_steps = partial(jax.jit, static_argnums=(1, 9))(_t5cb_steps_body)
 
@@ -177,6 +177,56 @@ class T5ContinuousBatchingGenerator:
         self.batch_size = batch_size
         self.check_every = check_every
         self.pool_ctx = pool_ctx
+
+    # ---- sharding hooks (overridden by parallel/cb_serving.py) -------------
+
+    def _params_cfg(self):
+        return self.model.params, self.model.cfg
+
+    def _encode(self, params, cfg, enc_tokens, n_enc):
+        return _t5cb_encode(params, cfg, enc_tokens, n_enc)
+
+    def _init_pool(self, params, cfg, b: int, l_max: int, t_pad: int):
+        """Build the pool state: ``(fused, packed, head, head_v, caches,
+        cross, bias_tab)`` — the fused-megakernel gate, zeroed self/cross
+        caches, and the pool-global decode-bias table (key-major (P, L, 128)
+        when fused, else (H, P, L))."""
+        dec = params["decoder"]
+        lc = cfg.layer
+        dtype = params["token_embs"].dtype
+        fused = _t5_fused_ok(dec, cfg, l_max)
+        l_pad = tfm.padded_cache_len(l_max)
+        # ONE global decode-bias table: rel-pos bias is a function of
+        # q_pos - k_pos only, so the pool's shifted rows reuse it exactly
+        bias_table = relative_position_bias(
+            dec["attn_bias"], jnp.arange(l_max), jnp.arange(l_pad), False, cfg)
+        if fused:
+            from ...ops.decode_step import pack_decode_weights, pack_greedy_head
+
+            packed = pack_decode_weights(dec["layers"], dtype, gated=True, cross=True,
+                                         norm="rms")
+            head, head_v = pack_greedy_head(params["classifier"]["w"], dec["norm"], dtype,
+                                            tied=False,
+                                            a8=_attn.use_a8_decode(packed["wqkv"].dtype))
+            bias_tab = _t5_key_major_bias(bias_table)
+        else:
+            packed = head = head_v = None
+            bias_tab = bias_table
+        caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, l_max, lc.head_dim,
+                                   dtype=dtype, stacked=True)
+        width = lc.n_heads * lc.head_dim
+        cross = {
+            "k": jnp.zeros((cfg.n_layers, b, t_pad, width), dtype),
+            "v": jnp.zeros((cfg.n_layers, b, t_pad, width), dtype),
+            "len": jnp.zeros((cfg.n_layers, b), jnp.int32),
+        }
+        return fused, packed, head, head_v, caches, cross, bias_tab
+
+    def _admit(self, params, cfg, *args):
+        return _t5cb_admit(params, cfg, *args)
+
+    def _steps(self, params, cfg, *args):
+        return _t5cb_steps(params, cfg, *args)
 
     def generate_many(self, prompts: list[str], max_tokens: int = 100,
                       on_tokens=None) -> list[str]:
@@ -205,7 +255,7 @@ class T5ContinuousBatchingGenerator:
         tokens each live request generated since the previous point. Every
         generated token is delivered exactly once, in order; concatenated
         deliveries equal the returned output minus the leading pad token."""
-        params, cfg = self.model.params, self.model.cfg
+        params, cfg = self._params_cfg()
         n_req = len(token_lists)
         if n_req == 0:
             return []
@@ -219,39 +269,12 @@ class T5ContinuousBatchingGenerator:
             "raise pool_ctx")
 
         b = self.batch_size
-        dec = params["decoder"]
-        lc = cfg.layer
-        dtype = params["token_embs"].dtype
-        fused = _t5_fused_ok(dec, cfg, l_max)
-        l_pad = tfm.padded_cache_len(l_max)
-        # ONE global decode-bias table: rel-pos bias is a function of
-        # q_pos - k_pos only, so the pool's shifted rows reuse it exactly
-        bias_table = relative_position_bias(
-            dec["attn_bias"], jnp.arange(l_max), jnp.arange(l_pad), False, cfg)
-        if fused:
-            from ...ops.decode_step import pack_decode_weights, pack_greedy_head
-
-            packed = pack_decode_weights(dec["layers"], dtype, gated=True, cross=True,
-                                         norm="rms")
-            head, head_v = pack_greedy_head(params["classifier"]["w"], dec["norm"], dtype,
-                                            tied=False,
-                                            a8=_attn.use_a8_decode(packed["wqkv"].dtype))
-            bias_tab = _t5_key_major_bias(bias_table)
-        else:
-            packed = head = head_v = None
-            bias_tab = bias_table
-        caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, l_max, lc.head_dim,
-                                   dtype=dtype, stacked=True)
         # one shared encoder bucket: per-row cross "len" masks the tail, so a
         # wider bucket changes nothing (and avoids per-length admit retraces)
         p_pad = -(-max(len(ts) for ts in token_lists) // ENC_BUCKET) * ENC_BUCKET
         t_pad = tfm.padded_cache_len(p_pad)
-        width = lc.n_heads * lc.head_dim
-        cross = {
-            "k": jnp.zeros((cfg.n_layers, b, t_pad, width), dtype),
-            "v": jnp.zeros((cfg.n_layers, b, t_pad, width), dtype),
-            "len": jnp.zeros((cfg.n_layers, b), jnp.int32),
-        }
+        fused, packed, head, head_v, caches, cross, bias_tab = self._init_pool(
+            params, cfg, b, l_max, t_pad)
         buf = jnp.zeros((b, l_max), jnp.int32)
         pad_lens = jnp.zeros((b,), jnp.int32)
         limits = jnp.zeros((b,), jnp.int32)
@@ -279,9 +302,9 @@ class T5ContinuousBatchingGenerator:
                     ts = token_lists[next_req]
                     enc_buf[:] = 0
                     enc_buf[0, : len(ts)] = ts
-                    memory = _t5cb_encode(params, cfg, jnp.asarray(enc_buf),
+                    memory = self._encode(params, cfg, jnp.asarray(enc_buf),
                                           jnp.asarray([len(ts)], jnp.int32))
-                    buf, cross, pad_lens, limits, done = _t5cb_admit(
+                    buf, cross, pad_lens, limits, done = self._admit(
                         params, cfg, buf, cross, pad_lens, limits, done,
                         jnp.int32(row), jnp.int32(pos),
                         memory, jnp.asarray([len(ts)], jnp.int32),
@@ -303,7 +326,7 @@ class T5ContinuousBatchingGenerator:
                     continue
                 break
 
-            buf, ends, caches, pos_d, done = _t5cb_steps(
+            buf, ends, caches, pos_d, done = self._steps(
                 params, cfg, buf, pad_lens, limits, ends, caches, cross,
                 jnp.int32(pos), fused, done, jnp.int32(self.check_every), eos_id,
                 bias_tab, packed, head, head_v)

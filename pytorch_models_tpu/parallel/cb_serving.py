@@ -18,9 +18,11 @@ from __future__ import annotations
 from dataclasses import replace
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import transformer as tfm
+from ..models.audio2text.continuous import WhisperContinuousBatchingGenerator
 from ..models.text.continuous import (
     ContinuousBatchingGenerator,
     _cb_admit_body,
@@ -28,6 +30,7 @@ from ..models.text.continuous import (
     _cb_prefix_body,
     _cb_steps_body,
 )
+from ..models.text.t5_continuous import T5ContinuousBatchingGenerator
 from ..models.text.generator import PROMPT_BUCKET
 from .serving import decoder_lm_serving_pspecs
 
@@ -163,3 +166,223 @@ class TPContinuousBatchingGenerator(ContinuousBatchingGenerator):
         return self._steps_sample_jit(params, buf, pad_lens, limits, ends, caches,
                                       pos, done, n_steps, eos_id, topk, top_p,
                                       temperature, keys, t0s)
+
+
+class TPWhisperContinuousBatchingGenerator(WhisperContinuousBatchingGenerator):
+    """Whisper continuous batching with the model tp-sharded over ``("tp",)``.
+
+    Admission's encoder + cross-KV projection and the pooled decode steps
+    each run as one shard_map: self AND cross KV pools shard on the head
+    width ``(L, B, Lmax|Lx, H*D/tp)`` per rank, the mel stem / embeddings
+    replicate, and the host scheduler is inherited verbatim through the base
+    class's sharding hooks. Token-identical per segment to the single-device
+    ``WhisperGenerator.transcribe_tokens``.
+    """
+
+    def __init__(self, model, mesh: Mesh, tokenizer=None, batch_size: int = 4,
+                 check_every: int = 16, pool_ctx: int | None = None) -> None:
+        from ..models.audio2text.continuous import _wcb_admit_body, _wcb_steps_body
+        from ..models.audio2text.whisper import DEC_MAX_LEN, _whisper_encode_body
+
+        super().__init__(model, tokenizer, batch_size=batch_size,
+                         check_every=check_every,
+                         pool_ctx=pool_ctx if pool_ctx is not None else 2 * DEC_MAX_LEN)
+        axes = dict(mesh.shape)
+        assert set(axes) == {"tp"}, f'cb serving mesh needs a ("tp",) axis, got {tuple(axes)}'
+        tp = axes["tp"]
+        n_heads = model.cfg.dec_layer.n_heads
+        assert n_heads % tp == 0, f"{n_heads} heads not divisible by tp={tp}"
+        cfg_local = replace(model.cfg, local_heads=n_heads // tp,
+                            tp_axis="tp" if tp > 1 else None)
+        self._mesh = mesh
+
+        from .serving import decoder_lm_serving_pspecs as _lm_pspecs
+        pspecs = _lm_pspecs(model.params)
+        self._sharded_params = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), model.params, pspecs)
+        cache_spec = {"k": P(None, None, None, "tp"), "v": P(None, None, None, "tp")}
+        cross_spec = dict(cache_spec, len=P())
+        self._cache_spec, self._cross_spec = cache_spec, cross_spec
+
+        pre_fwd = self.preprocessor._forward
+
+        def encode(params, wav):
+            fn = jax.shard_map(
+                lambda p, w: _whisper_encode_body(p, cfg_local, pre_fwd(w)),
+                mesh=mesh, in_specs=(pspecs, P()), out_specs=P(), check_vma=False)
+            return fn(params, wav)
+
+        def admit(params, buf, caches, cross, pad_lens, limits, done,
+                  row, pos, memory, init_chunk, max_new):
+            fn = jax.shard_map(
+                lambda p, *a: _wcb_admit_body(p, cfg_local, *a),
+                mesh=mesh,
+                in_specs=(pspecs, P(), cache_spec, cross_spec, P(), P(), P(),
+                          P(), P(), P(), P(), P()),
+                out_specs=(P(), cache_spec, cross_spec, P(), P(), P()),
+                check_vma=False)
+            return fn(params, buf, caches, cross, pad_lens, limits, done,
+                      row, pos, memory, init_chunk, max_new)
+
+        def steps(params, buf, pad_lens, limits, ends, caches, cross, pos,
+                  done, n_steps, eot_id):
+            def local(p, buf, pads, lims, ends, caches, cross, pos, done, n, eot):
+                return _wcb_steps_body(p, cfg_local, buf, pads, lims, ends, caches,
+                                       cross, pos, False, done, n, eot)
+
+            fn = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(pspecs, P(), P(), P(), P(), cache_spec, cross_spec,
+                          P(), P(), P(), P()),
+                out_specs=(P(), P(), cache_spec, P(), P()),
+                check_vma=False)
+            return fn(params, buf, pad_lens, limits, ends, caches, cross, pos,
+                      done, n_steps, eot_id)
+
+        self._encode = jax.jit(encode)
+        self._admit_jit = jax.jit(admit)
+        self._steps_jit = jax.jit(steps)
+
+    # ---- sharding hooks ----------------------------------------------------
+    def _params_cfg(self):
+        return self._sharded_params, self.model.cfg
+
+    def _init_pool(self, params, cfg, b, l_max, t_pad):
+        lc = cfg.dec_layer
+        dtype = self.model.params["decoder"]["token_embs"].dtype
+        caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, l_max, lc.head_dim,
+                                   dtype=dtype, stacked=True)
+        caches = {k: jax.device_put(v, NamedSharding(self._mesh, self._cache_spec[k]))
+                  for k, v in caches.items()}
+        width = lc.n_heads * lc.head_dim
+        cross = {
+            "k": jnp.zeros((cfg.n_layers, b, t_pad, width), dtype),
+            "v": jnp.zeros((cfg.n_layers, b, t_pad, width), dtype),
+            "len": jnp.zeros((cfg.n_layers, b), jnp.int32),
+        }
+        cross = {k: jax.device_put(v, NamedSharding(self._mesh, self._cross_spec[k]))
+                 for k, v in cross.items()}
+        return False, None, None, None, caches, cross  # fused off: per-op tp path
+
+    def _admit(self, params, cfg, *args):
+        return self._admit_jit(params, *args)
+
+    def _steps(self, params, cfg, buf, pad_lens, limits, ends, caches, cross, pos,
+               fused, done, n_steps, eot_id, packed=None, head=None, head_v=None):
+        return self._steps_jit(params, buf, pad_lens, limits, ends, caches, cross,
+                               pos, done, n_steps, eot_id)
+
+
+class TPT5ContinuousBatchingGenerator(T5ContinuousBatchingGenerator):
+    """T5 continuous batching with the model tp-sharded over ``("tp",)``.
+
+    The pool's one global rel-pos decode-bias table shards on the head axis
+    (each rank holds its heads' rows), self/cross KV pools shard on the head
+    width, and admission's encoder + cross-KV projection runs as one
+    shard_map. Token-identical per request to the single-device
+    ``T5Generator.generate_tokens``.
+    """
+
+    def __init__(self, model, mesh: Mesh, tokenizer=None, batch_size: int = 4,
+                 check_every: int = 16, pool_ctx: int | None = None) -> None:
+        from ..models.text.t5_continuous import (
+            _t5cb_admit_body,
+            _t5cb_encode_body,
+            _t5cb_steps_body,
+        )
+
+        super().__init__(model, tokenizer, batch_size=batch_size,
+                         check_every=check_every, pool_ctx=pool_ctx)
+        axes = dict(mesh.shape)
+        assert set(axes) == {"tp"}, f'cb serving mesh needs a ("tp",) axis, got {tuple(axes)}'
+        tp = axes["tp"]
+        assert model.cfg.n_heads % tp == 0, f"{model.cfg.n_heads} heads not divisible by tp={tp}"
+        cfg_local = replace(model.cfg, local_heads=model.cfg.n_heads // tp,
+                            tp_axis="tp" if tp > 1 else None)
+        self._mesh = mesh
+
+        from .serving import t5_serving_pspecs
+        pspecs = t5_serving_pspecs(model.params)
+        self._sharded_params = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), model.params, pspecs)
+        cache_spec = {"k": P(None, None, None, "tp"), "v": P(None, None, None, "tp")}
+        cross_spec = dict(cache_spec, len=P())
+        bias_spec = P("tp", None, None)  # per-rank head rows of the global table
+        self._cache_spec, self._cross_spec, self._bias_spec = cache_spec, cross_spec, bias_spec
+
+        def encode(params, enc_tokens, n_enc):
+            fn = jax.shard_map(
+                lambda p, t, n: _t5cb_encode_body(p, cfg_local, t, n),
+                mesh=mesh, in_specs=(pspecs, P(), P()), out_specs=P(), check_vma=False)
+            return fn(params, enc_tokens, n_enc)
+
+        def admit(params, buf, cross, pad_lens, limits, done,
+                  row, pos, memory, n_enc, max_new, pad_id):
+            fn = jax.shard_map(
+                lambda p, *a: _t5cb_admit_body(p, cfg_local, *a),
+                mesh=mesh,
+                in_specs=(pspecs, P(), cross_spec, P(), P(), P(),
+                          P(), P(), P(), P(), P(), P()),
+                out_specs=(P(), cross_spec, P(), P(), P()),
+                check_vma=False)
+            return fn(params, buf, cross, pad_lens, limits, done,
+                      row, pos, memory, n_enc, max_new, pad_id)
+
+        def steps(params, buf, pad_lens, limits, ends, caches, cross, pos,
+                  done, n_steps, eos_id, bias_tab):
+            def local(p, buf, pads, lims, ends, caches, cross, pos, done, n, eos, bias):
+                return _t5cb_steps_body(p, cfg_local, buf, pads, lims, ends, caches,
+                                        cross, pos, False, done, n, eos, bias)
+
+            fn = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(pspecs, P(), P(), P(), P(), cache_spec, cross_spec,
+                          P(), P(), P(), P(), bias_spec),
+                out_specs=(P(), P(), cache_spec, P(), P()),
+                check_vma=False)
+            return fn(params, buf, pad_lens, limits, ends, caches, cross, pos,
+                      done, n_steps, eos_id, bias_tab)
+
+        self._encode_jit = jax.jit(encode)
+        self._admit_jit = jax.jit(admit)
+        self._steps_jit = jax.jit(steps)
+
+    # ---- sharding hooks ----------------------------------------------------
+    def _params_cfg(self):
+        return self._sharded_params, self.model.cfg
+
+    def _encode(self, params, cfg, enc_tokens, n_enc):
+        return self._encode_jit(params, enc_tokens, n_enc)
+
+    def _init_pool(self, params, cfg, b, l_max, t_pad):
+        from ..models.text.t5 import relative_position_bias
+
+        lc = cfg.layer
+        dtype = self.model.params["token_embs"].dtype
+        dec = self.model.params["decoder"]  # unsharded: build the GLOBAL table
+        l_pad = tfm.padded_cache_len(l_max)
+        bias_tab = relative_position_bias(
+            dec["attn_bias"], jnp.arange(l_max), jnp.arange(l_pad), False, cfg)
+        bias_tab = jax.device_put(bias_tab, NamedSharding(self._mesh, self._bias_spec))
+        caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, l_max, lc.head_dim,
+                                   dtype=dtype, stacked=True)
+        caches = {k: jax.device_put(v, NamedSharding(self._mesh, self._cache_spec[k]))
+                  for k, v in caches.items()}
+        width = lc.n_heads * lc.head_dim
+        cross = {
+            "k": jnp.zeros((cfg.n_layers, b, t_pad, width), dtype),
+            "v": jnp.zeros((cfg.n_layers, b, t_pad, width), dtype),
+            "len": jnp.zeros((cfg.n_layers, b), jnp.int32),
+        }
+        cross = {k: jax.device_put(v, NamedSharding(self._mesh, self._cross_spec[k]))
+                 for k, v in cross.items()}
+        return False, None, None, None, caches, cross, bias_tab
+
+    def _admit(self, params, cfg, *args):
+        return self._admit_jit(params, *args)
+
+    def _steps(self, params, cfg, buf, pad_lens, limits, ends, caches, cross, pos,
+               fused, done, n_steps, eos_id, bias_tab, packed=None, head=None,
+               head_v=None):
+        return self._steps_jit(params, buf, pad_lens, limits, ends, caches, cross,
+                               pos, done, n_steps, eos_id, bias_tab)

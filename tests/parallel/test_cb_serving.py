@@ -110,3 +110,44 @@ def test_tp_cb_cache_is_head_sharded():
     _, _, _, _, caches = gen._init_pool(gen._sharded_params, m.cfg, 2)
     k = caches["k"]
     assert k.sharding.shard_shape(k.shape)[-1] == k.shape[-1] // 4
+
+
+@pytest.mark.parametrize("tp", [2])
+def test_tp_whisper_cb_matches_single_device_per_segment(tp):
+    import numpy as np
+
+    from pytorch_models_tpu.models.audio2text.whisper import Whisper, WhisperGenerator
+    from pytorch_models_tpu.parallel.cb_serving import TPWhisperContinuousBatchingGenerator
+
+    m = Whisper(vocab_size=64, n_layers=2, d_model=128)  # 2 heads
+    rng = np.random.default_rng(7)
+    audios = [(rng.standard_normal(16000) * 0.1).astype(np.float32) for _ in range(4)]
+    init = [50, 51]
+    plain = WhisperGenerator(m)
+    ref = [plain.transcribe_tokens(a, init, 63, max_tokens=10) for a in audios]
+
+    mesh = make_mesh(tp, shape=(tp,), axes=("tp",))
+    gen = TPWhisperContinuousBatchingGenerator(m, mesh, batch_size=2,
+                                               check_every=3, pool_ctx=48)
+    outs = gen.transcribe_tokens_many(audios, init, 63, max_tokens=10)
+    assert outs == ref
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_t5_cb_matches_single_device_per_request(tp):
+    import numpy as np
+
+    from pytorch_models_tpu.models.text import T5Generator, T5Model
+    from pytorch_models_tpu.parallel.cb_serving import TPT5ContinuousBatchingGenerator
+
+    m = T5Model(vocab_size=96, dim=64, n_heads=4, n_layers=2, mlp_dim=128)
+    rng = np.random.default_rng(13)
+    requests = [rng.integers(2, 96, size=n).tolist() for n in (5, 30, 11, 68, 3)]
+    plain = T5Generator(model=m, tokenizer=object())
+    ref = [plain.generate_tokens(ts, 14, 0, 1) for ts in requests]
+
+    mesh = make_mesh(tp, shape=(tp,), axes=("tp",))
+    gen = TPT5ContinuousBatchingGenerator(m, mesh, batch_size=2, check_every=4,
+                                          pool_ctx=64)
+    outs = gen.generate_tokens_many(requests, 14, 0, 1)
+    assert outs == ref
