@@ -106,13 +106,24 @@ def _wcb_admit_body(params, cfg, buf, caches, cross, pad_lens, limits, done,
 
 
 def _wcb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, cross, pos,
-                    fused, done, n_steps, eot_id, packed=None, head=None, head_v=None):
-    """Up to ``n_steps`` greedy decode steps over the whole pool (early exit
-    when every row is done); finished rows park writing EOT, ``ends`` latches
-    pos+1 the step a row finishes. Returns ``(buf, ends, caches, pos, done)``."""
+                    fused, done, n_steps, eot_id, packed=None, head=None, head_v=None,
+                    topk=1, top_p=None, temperature=1.0, keys=None, t0s=None):
+    """Up to ``n_steps`` decode steps over the whole pool (early exit when
+    every row is done); finished rows park writing EOT, ``ends`` latches
+    pos+1 the step a row finishes.
+
+    Sampling (``topk``/``top_p``/``temperature`` beyond greedy): each row
+    draws with the SCHEDULE-INVARIANT key ``fold_in(keys[row], pos -
+    t0s[row])`` — ``keys[row]`` is the segment's own key, ``t0s[row]`` its
+    admission position — so transcript token g of segment r always uses
+    ``fold_in(segment_key, g)`` (models/text/continuous.py semantics).
+    Returns ``(buf, ends, caches, pos, done)``."""
+    from ..text.generator import _is_greedy, _sample
+
     p = params["decoder"]
     lc = cfg.dec_layer
     b, l_max = buf.shape
+    greedy = _is_greedy(topk, top_p)
 
     def cond(s):
         _, _, _, pos, done, i = s
@@ -125,7 +136,23 @@ def _wcb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, cross, pos
         buf, ends, caches, pos, done, i = s
         tok = lax.dynamic_slice(buf, (0, pos - 1), (b, 1))
         p_ids = pos - 1 - pad_lens
-        if fused:
+        if not greedy:
+            from ...ops.layers import dot_precision
+
+            if fused:
+                hn, caches = _fused_whisper_step(p, packed, None, None, cfg, tok,
+                                                 caches, cross, pos - 1,
+                                                 pad_lens=pad_lens, pos_ids=p_ids)
+            else:
+                hn, caches = _wcb_hidden(p, lc, cross, tok, p_ids[:, None], caches,
+                                         pos - 1, pad_lens)
+                hn = hn[:, 0]
+            logits = jnp.matmul(hn, p["token_embs"].astype(hn.dtype).T,
+                                precision=dot_precision(hn))
+            step_keys = jax.vmap(jax.random.fold_in)(keys, pos - t0s)
+            nxt = jax.vmap(lambda l, sk: _sample(l, sk, topk, top_p, temperature))(
+                logits, step_keys).astype(jnp.int32)
+        elif fused:
             nxt, caches = _fused_whisper_step(p, packed, head, head_v, cfg, tok, caches,
                                               cross, pos - 1, pad_lens=pad_lens,
                                               pos_ids=p_ids)
@@ -155,7 +182,7 @@ def _wcb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, cross, pos
 
 
 _wcb_admit = partial(jax.jit, static_argnums=(1,))(_wcb_admit_body)
-_wcb_steps = partial(jax.jit, static_argnums=(1, 9))(_wcb_steps_body)
+_wcb_steps = partial(jax.jit, static_argnums=(1, 9, 16, 17))(_wcb_steps_body)
 
 
 class WhisperContinuousBatchingGenerator:
@@ -234,7 +261,9 @@ class WhisperContinuousBatchingGenerator:
         return _wcb_steps(params, cfg, *args)
 
     def transcribe_many(self, audios, language: str = "en", task: str = "transcribe",
-                        max_tokens: int = DEC_MAX_LEN, on_tokens=None) -> list[str]:
+                        max_tokens: int = DEC_MAX_LEN, on_tokens=None, topk: int = 1,
+                        top_p: float | None = None, temperature: float = 1.0,
+                        seed: int = 0) -> list[str]:
         """Waveforms -> transcribed texts (requires a WhisperTokenizer)."""
         if self.tokenizer is None:
             raise ValueError(
@@ -243,12 +272,14 @@ class WhisperContinuousBatchingGenerator:
                 "or call transcribe_tokens_many(...) for raw token ids")
         init = self.tokenizer.sot_sequence(language, task)
         outs = self.transcribe_tokens_many(audios, init, self.tokenizer.eot, max_tokens,
-                                           on_tokens=on_tokens)
+                                           on_tokens=on_tokens, topk=topk, top_p=top_p,
+                                           temperature=temperature, seed=seed)
         return [self.tokenizer.decode(o) for o in outs]
 
     def transcribe_tokens_many(self, audios, initial_tokens: list[int], eot_id: int,
-                               max_tokens: int = DEC_MAX_LEN,
-                               on_tokens=None) -> list[list[int]]:
+                               max_tokens: int = DEC_MAX_LEN, on_tokens=None,
+                               topk: int = 1, top_p: float | None = None,
+                               temperature: float = 1.0, seed: int = 0) -> list[list[int]]:
         """Schedule all segments (admitted in order as slots free up); returns
         each segment's prompt+transcript token list, in order — identical per
         segment to ``WhisperGenerator.transcribe_tokens(audio, initial_tokens,
@@ -258,7 +289,16 @@ class WhisperContinuousBatchingGenerator:
         at every scheduling point (each ``check_every``-step chunk) with the
         tokens each live segment transcribed since the previous point. Every
         transcript token is delivered exactly once, in order; concatenated
-        deliveries equal the returned output minus the initial tokens."""
+        deliveries equal the returned output minus the initial tokens.
+
+        ``topk``/``top_p``/``temperature``/``seed``: sampling (greedy by
+        default). Segment r's transcript token g always draws with
+        ``fold_in(fold_in(PRNGKey(seed), r), g)`` — schedule-invariant, the
+        models/text/continuous.py contract."""
+        from ..text.generator import _check_sampling, _is_greedy
+
+        _check_sampling(topk, top_p, temperature)
+        greedy = _is_greedy(topk, top_p)
         assert max_tokens <= DEC_MAX_LEN, (
             f"max_tokens={max_tokens} exceeds the decoder position table ({DEC_MAX_LEN}); "
             "dynamic_slice would silently clamp into the last position embedding")
@@ -287,6 +327,12 @@ class WhisperContinuousBatchingGenerator:
         ends = jnp.zeros((b,), jnp.int32)
         done = jnp.ones((b,), bool)
         init_dev = jnp.asarray(initial_tokens, jnp.int32)
+        if greedy:
+            keys = t0s = None
+        else:
+            base_key = jax.random.PRNGKey(seed)
+            keys = jnp.zeros((b,) + base_key.shape, base_key.dtype)
+            t0s = jnp.zeros((b,), jnp.int32)
 
         pos = base
         next_req = 0
@@ -311,6 +357,11 @@ class WhisperContinuousBatchingGenerator:
                         params, cfg, buf, caches, cross, pad_lens, limits, done,
                         jnp.int32(row), jnp.int32(pos), memory, init_dev,
                         jnp.int32(max_new))
+                    if not greedy:
+                        # the segment's own key + admission position: token g
+                        # of segment r draws fold_in(fold_in(base, r), g)
+                        keys = keys.at[row].set(jax.random.fold_in(base_key, next_req))
+                        t0s = t0s.at[row].set(pos)
                     done_h[row] = False
                     slot_req[row] = next_req
                     slot_pad[row] = pos - n_init
@@ -331,7 +382,8 @@ class WhisperContinuousBatchingGenerator:
             buf, ends, caches, pos_d, done = self._steps(
                 params, cfg, buf, pad_lens, limits, ends, caches, cross,
                 jnp.int32(pos), fused, done, jnp.int32(self.check_every), eot_id,
-                packed, head, head_v)
+                packed, head, head_v, topk, top_p, jnp.float32(temperature),
+                keys, t0s)
             pos = int(np.asarray(pos_d))
             done_h = np.array(done)
 

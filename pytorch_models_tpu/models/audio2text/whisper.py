@@ -168,25 +168,30 @@ def _fused_whisper_step(p, packed, head, head_v, cfg: WhisperConfig, tok, caches
     call over the whole layer stack (self + cross attention + MLP + final LN
     + streamed greedy argmax head). ``caches``/``cross`` leaves are
     (L, B, Lmax|Lx, H*D); ``pad_lens``/``pos_ids`` support left-padded pools
-    (continuous batching); returns ``(next_token (B,), caches)``."""
+    (continuous batching); returns ``(next_token (B,), caches)`` — or, when
+    ``head is None`` (headless: sampling callers need full logits), the
+    final-normed hidden ``((B, d), caches)``."""
     from ...ops import attention as _attn
     from ...ops.decode_step import fused_cross_decode_step
 
     x, emb_kw = _whisper_embed_or_fold(p, cfg, tok, pos, pos_ids)
     lc = cfg.dec_layer
     cdt = p["token_embs"].dtype
-    _, k_new, v_new, nxt = fused_cross_decode_step(
+    out = fused_cross_decode_step(
         x, packed, caches["k"], caches["v"],
         cross["k"].astype(cdt), cross["v"].astype(cdt), cross["len"][0],
         pos, pad_lens, n_heads=lc.n_heads, act=lc.act, eps=lc.norm_eps, norm="ln",
         head=head, head_v=head_v, a8=_attn.use_a8_decode(packed["wqkv"].dtype),
         **emb_kw)
+    x_out, k_new, v_new = out[:3]
     start = (0, 0, pos, 0)
     caches = {
         "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
         "v": lax.dynamic_update_slice(caches["v"], v_new[:, :, None, :].astype(caches["v"].dtype), start),
     }
-    return nxt, caches
+    if head is None:
+        return layer_norm(p["norm"], x_out), caches
+    return out[3], caches
 
 
 def _decoder_hidden_chunk(p, lc, cross, tokens, caches, pos):

@@ -275,26 +275,31 @@ def _fused_t5_step(dec, packed, head, head_v, cfg: "T5Config", h, caches, cross_
     Pallas call). ``h``: (B, 1, d) — or None with ``emb_kw`` from
     :func:`_t5_embed_or_fold` (the embedding gather folds into the kernel's
     embed phase); ``bias_km``: (P, L, 128) key-major decode-bias table;
-    ``caches`` the layer-stacked dict. Returns ``(next_token (B,), caches)``."""
+    ``caches`` the layer-stacked dict. Returns ``(next_token (B,), caches)``
+    — or, when ``head is None`` (headless: sampling callers need full
+    logits), the final-normed hidden ``((B, d), caches)``."""
     from ...ops.decode_step import fused_cross_decode_step
 
     lc = cfg.layer
     emb_kw = emb_kw or {}
     cdt = (emb_kw["emb"]["tok"] if h is None else h).dtype
     sbias = lax.dynamic_slice(bias_km, (pos, 0, 0), (1,) + bias_km.shape[1:])[0]
-    _, k_new, v_new, nxt = fused_cross_decode_step(
+    out = fused_cross_decode_step(
         None if h is None else h[:, 0, :], packed, caches["k"], caches["v"],
         cross_caches["k"].astype(cdt), cross_caches["v"].astype(cdt),
         cross_caches["len"][0], pos, pad_lens, n_heads=lc.n_heads,
         act="approximate_gelu", eps=1e-5, norm="rms", gated=True, sbias=sbias,
         head=head, head_v=head_v, a8=_attn.use_a8_decode(packed["wqkv"].dtype),
         **emb_kw)
+    x_out, k_new, v_new = out[:3]
     start = (0, 0, pos, 0)
     caches = {
         "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
         "v": lax.dynamic_update_slice(caches["v"], v_new[:, :, None, :].astype(caches["v"].dtype), start),
     }
-    return nxt, caches
+    if head is None:
+        return rms_norm(dec["norm"], x_out), caches
+    return out[3], caches
 
 
 def _t5_decode_layers(dec, cfg: T5Config, h, caches, cross_caches, bias, ca_bias, pos):

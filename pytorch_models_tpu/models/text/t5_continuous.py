@@ -108,14 +108,23 @@ def _t5cb_admit_body(params, cfg, buf, cross, pad_lens, limits, done,
 
 def _t5cb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, cross, pos,
                      fused, done, n_steps, eos_id, bias_tab, packed=None, head=None,
-                     head_v=None):
-    """Up to ``n_steps`` greedy decode steps over the whole pool (early exit
-    when every row is done); finished rows park writing EOS, ``ends`` latches
+                     head_v=None, topk=1, top_p=None, temperature=1.0, keys=None,
+                     t0s=None):
+    """Up to ``n_steps`` decode steps over the whole pool (early exit when
+    every row is done); finished rows park writing EOS, ``ends`` latches
     pos+1 the step a row finishes. ``bias_tab``: the pool-global decode bias
-    — key-major (P, L, 128) when ``fused`` else (H, P, L). Returns
-    ``(buf, ends, caches, pos, done)``."""
+    — key-major (P, L, 128) when ``fused`` else (H, P, L).
+
+    Sampling (``topk``/``top_p``/``temperature`` beyond greedy): each row
+    draws with the SCHEDULE-INVARIANT key ``fold_in(keys[row], pos -
+    t0s[row])`` — generated token g of request r always uses
+    ``fold_in(request_key, g)`` (models/text/continuous.py semantics).
+    Returns ``(buf, ends, caches, pos, done)``."""
+    from .generator import _is_greedy, _sample
+
     dec = params["decoder"]
     b, l_max = buf.shape
+    greedy = _is_greedy(topk, top_p)
 
     def cond(s):
         _, _, _, pos, done, i = s
@@ -125,7 +134,23 @@ def _t5cb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, cross, po
     def body(s):
         buf, ends, caches, pos, done, i = s
         tok = lax.dynamic_slice(buf, (0, pos - 1), (b, 1))
-        if fused:
+        if not greedy:
+            if fused:
+                h, emb_kw = _t5_embed_or_fold(params["token_embs"], tok)
+                hn, caches = _fused_t5_step(dec, packed, None, None, cfg, h, caches,
+                                            cross, bias_tab, pos - 1, emb_kw=emb_kw,
+                                            pad_lens=pad_lens)
+            else:
+                bias = lax.dynamic_slice(bias_tab, (0, pos - 1, 0),
+                                         (bias_tab.shape[0], 1, bias_tab.shape[2]))
+                hn, caches = _t5cb_hidden(params, cfg, cross, tok, caches, pos - 1,
+                                          pad_lens, bias)
+                hn = hn[:, 0]
+            logits = linear(params["classifier"], hn)
+            step_keys = jax.vmap(jax.random.fold_in)(keys, pos - t0s)
+            nxt = jax.vmap(lambda l, sk: _sample(l, sk, topk, top_p, temperature))(
+                logits, step_keys).astype(jnp.int32)
+        elif fused:
             h, emb_kw = _t5_embed_or_fold(params["token_embs"], tok)
             nxt, caches = _fused_t5_step(dec, packed, head, head_v, cfg, h, caches,
                                          cross, bias_tab, pos - 1, emb_kw=emb_kw,
@@ -155,7 +180,7 @@ def _t5cb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, cross, po
 
 _t5cb_encode = partial(jax.jit, static_argnums=(1,))(_t5cb_encode_body)
 _t5cb_admit = partial(jax.jit, static_argnums=(1,))(_t5cb_admit_body)
-_t5cb_steps = partial(jax.jit, static_argnums=(1, 9))(_t5cb_steps_body)
+_t5cb_steps = partial(jax.jit, static_argnums=(1, 9, 17, 18))(_t5cb_steps_body)
 
 
 class T5ContinuousBatchingGenerator:
@@ -229,7 +254,8 @@ class T5ContinuousBatchingGenerator:
         return _t5cb_steps(params, cfg, *args)
 
     def generate_many(self, prompts: list[str], max_tokens: int = 100,
-                      on_tokens=None) -> list[str]:
+                      on_tokens=None, topk: int = 1, top_p: float | None = None,
+                      temperature: float = 1.0, seed: int = 0) -> list[str]:
         """Prompts -> generated texts (requires a sentencepiece tokenizer)."""
         if self.tokenizer is None:
             raise ValueError(
@@ -239,12 +265,14 @@ class T5ContinuousBatchingGenerator:
         token_lists = [self.tokenizer.Encode(p, add_eos=True) for p in prompts]
         outs = self.generate_tokens_many(token_lists, max_tokens,
                                          self.tokenizer.pad_id(), self.tokenizer.eos_id(),
-                                         on_tokens=on_tokens)
+                                         on_tokens=on_tokens, topk=topk, top_p=top_p,
+                                         temperature=temperature, seed=seed)
         return [self.tokenizer.Decode(o) for o in outs]
 
     def generate_tokens_many(self, token_lists: list[list[int]], max_tokens: int,
-                             pad_id: int, eos_id: int,
-                             on_tokens=None) -> list[list[int]]:
+                             pad_id: int, eos_id: int, on_tokens=None,
+                             topk: int = 1, top_p: float | None = None,
+                             temperature: float = 1.0, seed: int = 0) -> list[list[int]]:
         """Schedule all requests (admitted in order as slots free up); returns
         each request's pad+generated token list, in order — identical per
         request to ``T5Generator.generate_tokens(token_ids, max_tokens,
@@ -254,7 +282,16 @@ class T5ContinuousBatchingGenerator:
         at every scheduling point (each ``check_every``-step chunk) with the
         tokens each live request generated since the previous point. Every
         generated token is delivered exactly once, in order; concatenated
-        deliveries equal the returned output minus the leading pad token."""
+        deliveries equal the returned output minus the leading pad token.
+
+        ``topk``/``top_p``/``temperature``/``seed``: sampling (greedy by
+        default). Request r's generated token g always draws with
+        ``fold_in(fold_in(PRNGKey(seed), r), g)`` — schedule-invariant, the
+        models/text/continuous.py contract."""
+        from .generator import _check_sampling, _is_greedy
+
+        _check_sampling(topk, top_p, temperature)
+        greedy = _is_greedy(topk, top_p)
         params, cfg = self._params_cfg()
         n_req = len(token_lists)
         if n_req == 0:
@@ -280,6 +317,12 @@ class T5ContinuousBatchingGenerator:
         limits = jnp.zeros((b,), jnp.int32)
         ends = jnp.zeros((b,), jnp.int32)
         done = jnp.ones((b,), bool)
+        if greedy:
+            keys = t0s = None
+        else:
+            base_key = jax.random.PRNGKey(seed)
+            keys = jnp.zeros((b,) + base_key.shape, base_key.dtype)
+            t0s = jnp.zeros((b,), jnp.int32)
 
         pos = base
         next_req = 0
@@ -309,6 +352,11 @@ class T5ContinuousBatchingGenerator:
                         jnp.int32(row), jnp.int32(pos),
                         memory, jnp.asarray([len(ts)], jnp.int32),
                         jnp.int32(max_new), jnp.int32(pad_id))
+                    if not greedy:
+                        # the request's own key + admission position: token g
+                        # of request r draws fold_in(fold_in(base, r), g)
+                        keys = keys.at[row].set(jax.random.fold_in(base_key, next_req))
+                        t0s = t0s.at[row].set(pos)
                     done_h[row] = False
                     slot_req[row] = next_req
                     slot_pad[row] = pos - 1
@@ -329,7 +377,8 @@ class T5ContinuousBatchingGenerator:
             buf, ends, caches, pos_d, done = self._steps(
                 params, cfg, buf, pad_lens, limits, ends, caches, cross,
                 jnp.int32(pos), fused, done, jnp.int32(self.check_every), eos_id,
-                bias_tab, packed, head, head_v)
+                bias_tab, packed, head, head_v, topk, top_p,
+                jnp.float32(temperature), keys, t0s)
             pos = int(np.asarray(pos_d))
             done_h = np.array(done)
 

@@ -239,9 +239,30 @@ class TPWhisperContinuousBatchingGenerator(WhisperContinuousBatchingGenerator):
             return fn(params, buf, pad_lens, limits, ends, caches, cross, pos,
                       done, n_steps, eot_id)
 
+        def steps_sample(params, buf, pad_lens, limits, ends, caches, cross, pos,
+                         done, n_steps, eot_id, topk, top_p, temperature, keys, t0s):
+            # per-rank sampling is replicated math: hidden is psum-complete
+            # and token_embs/keys are replicated -> every rank draws the same
+            def local(p, buf, pads, lims, ends, caches, cross, pos, done, n, eot,
+                      temp, keys, t0s):
+                return _wcb_steps_body(p, cfg_local, buf, pads, lims, ends, caches,
+                                       cross, pos, False, done, n, eot,
+                                       topk=topk, top_p=top_p, temperature=temp,
+                                       keys=keys, t0s=t0s)
+
+            fn = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(pspecs, P(), P(), P(), P(), cache_spec, cross_spec,
+                          P(), P(), P(), P(), P(), P(), P()),
+                out_specs=(P(), P(), cache_spec, P(), P()),
+                check_vma=False)
+            return fn(params, buf, pad_lens, limits, ends, caches, cross, pos,
+                      done, n_steps, eot_id, temperature, keys, t0s)
+
         self._encode = jax.jit(encode)
         self._admit_jit = jax.jit(admit)
         self._steps_jit = jax.jit(steps)
+        self._steps_sample_jit = jax.jit(steps_sample, static_argnums=(11, 12))
 
     # ---- sharding hooks ----------------------------------------------------
     def _params_cfg(self):
@@ -268,9 +289,14 @@ class TPWhisperContinuousBatchingGenerator(WhisperContinuousBatchingGenerator):
         return self._admit_jit(params, *args)
 
     def _steps(self, params, cfg, buf, pad_lens, limits, ends, caches, cross, pos,
-               fused, done, n_steps, eot_id, packed=None, head=None, head_v=None):
-        return self._steps_jit(params, buf, pad_lens, limits, ends, caches, cross,
-                               pos, done, n_steps, eot_id)
+               fused, done, n_steps, eot_id, packed=None, head=None, head_v=None,
+               topk=1, top_p=None, temperature=None, keys=None, t0s=None):
+        if topk == 1 and top_p is None:
+            return self._steps_jit(params, buf, pad_lens, limits, ends, caches, cross,
+                                   pos, done, n_steps, eot_id)
+        return self._steps_sample_jit(params, buf, pad_lens, limits, ends, caches,
+                                      cross, pos, done, n_steps, eot_id, topk, top_p,
+                                      temperature, keys, t0s)
 
 
 class TPT5ContinuousBatchingGenerator(T5ContinuousBatchingGenerator):
@@ -343,9 +369,31 @@ class TPT5ContinuousBatchingGenerator(T5ContinuousBatchingGenerator):
             return fn(params, buf, pad_lens, limits, ends, caches, cross, pos,
                       done, n_steps, eos_id, bias_tab)
 
+        def steps_sample(params, buf, pad_lens, limits, ends, caches, cross, pos,
+                         done, n_steps, eos_id, bias_tab, topk, top_p, temperature,
+                         keys, t0s):
+            # per-rank sampling is replicated math: hidden is psum-complete
+            # and classifier/keys are replicated -> every rank draws the same
+            def local(p, buf, pads, lims, ends, caches, cross, pos, done, n, eos,
+                      bias, temp, keys, t0s):
+                return _t5cb_steps_body(p, cfg_local, buf, pads, lims, ends, caches,
+                                        cross, pos, False, done, n, eos, bias,
+                                        topk=topk, top_p=top_p, temperature=temp,
+                                        keys=keys, t0s=t0s)
+
+            fn = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(pspecs, P(), P(), P(), P(), cache_spec, cross_spec,
+                          P(), P(), P(), P(), bias_spec, P(), P(), P()),
+                out_specs=(P(), P(), cache_spec, P(), P()),
+                check_vma=False)
+            return fn(params, buf, pad_lens, limits, ends, caches, cross, pos,
+                      done, n_steps, eos_id, bias_tab, temperature, keys, t0s)
+
         self._encode_jit = jax.jit(encode)
         self._admit_jit = jax.jit(admit)
         self._steps_jit = jax.jit(steps)
+        self._steps_sample_jit = jax.jit(steps_sample, static_argnums=(12, 13))
 
     # ---- sharding hooks ----------------------------------------------------
     def _params_cfg(self):
@@ -383,6 +431,10 @@ class TPT5ContinuousBatchingGenerator(T5ContinuousBatchingGenerator):
 
     def _steps(self, params, cfg, buf, pad_lens, limits, ends, caches, cross, pos,
                fused, done, n_steps, eos_id, bias_tab, packed=None, head=None,
-               head_v=None):
-        return self._steps_jit(params, buf, pad_lens, limits, ends, caches, cross,
-                               pos, done, n_steps, eos_id, bias_tab)
+               head_v=None, topk=1, top_p=None, temperature=None, keys=None, t0s=None):
+        if topk == 1 and top_p is None:
+            return self._steps_jit(params, buf, pad_lens, limits, ends, caches, cross,
+                                   pos, done, n_steps, eos_id, bias_tab)
+        return self._steps_sample_jit(params, buf, pad_lens, limits, ends, caches,
+                                      cross, pos, done, n_steps, eos_id, bias_tab,
+                                      topk, top_p, temperature, keys, t0s)

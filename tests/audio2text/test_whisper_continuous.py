@@ -106,3 +106,42 @@ def test_streaming_callback_delivers_every_token_once(model, plain, audios):
     for i, out in enumerate(outs):
         assert streams[i] == out[len(INIT):]
     assert all(1 <= n <= 4 for _, n in calls)
+
+
+def _sampling_oracle(model, audio, max_tokens, seed, req_idx, topk, top_p, temp):
+    """The documented sampling chain — transcript token g of segment r draws
+    ``fold_in(fold_in(PRNGKey(seed), r), g)`` — computed with full UNCACHED
+    forwards, independent of the pool/cache machinery under test."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_models_tpu.models.audio2text.whisper import WhisperPreprocessor
+    from pytorch_models_tpu.models.text.generator import _sample
+
+    padded = np.pad(audio, (0, 30 * 16000 - len(audio)))
+    mel = WhisperPreprocessor("tiny", fused=False)(padded)[None]
+    key_r = jax.random.fold_in(jax.random.PRNGKey(seed), req_idx)
+    toks = list(INIT)
+    g = 0
+    while len(toks) < max_tokens:
+        logits = model(mel, jnp.asarray(toks)[None])[0, -1]
+        toks.append(int(_sample(logits, jax.random.fold_in(key_r, g), topk, top_p, temp)))
+        g += 1
+        if toks[-1] == EOT:
+            break
+    return toks
+
+
+def test_sampling_schedule_invariant(model, audios):
+    """topk/temperature transcription serving: segment r's sample stream
+    depends only on (seed, r) — identical across pool sizes and check_every —
+    and matches the documented fold_in chain of uncached forwards."""
+    kw = dict(topk=5, temperature=0.9, seed=3)
+    cb_a = WhisperContinuousBatchingGenerator(model, batch_size=2, check_every=4,
+                                              pool_ctx=128)
+    cb_b = WhisperContinuousBatchingGenerator(model, batch_size=1, check_every=1,
+                                              pool_ctx=128)
+    outs = cb_a.transcribe_tokens_many(audios[:3], INIT, EOT, max_tokens=14, **kw)
+    assert outs == cb_b.transcribe_tokens_many(audios[:3], INIT, EOT, max_tokens=14, **kw)
+    assert outs == [_sampling_oracle(model, a, 14, 3, i, 5, None, 0.9)
+                    for i, a in enumerate(audios[:3])]

@@ -107,3 +107,40 @@ def test_streaming_callback_delivers_every_token_once(model, plain, prompts):
     for i, out in enumerate(outs):
         assert streams[i] == out[1:]
     assert all(1 <= n <= 4 for _, n in calls)
+
+
+def _sampling_oracle(model, request, max_tokens, seed, req_idx, topk, top_p, temp):
+    """The documented sampling chain — generated token g of request r draws
+    ``fold_in(fold_in(PRNGKey(seed), r), g)`` — computed with full UNCACHED
+    forwards, independent of the pool/cache machinery under test."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_models_tpu.models.text.generator import _sample
+
+    memory = model.encode(jnp.asarray(request)[None])
+    key_r = jax.random.fold_in(jax.random.PRNGKey(seed), req_idx)
+    toks = [PAD]
+    g = 0
+    while len(toks) < max_tokens:
+        logits = model.decode(jnp.asarray(toks)[None], memory)[0, -1]
+        toks.append(int(_sample(logits, jax.random.fold_in(key_r, g), topk, top_p, temp)))
+        g += 1
+        if toks[-1] == EOS:
+            break
+    return toks
+
+
+def test_sampling_schedule_invariant(model, prompts):
+    """topk/temperature serving: request r's sample stream depends only on
+    (seed, r) — identical across pool sizes and check_every — and matches
+    the documented fold_in chain of uncached forwards."""
+    kw = dict(topk=5, temperature=0.9, seed=3)
+    cb_a = T5ContinuousBatchingGenerator(model, batch_size=2, check_every=4,
+                                         pool_ctx=128)
+    cb_b = T5ContinuousBatchingGenerator(model, batch_size=1, check_every=1,
+                                         pool_ctx=128)
+    outs = cb_a.generate_tokens_many(prompts[:3], 14, PAD, EOS, **kw)
+    assert outs == cb_b.generate_tokens_many(prompts[:3], 14, PAD, EOS, **kw)
+    assert outs == [_sampling_oracle(model, r, 14, 3, i, 5, None, 0.9)
+                    for i, r in enumerate(prompts[:3])]
