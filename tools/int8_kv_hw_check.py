@@ -1,0 +1,95 @@
+"""int8 KV-cache attention on REAL hardware: Mosaic compile check, parity vs
+the exact quantized-math oracle, and a timing bracket vs the bf16 decode
+kernel at the GPT-2 bench shape.
+
+Hardware-specific risks interpret mode can't validate (ops/int8_kv.py):
+- int8 x int8 -> int32 MXU dots over DMA-streamed int8 KV blocks;
+- the dim-0-contracting PV dot (``p_i8 (g*bk, gh) -0- V (g*bk, hd)``);
+- the per-block f32 -> int8 prob quantization (a T(8,128) -> T(32,128)
+  relayout — the known cost center, measured here);
+- int8 cache DMA slices at 128-key granularity.
+
+Run: python tools/int8_kv_hw_check.py [quick]
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+
+def main():
+    quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
+    from pytorch_models_tpu.ops.decode_attention import decode_attention
+    from pytorch_models_tpu.ops.int8_kv import (
+        int8_attention_oracle, int8_decode_attention, make_int8_kv_cache,
+        prefill_int8_kv)
+
+    print(jax.devices(), flush=True)
+    # GPT-2 bench shape: b=32, 12 heads x 64, cache 1024, pos 544
+    b, n_heads, d, l_max, pos = 32, 12, 64, 1024, 544
+    hd = n_heads * d
+    r = np.random.default_rng(0)
+    q = jnp.asarray(r.standard_normal((b, 1, hd)) * 0.5, jnp.float32)
+    k = jnp.asarray(r.standard_normal((b, l_max, hd)) * 0.3, jnp.float32)
+    v = jnp.asarray(r.standard_normal((b, l_max, hd)) * 0.3, jnp.float32)
+    cur_k = jnp.asarray(r.standard_normal((b, hd)) * 0.3, jnp.float32)
+    cur_v = jnp.asarray(r.standard_normal((b, hd)) * 0.3, jnp.float32)
+    caches = make_int8_kv_cache(b, l_max, hd)
+    caches = prefill_int8_kv(*caches, k, v)
+    ends = jnp.full((b,), pos, jnp.int32)
+
+    # ---- compile + parity vs the exact quantized oracle -------------------
+    t0 = time.time()
+    got = int8_decode_attention(q, *caches, ends, n_heads,
+                                cur_k=cur_k, cur_v=cur_v)
+    got.block_until_ready()
+    print(f"int8-kv compile+run OK in {time.time()-t0:.0f}s", flush=True)
+    want = int8_attention_oracle(q, *caches, ends, n_heads,
+                                 cur_k=cur_k, cur_v=cur_v)
+    diff = np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32)).max()
+    scale = max(np.abs(np.asarray(want, np.float32)).max(), 1e-6)
+    print(f"vs exact quantized oracle: max abs diff {diff:.2e} "
+          f"(rel {diff/scale:.2e}; expect f32-rounding scale)", flush=True)
+    assert diff / scale < 1e-3, "kernel diverged from the quantized-math oracle"
+    if quick:
+        return
+
+    # ---- timing bracket vs the bf16 decode kernel at the same shape -------
+    # bf16 kernel semantics: current position already written into the cache
+    kb = jnp.asarray(k, jnp.bfloat16)
+    vb = jnp.asarray(v, jnp.bfloat16)
+    qb = jnp.asarray(q, jnp.bfloat16)
+
+    def timed(fn, reps=200):
+        fn().block_until_ready()
+        out = None
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        np.asarray(out)
+        return (time.perf_counter() - t0) / reps
+
+    t_bf16 = timed(lambda: decode_attention(qb, kb, vb, pos + 1, n_heads))
+    t_int8 = timed(lambda: int8_decode_attention(
+        jnp.asarray(q, jnp.bfloat16), *caches, ends, n_heads,
+        cur_k=jnp.asarray(cur_k, jnp.bfloat16), cur_v=jnp.asarray(cur_v, jnp.bfloat16)))
+    # HBM floor ratio: int8 halves K/V bytes but adds 2 f32 scale planes/key
+    kv_bytes_bf16 = 2 * b * pos * hd * 2
+    kv_bytes_int8 = 2 * b * pos * hd * 1 + 2 * b * pos * 4
+    print(f"attention @ (b=32, pos=544): bf16 {t_bf16*1e6:.0f} us, "
+          f"int8 {t_int8*1e6:.0f} us ({t_bf16/t_int8:.2f}x; traffic ratio "
+          f"{kv_bytes_bf16/kv_bytes_int8:.2f}x)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
