@@ -9,9 +9,11 @@ BASELINE.json north star asks for >= 0.9. Sweep details go to stderr.
 
 ``BENCH_MODEL=whisper`` instead reports Whisper-base real-time factor
 (greedy KV-cached decode, single 30 s segment); ``BENCH_MODEL=gpt2`` reports
-GPT-2-small batched decode throughput in tokens/sec. ``BENCH_DTYPE=int8_a8``
-with the default ViT mode benches w8a8 serving (int8 projections/MLP on the
-2x-peak int8 MXU path; roofline switches to the mixed int8/bf16 ceiling).
+GPT-2-small batched decode throughput in tokens/sec (``BENCH_DTYPE=int8``
+weight-only int8 / ``int8_a8`` w8a8 megakernel / ``int8_kv`` bf16 weights +
+int8 self-KV caches). ``BENCH_DTYPE=int8_a8`` with the default ViT mode
+benches w8a8 serving (int8 projections/MLP on the 2x-peak int8 MXU path;
+roofline switches to the mixed int8/bf16 ceiling).
 
 Reliability (the remote-TPU tunnel sporadically hangs, CLAUDE.md): the parent
 process supervises the actual measurement in a child process with a
@@ -126,7 +128,7 @@ def whisper_base_floor(peak, bw, n_tok=64, dtype_bytes=2, kv_bytes=None):
 
 
 def gpt2_decode_roofline(peak, bw, batch, prompt_len, new_tokens, proj_bytes=2,
-                         head_bytes=2):
+                         head_bytes=2, kv_bytes=2):
     """Tokens/sec floor-derived ceiling for batched greedy decode.
 
     Each step reads the weights once (amortized over the batch) plus each
@@ -139,8 +141,10 @@ def gpt2_decode_roofline(peak, bw, batch, prompt_len, new_tokens, proj_bytes=2,
     other_params = vocab * d + ctx * d  # embeddings (logits matmul reads all of it)
     avg_pos = prompt_len + new_tokens / 2
     # w8a8 (head_bytes=1) streams the greedy-head table as int8 too
+    # int8 KV (kv_bytes=1) adds 2 f32 scale planes per key: + 2*4 bytes/key
+    kv_row = kv_bytes * 2 * d + (8 if kv_bytes == 1 else 0)
     step_bytes = proj_bytes * proj_params + head_bytes * vocab * d + 2 * ctx * d \
-        + 2 * batch * n_layers * 2 * avg_pos * d
+        + batch * n_layers * avg_pos * kv_row
     step_flops = 2.0 * batch * (proj_params + other_params + n_layers * 2 * avg_pos * d)
     t_step = max(step_bytes / bw, step_flops / peak)
     return batch / t_step
@@ -265,14 +269,20 @@ def bench_gpt2_decode(peak, bw):
     ``BENCH_DTYPE=int8`` benches weight-only int8 (halves the per-step weight
     traffic that bounds batched decode; roofline scales accordingly);
     ``BENCH_DTYPE=int8_a8`` adds w8a8 — per-row activation quantization +
-    int8 MXU dots in the megakernel (no per-tile dequant cast)."""
+    int8 MXU dots in the megakernel (no per-tile dequant cast);
+    ``BENCH_DTYPE=int8_kv`` keeps bf16 weights but stores the KV caches as
+    per-key int8 (ops/int8_kv.py) — KV is the dominant stream at batch 32,
+    so the roofline rises ~1.45x."""
     from pytorch_models_tpu.models.text import GPT2, DecoderGenerator
     from pytorch_models_tpu.ops import attention as attn_mod
 
     dtype_mode = os.environ.get("BENCH_DTYPE", "bf16")
-    int8 = dtype_mode.startswith("int8")
+    int8_kv = dtype_mode == "int8_kv"  # bf16 weights + int8 self-KV caches
+    int8 = dtype_mode.startswith("int8") and not int8_kv
     if dtype_mode == "int8_a8":
         attn_mod.USE_A8_DECODE = True
+    if int8_kv:
+        attn_mod.USE_INT8_KV = True
     model = GPT2(12, 768).to_bf16()  # random weights: timing-only (zero egress)
     if int8:
         model = model.quantize_int8()
@@ -310,7 +320,8 @@ def bench_gpt2_decode(peak, bw):
     tps = batch * new_tokens / dt
     roof = gpt2_decode_roofline(peak, bw, batch, prompt_len, new_tokens,
                                 proj_bytes=1 if int8 else 2,
-                                head_bytes=1 if dtype_mode == "int8_a8" else 2)
+                                head_bytes=1 if dtype_mode == "int8_a8" else 2,
+                                kv_bytes=1 if int8_kv else 2)
     print(f"gpt2 batched decode ({dtype_mode}): {tps:,.0f} tok/s "
           f"(batch {batch}, {new_tokens} new; bandwidth roofline {roof:,.0f} tok/s)", file=sys.stderr)
     return tps, tps / roof

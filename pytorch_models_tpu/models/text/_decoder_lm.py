@@ -158,6 +158,52 @@ def decoder_lm_pack(params: dict, cfg: DecoderLMConfig):
     return packed, head, head_v
 
 
+def quantize_kv_caches(caches: dict) -> dict:
+    """Layer-stacked bf16/f32 ``{"k","v"}`` (L, B, Lmax, H*D) caches (as
+    written by prefill) -> per-key int8 caches + batch-major f32 scale
+    planes ``{"k","v","ks","vs"}`` for the fused step's int8 self-KV path
+    (ops/decode_step.py ``kv_scales=``; design + oracle in ops/int8_kv.py).
+    Unwritten slots are zeros and quantize harmlessly (q=0, scale 1/127)."""
+    from ...ops.int8_kv import quantize_rows
+
+    k_q, k_s = quantize_rows(caches["k"])
+    v_q, v_s = quantize_rows(caches["v"])
+    b = k_q.shape[1]
+    pad = max(8, -(-b // 8) * 8) - b
+
+    def plane(s):  # (L, B, Lmax, 1) -> (L, B8, Lmax)
+        p = s[..., 0]
+        return jnp.pad(p, ((0, 0), (0, pad), (0, 0)), constant_values=1.0) if pad else p
+
+    return {"k": k_q, "v": v_q, "ks": plane(k_s), "vs": plane(v_s)}
+
+
+def _write_caches(caches: dict, k_new, v_new, pos):
+    """Write this step's (L, B, H*D) K/V at ``pos`` — quantizing per key
+    when the caches are int8 (the kernel scores the current position with
+    the same rule, so a key scores identically now and from the cache)."""
+    from ...ops.int8_kv import quantize_rows
+
+    start = (0, 0, pos, 0)
+    if "ks" not in caches:
+        return {
+            "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
+            "v": lax.dynamic_update_slice(caches["v"], v_new[:, :, None, :].astype(caches["v"].dtype), start),
+        }
+    kq, ks = quantize_rows(k_new)  # (L, B, H*D) -> int8 + (L, B, 1)
+    vq, vs = quantize_rows(v_new)
+    return {
+        "k": lax.dynamic_update_slice(caches["k"], kq[:, :, None, :], start),
+        "v": lax.dynamic_update_slice(caches["v"], vq[:, :, None, :], start),
+        "ks": lax.dynamic_update_slice(caches["ks"], ks, (0, 0, pos)),
+        "vs": lax.dynamic_update_slice(caches["vs"], vs, (0, 0, pos)),
+    }
+
+
+def _kv_scales(caches: dict):
+    return ({"ks": caches["ks"], "vs": caches["vs"]} if "ks" in caches else None)
+
+
 def _embed_or_fold(params, tokens, pos_ids):
     """Embeddings for a fused decode step: at small batch, return the
     in-kernel embed-phase kwargs (the token/pos gathers move into the
@@ -189,13 +235,9 @@ def decoder_lm_fused_tok_batch(params, packed, head, head_v, cfg: DecoderLMConfi
     _, k_new, v_new, tok = fused_decode_step(
         x, packed, caches["k"], caches["v"], pos, pad_lens,
         n_heads=lc.n_heads, act=lc.act, eps=cfg.norm_eps, head=head, head_v=head_v,
-        a8=_attn.use_a8_decode(packed["wqkv"].dtype), **emb_kw)
-    start = (0, 0, pos, 0)
-    caches = {
-        "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
-        "v": lax.dynamic_update_slice(caches["v"], v_new[:, :, None, :].astype(caches["v"].dtype), start),
-    }
-    return tok, caches
+        a8=_attn.use_a8_decode(packed["wqkv"].dtype),
+        kv_scales=_kv_scales(caches), **emb_kw)
+    return tok, _write_caches(caches, k_new, v_new, pos)
 
 
 def decoder_lm_hidden_fused_batch(params, packed, cfg: DecoderLMConfig, tokens, pos_ids,
@@ -212,13 +254,9 @@ def decoder_lm_hidden_fused_batch(params, packed, cfg: DecoderLMConfig, tokens, 
     lc = cfg.layer
     x, k_new, v_new = fused_decode_step(x, packed, caches["k"], caches["v"], pos, pad_lens,
                                         n_heads=lc.n_heads, act=lc.act, eps=cfg.norm_eps,
-                                        a8=_attn.use_a8_decode(packed["wqkv"].dtype), **emb_kw)
-    start = (0, 0, pos, 0)
-    caches = {
-        "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
-        "v": lax.dynamic_update_slice(caches["v"], v_new[:, :, None, :].astype(caches["v"].dtype), start),
-    }
-    return _final_hidden(params, cfg, x)[:, None, :], caches
+                                        a8=_attn.use_a8_decode(packed["wqkv"].dtype),
+                                        kv_scales=_kv_scales(caches), **emb_kw)
+    return _final_hidden(params, cfg, x)[:, None, :], _write_caches(caches, k_new, v_new, pos)
 
 
 def decoder_lm_hidden_cached(params, cfg: DecoderLMConfig, tokens, caches, pos):

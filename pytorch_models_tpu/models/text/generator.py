@@ -29,9 +29,16 @@ from ._decoder_lm import (
     decoder_lm_hidden_fused_batch,
     decoder_lm_make_cache,
     decoder_lm_pack,
+    quantize_kv_caches,
 )
 
 PROMPT_BUCKET = 64  # prompts are right-padded to a multiple of this to bound recompiles
+
+
+def _use_int8_kv(batch: int) -> bool:
+    from ...ops import attention as _attn
+
+    return _attn.use_int8_kv(batch)
 
 
 def _check_sampling(topk: int, top_p, temperature) -> None:
@@ -151,6 +158,10 @@ def _generate_batch_body(params, cfg, prompt_buf, pad_lens, limit, topk, eos_id,
     packed, head, head_v = decoder_lm_pack(params, cfg) if fused else (None, None, None)
     logits, caches = decoder_lm_forward_cached_batch(params, cfg, prompt_buf, pos_ids, caches, 0, pad_lens)
     last = logits[:, -1]  # rows are right-aligned: slot P-1 is each row's last prompt token
+    if fused and _use_int8_kv(b):
+        # int8 self-KV serving (opt-in, ops/attention.py USE_INT8_KV): the
+        # prefilled cache quantizes once here; decode steps write quantized
+        caches = quantize_kv_caches(caches)
 
     buf = jnp.zeros((b, l_max), jnp.int32)
     buf = lax.dynamic_update_slice(buf, prompt_buf.astype(jnp.int32), (0, 0))

@@ -89,6 +89,26 @@ def use_fused_embed(batch: int) -> bool:
     return batch <= 4 and _on_tpu()
 
 
+# int8 self-KV cache for the fused decode step (ops/decode_step.py
+# ``kv_scales=``, design + exact oracle in ops/int8_kv.py): K/V stored as
+# per-key symmetric int8 (+ f32 scale planes) and the attention dots run
+# int8 x int8 -> int32 on the MXU. Halves the DOMINANT stream of batched
+# decode (KV = 640 MB of the 885 MB GPT-2 batch-32 step). Opt-in: changes
+# numerics (per-key K/V + per-column prob rounding) and awaits the hardware
+# A/B (tools/int8_kv_hw_check.py). Env INT8_KV=0/1 overrides (trace time).
+USE_INT8_KV: bool = False
+
+
+def use_int8_kv(batch: int) -> bool:
+    """True when the mode is on and the batch fits the kernel's grouping
+    (b <= 8 or b % 8 == 0: per-group scale DMAs need 8-aligned row sets)."""
+    import os
+
+    env = os.environ.get("INT8_KV")
+    on = (env == "1") if env is not None else USE_INT8_KV
+    return on and (batch <= 8 or batch % 8 == 0)
+
+
 # fused greedy head (ops/greedy_head.py): argmax(x @ emb.T) without the
 # (B, V) logits round-trip. None = auto (on for TPU at batch >= 4 — at B=1
 # the chunked matmuls lose to XLA's single streamed head, measured ~10%

@@ -114,7 +114,8 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             prec, cross: bool, norm_kind: str, gated: bool, has_sbias: bool,
             b: int, head_v: int | None = None, wt_int8: bool = False,
             a8: bool = False, eager: bool = False, embed: bool = False,
-            embed_pos: bool = False, head_a8: bool = False):
+            embed_pos: bool = False, head_a8: bool = False,
+            kv_int8: bool = False, kv_g: int = 0, b8: int = 0):
     refs = list(refs)
     with_head = head_v is not None
 
@@ -155,6 +156,9 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
     if cross:
         wqc_hbm, woc_hbm = pop(2)
     kc_hbm, vc_hbm = pop(2)
+    ks_hbm = vs_hbm = None
+    if kv_int8:  # (L, B8, Lmax) f32 per-key scale planes for the int8 caches
+        ks_hbm, vs_hbm = pop(2)
     if cross:
         kxc_hbm, vxc_hbm = pop(2)
     if with_head:
@@ -172,6 +176,9 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
     if cross:
         qc_scr, oc_scr = pop(2)
     k_scr, v_scr = pop(2)
+    ks_scr = vs_scr = kvs_sem = None
+    if kv_int8:
+        ks_scr, vs_scr = pop(2)
     kx_scr = vx_scr = kvx_sem = None
     if cross:
         kx_scr, vx_scr = pop(2)
@@ -185,6 +192,8 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
     if cross:
         qc_sem, oc_sem = pop(2)
     (kv_sem,) = pop(1)
+    if kv_int8:
+        (kvs_sem,) = pop(1)
     if cross:
         (kvx_sem,) = pop(1)
     if with_head:
@@ -215,6 +224,19 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             pltpu.make_async_copy(vhbm.at[l, :, pl.ds(i * blk, blk), :],
                                   vs.at[slot], sem2.at[slot, 1]),
         ]
+
+    def skv_dma(i, slot):
+        """Self-KV block copies; int8 caches bring their (B8, bkv) f32
+        per-key scale windows along (bkv=128 keeps the lane offset aligned)."""
+        cps = kv_dma(kc_hbm, vc_hbm, i, slot, (k_scr, v_scr), kv_sem, bkv)
+        if kv_int8:
+            cps += [
+                pltpu.make_async_copy(ks_hbm.at[l, :, pl.ds(i * bkv, bkv)],
+                                      ks_scr.at[slot], kvs_sem.at[slot, 0]),
+                pltpu.make_async_copy(vs_hbm.at[l, :, pl.ds(i * bkv, bkv)],
+                                      vs_scr.at[slot], kvs_sem.at[slot, 1]),
+            ]
+        return cps
 
     pos = pos_ref[0]
     first_kv = lims_ref[0] // bkv  # lims[0] = min over rows of pad_lens
@@ -252,8 +274,7 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
         for w in range(2):
             @pl.when(first_kv + w < n_kv)
             def _(w=w):
-                for cp in kv_dma(kc_hbm, vc_hbm, first_kv + w, lax.rem(first_kv + w, 2),
-                                 (k_scr, v_scr), kv_sem, bkv):
+                for cp in skv_dma(first_kv + w, lax.rem(first_kv + w, 2)):
                     cp.start()
 
         if eager:
@@ -426,6 +447,129 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             ls = jnp.where(ls == 0.0, 1.0, ls)
         return (accs / expand(ls)).astype(cdt)
 
+    def attn_stream_int8(q, cur_kv):
+        """Self-attention over the int8 KV cache (ops/int8_kv.py design,
+        oracle-pinned there): per-group block-diagonal int8 q-expander
+        scores, prob-folded V scales, dim-0-contracting int8 PV dots — all
+        attention math rides the MXU as int8 x int8 -> int32 with NO
+        int8->bf16 tile casts. Streams bkv=128 int8 K/V blocks plus their
+        (B8, bkv) f32 per-key scale windows (skv_dma)."""
+        g = kv_g
+        ng = b // g
+        gh = g * n_heads
+        f32 = jnp.float32
+        sel = (lax.broadcasted_iota(jnp.int32, (g, gh), 1) // n_heads
+               == lax.broadcasted_iota(jnp.int32, (g, gh), 0)).astype(f32)
+        head_ok = (lax.broadcasted_iota(jnp.int32, (hd, gh), 0) // head_dim
+                   == lax.broadcasted_iota(jnp.int32, (hd, gh), 1) % n_heads).astype(f32)
+        hm = (lax.broadcasted_iota(jnp.int32, (gh, hd), 0) % n_heads
+              == lax.broadcasted_iota(jnp.int32, (gh, hd), 1) // head_dim).astype(f32)
+
+        def expand_g(v_gh):  # (1, gh) per-(row, head) -> (g, hd) per lane
+            return lax.dot_general(sel * v_gh, hm, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32, precision=prec)
+
+        row_i = lax.broadcasted_iota(jnp.int32, (g * bkv, gh), 0)
+        col_i = lax.broadcasted_iota(jnp.int32, (g * bkv, gh), 1)
+        diag = row_i // bkv == col_i // n_heads
+        j_in_blk = row_i - (row_i // bkv) * bkv
+
+        q_s = q.astype(f32) * scale  # (b, hd)
+        pad_all = pad_col[...]  # (b, 1)
+        k_new, v_new = cur_kv
+
+        # per-group quantized q-expander + current-position K (the cache-
+        # write rule: a key scores identically now and when later streamed)
+        qs, qi, kci, kcs = [], [], [], []
+        for gi in range(ng):
+            q_g = q_s[gi * g:(gi + 1) * g]
+            q_e = lax.dot_general(q_g, sel, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32, precision=prec) * head_ok
+            absmax = jnp.max(jnp.abs(q_e), axis=0, keepdims=True)
+            sq = jnp.where(absmax == 0.0, 1.0, absmax) * (1.0 / 127.0)
+            qi.append(jnp.clip(jnp.round(q_e / sq), -127, 127).astype(jnp.int8))
+            qs.append(sq)
+            kc = k_new[gi * g:(gi + 1) * g].astype(f32)
+            am = jnp.max(jnp.abs(kc), axis=1, keepdims=True)
+            ks_ = jnp.where(am == 0.0, 1.0, am) * (1.0 / 127.0)
+            kci.append(jnp.clip(jnp.round(kc / ks_), -127, 127).astype(jnp.int8))
+            kcs.append(ks_)
+
+        def step(i, carry):
+            mss, lss, accss = carry
+            slot = lax.rem(i, 2)
+
+            @pl.when(i + 2 < n_kv)
+            def _():
+                for cp in skv_dma(i + 2, lax.rem(i + 2, 2)):
+                    cp.start()
+
+            for cp in skv_dma(i, slot):
+                cp.wait()
+
+            out_m, out_l, out_a = [], [], []
+            for gi in range(ng):
+                ms, ls, accs = mss[gi], lss[gi], accss[gi]
+                k_flat = k_scr[slot][gi * g:(gi + 1) * g].reshape(g * bkv, hd)
+                s_i32 = lax.dot_general(k_flat, qi[gi], (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.int32)
+                sk_blk = ks_scr[slot][gi * g:(gi + 1) * g]  # (g, bkv)
+                s = (s_i32.astype(f32).reshape(g, bkv, gh)
+                     * sk_blk[:, :, None]).reshape(g * bkv, gh) * qs[gi]
+                pad_g = jnp.broadcast_to(pad_all[gi * g:(gi + 1) * g, :, None],
+                                         (g, bkv, 1)).reshape(g * bkv, 1)
+                k_idx = i * bkv + j_in_blk
+                valid = jnp.logical_and(
+                    jnp.logical_and(k_idx < pos, k_idx >= pad_g), diag)
+                s = jnp.where(valid, s, NEG_INF)
+                m_new = jnp.maximum(ms, jnp.max(s, axis=0, keepdims=True))
+                m_safe = jnp.maximum(m_new, jnp.float32(NEG_INF / 2))
+                p = jnp.exp(s - m_safe)
+                alpha = jnp.exp(ms - m_safe)
+                l_new = alpha * ls + jnp.sum(p, axis=0, keepdims=True)
+                sv_blk = vs_scr[slot][gi * g:(gi + 1) * g]
+                p_eff = (p.reshape(g, bkv, gh)
+                         * sv_blk[:, :, None]).reshape(g * bkv, gh)
+                pm = jnp.max(jnp.abs(p_eff), axis=0, keepdims=True)
+                ps = jnp.where(pm == 0.0, 1.0, pm) * (1.0 / 127.0)
+                p_i8 = jnp.clip(jnp.round(p_eff / ps), -127, 127).astype(jnp.int8)
+                v_flat = v_scr[slot][gi * g:(gi + 1) * g].reshape(g * bkv, hd)
+                pv = lax.dot_general(p_i8, v_flat, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+                ctx = lax.dot_general(sel * ps, pv.astype(f32) * hm,
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=f32, precision=prec)
+                out_m.append(m_new)
+                out_l.append(l_new)
+                out_a.append(accs * expand_g(alpha) + ctx)
+            return out_m, out_l, out_a
+
+        init = ([jnp.full((1, gh), NEG_INF, f32)] * ng,
+                [jnp.zeros((1, gh), f32)] * ng,
+                [jnp.zeros((g, hd), f32)] * ng)
+        mss, lss, accss = lax.fori_loop(first_kv, n_kv, step, init)
+
+        cdiag = (lax.broadcasted_iota(jnp.int32, (g, gh), 0)
+                 == lax.broadcasted_iota(jnp.int32, (g, gh), 1) // n_heads)
+        outs = []
+        for gi in range(ng):
+            ms, ls, accs = mss[gi], lss[gi], accss[gi]
+            sc_i32 = lax.dot_general(kci[gi], qi[gi], (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+            s_cur = jnp.where(cdiag, sc_i32.astype(f32) * kcs[gi] * qs[gi], NEG_INF)
+            m_new = jnp.maximum(ms, jnp.max(s_cur, axis=0, keepdims=True))
+            p_cur = jnp.exp(s_cur - m_new)  # current pos always valid: l > 0
+            alpha = jnp.exp(ms - m_new)
+            ls = alpha * ls + jnp.sum(p_cur, axis=0, keepdims=True)
+            v_cur = v_new[gi * g:(gi + 1) * g].astype(f32)
+            pv_cur = lax.dot_general(p_cur, v_cur, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32, precision=prec)
+            ctx_cur = lax.dot_general(sel, pv_cur * hm, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=f32, precision=prec)
+            accs = accs * expand_g(alpha) + ctx_cur
+            outs.append((accs / expand_g(ls)).astype(cdt))
+        return jnp.concatenate(outs, 0) if ng > 1 else outs[0]
+
     def layer_body():
         layer_warmups()
         xv = x_scr[...]  # (B, d) residual stream
@@ -446,10 +590,13 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
         knew_ref[0] = k_new
         vnew_ref[0] = v_new
 
-        ends_v = pos * jnp.ones((b, 1, 1), jnp.int32)
-        pad_v = pad_col[...].reshape(b, 1, 1)
-        ctx = attn_stream(q, kc_hbm, vc_hbm, first_kv, n_kv, ends_v, pad_v,
-                          (k_new, v_new), sbias_r if has_sbias else None)
+        if kv_int8:
+            ctx = attn_stream_int8(q, (k_new, v_new))
+        else:
+            ends_v = pos * jnp.ones((b, 1, 1), jnp.int32)
+            pad_v = pad_col[...].reshape(b, 1, 1)
+            ctx = attn_stream(q, kc_hbm, vc_hbm, first_kv, n_kv, ends_v, pad_v,
+                              (k_new, v_new), sbias_r if has_sbias else None)
 
         if cross:
             def after_o():  # queue cross-q weights + the first cross-KV blocks
@@ -820,7 +967,7 @@ def pack_embed_tables(token_embs, pos_embs=None, dtype=jnp.bfloat16) -> dict:
 def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
                 norm, gated, sbias, cross_k, cross_v, cross_lens,
                 head=None, head_v=None, a8=False, emb=None, tok_ids=None,
-                pos_rows=None):
+                pos_rows=None, kv_scales=None):
     embed = emb is not None
     embed_pos = embed and "pos" in emb
     if embed:  # in-kernel embed phase replaces the x operand
@@ -849,8 +996,24 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
     itemsize = jnp.dtype(wt_dtype).itemsize
     assert l_max % KV_BLOCK == 0
     kv_item = jnp.dtype(k_caches.dtype).itemsize
-    bkv = _pick_kv_block(l_max, b, hd, kv_item)
-    bkv_x = _pick_kv_block(cross_k.shape[-2], b, hd, kv_item) if cross else KV_BLOCK
+    kv_int8 = kv_scales is not None
+    if kv_int8:
+        # int8 self-KV (ops/int8_kv.py design): 128-key blocks keep the
+        # scale-plane DMA lane offsets aligned; groups of <= 8 rows bound
+        # the block-diagonal q-expander's MXU waste
+        assert k_caches.dtype == jnp.int8 and v_caches.dtype == jnp.int8
+        assert sbias is None, "int8 self-KV does not take a self bias (T5)"
+        assert b <= 8 or b % 8 == 0, f"batch {b}: int8 KV needs b <= 8 or b % 8 == 0"
+        assert l_max % 128 == 0
+        kv_g = b if b <= 8 else 8
+        b8 = max(8, -(-b // 8) * 8)
+        assert kv_scales["ks"].shape == (n_layers, b8, l_max), kv_scales["ks"].shape
+        bkv = 128
+    else:
+        kv_g = b8 = 0
+        bkv = _pick_kv_block(l_max, b, hd, kv_item)
+    bkv_x = _pick_kv_block(cross_k.shape[-2], b, hd,
+                           jnp.dtype(cross_k.dtype).itemsize) if cross else KV_BLOCK
 
     rows = {
         "qkv": _pick_rows(d, 3 * hd, itemsize),
@@ -943,6 +1106,9 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
         operands += [packed["wqc"], packed["woc"]]
     in_specs += [any_spec] * 2
     operands += [k_caches, v_caches]
+    if kv_int8:
+        in_specs += [any_spec] * 2
+        operands += [kv_scales["ks"], kv_scales["vs"]]
     if cross:
         in_specs += [any_spec] * 2
         operands += [cross_k, cross_v]
@@ -965,6 +1131,9 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
                     pltpu.VMEM((2, rows["oc"], d), wt_dtype)]
     scratch += [pltpu.VMEM((2, b, bkv, hd), k_caches.dtype),
                 pltpu.VMEM((2, b, bkv, hd), v_caches.dtype)]
+    if kv_int8:
+        scratch += [pltpu.VMEM((2, b8, bkv), jnp.float32),
+                    pltpu.VMEM((2, b8, bkv), jnp.float32)]
     if cross:
         scratch += [pltpu.VMEM((2, b, bkv_x, hd), cross_k.dtype),
                     pltpu.VMEM((2, b, bkv_x, hd), cross_v.dtype)]
@@ -974,6 +1143,8 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
         scratch += [pltpu.VMEM(((2 if embed_pos else 1) * b, 8, d), xdt)]
     scratch += [pltpu.SemaphoreType.DMA((2,))] * (6 if cross else 4)
     scratch += [pltpu.SemaphoreType.DMA((2, 2))]
+    if kv_int8:
+        scratch += [pltpu.SemaphoreType.DMA((2, 2))]
     if cross:
         scratch += [pltpu.SemaphoreType.DMA((2, 2))]
     if with_head:
@@ -1008,7 +1179,7 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
         scale=1.0 / (head_dim ** 0.5), prec=prec, cross=cross,
         norm_kind=norm, gated=gated, has_sbias=sbias is not None, b=b,
         head_v=head_v, wt_int8=wt_int8, a8=a8, eager=eager, embed=embed,
-        embed_pos=embed_pos, head_a8=head_a8)
+        embed_pos=embed_pos, head_a8=head_a8, kv_int8=kv_int8, kv_g=kv_g, b8=b8)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1028,7 +1199,7 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
 def fused_decode_step(x, packed, k_caches, v_caches, pos, pad_lens,
                       n_heads: int, act: str = "gelu", eps: float = 1e-5,
                       head=None, head_v: int | None = None, a8: bool = False,
-                      emb=None, tok_ids=None, pos_rows=None):
+                      emb=None, tok_ids=None, pos_rows=None, kv_scales=None):
     """One full decode step over a self-attention-only layer stack (GPT-2).
 
     ``x``: (B, d) hidden states (embeddings already applied);
@@ -1058,7 +1229,7 @@ def fused_decode_step(x, packed, k_caches, v_caches, pos, pad_lens,
     return _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads,
                        act, eps, "ln", False, None, None, None, None,
                        head=head, head_v=head_v, a8=a8, emb=emb,
-                       tok_ids=tok_ids, pos_rows=pos_rows)
+                       tok_ids=tok_ids, pos_rows=pos_rows, kv_scales=kv_scales)
 
 
 @functools.partial(jax.jit,
@@ -1069,7 +1240,7 @@ def fused_cross_decode_step(x, packed, k_caches, v_caches, cross_k, cross_v,
                             norm: str = "ln", gated: bool = False, sbias=None,
                             head=None, head_v: int | None = None,
                             a8: bool = False, emb=None, tok_ids=None,
-                            pos_rows=None):
+                            pos_rows=None, kv_scales=None):
     """Decode step for cross-attention decoders (Whisper ``norm="ln"``;
     T5 ``norm="rms", gated=True`` with ``sbias`` the key-major rel-pos
     decode-bias table ``(Lmax, 128)`` fp32, shared across layers/batch).
@@ -1082,4 +1253,4 @@ def fused_cross_decode_step(x, packed, k_caches, v_caches, cross_k, cross_v,
     return _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads,
                        act, eps, norm, gated, sbias, cross_k, cross_v, cross_lens,
                        head=head, head_v=head_v, a8=a8, emb=emb,
-                       tok_ids=tok_ids, pos_rows=pos_rows)
+                       tok_ids=tok_ids, pos_rows=pos_rows, kv_scales=kv_scales)

@@ -935,3 +935,92 @@ def test_fused_step_a8_head_cross_gated():
     logits = s_i.astype(jnp.float32) * head["emb_s"].reshape(-1)[None, :v]
     np.testing.assert_array_equal(np.asarray(tok),
                                   np.argmax(np.asarray(logits), axis=-1))
+
+
+def test_fused_step_int8_kv_matches_attention_oracle():
+    """int8 self-KV mode (``kv_scales=``): the megakernel's grouped int8
+    attention must reproduce ops/int8_kv.py's exact quantized-math oracle
+    layer by layer (int dots are exact; projections/LN/MLP stay the bf16
+    path's f32 math)."""
+    from pytorch_models_tpu.models.text._decoder_lm import quantize_kv_caches
+    from pytorch_models_tpu.ops.int8_kv import int8_attention_oracle
+
+    r = rng(311)
+    b, d, n_layers, l_max, pos = 4, 128, 2, 256, 200
+    cfg, params = _setup(b=b, d=d, n_layers=n_layers, l_max=l_max)
+    hd = cfg.n_heads * cfg.head_dim
+
+    x = jnp.asarray(r.standard_normal((b, d)), jnp.float32)
+    caches = {
+        "k": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+        "v": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+    }
+    qcaches = quantize_kv_caches(caches)
+    assert qcaches["k"].dtype == jnp.int8 and qcaches["ks"].shape == (n_layers, 8, l_max)
+    pads = jnp.asarray([0, 3, 130, 7], jnp.int32)
+
+    packed = pack_decode_weights(params["layers"], jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        x_out, k_new, v_new = fused_decode_step(
+            x, packed, qcaches["k"], qcaches["v"], pos, pads,
+            n_heads=cfg.n_heads, act=cfg.act, eps=cfg.norm_eps,
+            kv_scales={"ks": qcaches["ks"], "vs": qcaches["vs"]})
+
+    # ---- replica: same layer math with int8_attention_oracle attention ----
+    lp = params["layers"]
+
+    def ln(h, p):
+        m = h.mean(axis=-1, keepdims=True)
+        v = ((h - m) ** 2).mean(axis=-1, keepdims=True)
+        return (h - m) / jnp.sqrt(v + cfg.norm_eps) * p["scale"] + p["bias"]
+
+    hcur = x
+    for li in range(n_layers):
+        h1 = ln(hcur, {k: lp["sa_norm"][k][li] for k in ("scale", "bias")})
+        wq = jnp.concatenate([lp["sa"][n]["w"][li] for n in ("q", "k", "v")], axis=-1)
+        bq = jnp.concatenate([lp["sa"][n]["b"][li] for n in ("q", "k", "v")], axis=-1)
+        qkv = h1 @ wq + bq
+        q, k_n, v_n = qkv[:, :hd], qkv[:, hd:2 * hd], qkv[:, 2 * hd:]
+        np.testing.assert_allclose(np.asarray(k_new[li]), np.asarray(k_n),
+                                   rtol=2e-5, atol=2e-5)
+        ctx = int8_attention_oracle(
+            q[:, None, :], qcaches["k"][li], qcaches["v"][li],
+            qcaches["ks"][li], qcaches["vs"][li], jnp.full((b,), pos, jnp.int32),
+            cfg.n_heads, pad_lens=pads, cur_k=k_n, cur_v=v_n)[:, 0, :]
+        hcur = hcur + ctx @ lp["sa"]["o"]["w"][li] + lp["sa"]["o"]["b"][li]
+        h2 = ln(hcur, {k: lp["mlp_norm"][k][li] for k in ("scale", "bias")})
+        m1 = h2 @ lp["mlp"]["fc1"]["w"][li] + lp["mlp"]["fc1"]["b"][li]
+        g = 0.5 * m1 * (1.0 + jnp.tanh(np.sqrt(2 / np.pi) * (m1 + 0.044715 * m1 ** 3)))
+        hcur = hcur + g @ lp["mlp"]["fc2"]["w"][li] + lp["mlp"]["fc2"]["b"][li]
+
+    ref = np.asarray(hcur, np.float32)
+    got = np.asarray(x_out, np.float32)
+    scale = max(np.abs(ref).max(), 1.0)
+    assert np.abs(got - ref).max() / scale < 2e-4, np.abs(got - ref).max() / scale
+
+
+def test_fused_step_int8_kv_write_roundtrip():
+    """_write_caches quantizes a decode step's K/V with the same rule the
+    kernel applies to the current position: re-reading the written slot on
+    the NEXT step scores identically to the cur-position fold."""
+    from pytorch_models_tpu.models.text._decoder_lm import (
+        _write_caches, quantize_kv_caches)
+
+    r = rng(313)
+    n_layers, b, l_max, hd = 2, 4, 256, 128
+    caches = quantize_kv_caches({
+        "k": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+        "v": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+    })
+    k_new = jnp.asarray(r.standard_normal((n_layers, b, hd)), jnp.float32)
+    v_new = jnp.asarray(r.standard_normal((n_layers, b, hd)), jnp.float32)
+    out = _write_caches(caches, k_new, v_new, 100)
+    from pytorch_models_tpu.ops.int8_kv import quantize_rows
+
+    kq, ks = quantize_rows(k_new)
+    np.testing.assert_array_equal(np.asarray(out["k"][:, :, 100, :]), np.asarray(kq))
+    np.testing.assert_array_equal(np.asarray(out["ks"][:, :b, 100]),
+                                  np.asarray(ks[..., 0]))
+    # neighbours untouched
+    np.testing.assert_array_equal(np.asarray(out["k"][:, :, 99, :]),
+                                  np.asarray(caches["k"][:, :, 99, :]))
