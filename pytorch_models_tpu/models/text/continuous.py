@@ -32,7 +32,13 @@ Prefix caching: ``generate_tokens_many(..., shared_prefix=...)`` forwards a
 common prompt prefix (system prompt) ONCE per call; admissions paste its KV
 into the slot (K/V depend only on row-relative positions, so one prefix
 cache serves every slot and position) and prefill only the request suffix.
-This also lifts the per-request prompt cap to ``len(prefix) + prompt_bucket``.
+
+Chunked prefill: prompts longer than ``prompt_bucket`` admit by forwarding
+bucket-size chunks left to right (each attending to the KV the previous
+chunks — and any pasted prefix — already wrote), with the ordinary admit
+program running the tail and arming the row. The only prompt-length limit is
+``max_seq_len``; all admissions still compile exactly three programs
+(admit, chunk, admit_prefix) regardless of prompt lengths.
 
 Greedy only, like the speculative decoder: the equivalence oracle is the
 plain greedy loop.
@@ -59,13 +65,12 @@ from ._decoder_lm import (
 from .generator import PROMPT_BUCKET, _check_sampling, _is_greedy, _sample
 
 
-def _cb_row_prefill(params, cfg, buf, caches, row, pos, pad_len, p):
-    """Prefill slot ``row``'s KV cache over the chunk ``[c0, c0+P)`` with
-    ``c0 = max(0, pos-1-P)`` (the last P buffer slots before the decode
-    position). Slots below ``pad_len`` hold garbage the pad mask hides;
-    cached KV below ``c0`` (e.g. a pasted shared prefix) is attended to but
-    not recomputed. Returns the updated layer-stacked caches."""
-    c0 = jnp.maximum(pos - 1 - p, 0)
+def _cb_row_prefill(params, cfg, buf, caches, row, c0, pad_len, p):
+    """Prefill slot ``row``'s KV cache over the buffer chunk ``[c0, c0+P)``.
+    Slots below ``pad_len`` hold garbage the pad mask hides; cached KV below
+    ``c0`` (a pasted shared prefix, or earlier chunks of a long prompt) is
+    attended to but not recomputed. Returns the updated layer-stacked
+    caches."""
     chunk = lax.dynamic_slice(buf, (row, c0), (1, p))
     p_ids = jnp.clip(jnp.arange(p)[None, :] + c0 - pad_len, 0, None)
     n_layers = caches["k"].shape[0]
@@ -91,13 +96,16 @@ def _cb_admit_body(params, cfg, buf, caches, pad_lens, limits, done,
                    row, pos, n, prompt_chunk, max_new):
     """Admit one request into slot ``row`` at global position ``pos``.
 
-    ``prompt_chunk``: (P,) with the n prompt tokens RIGHT-aligned. Writes the
-    prompt into ``buf[row, pos-n:pos)``, prefills the row's KV cache for the
-    first n-1 prompt tokens (chunk ``[c0, c0+P)`` with ``c0 = max(0,
-    pos-1-P)``; slots below ``pos-n`` and above ``pos-1`` hold garbage that
-    the pad/length masks hide and later steps overwrite), and arms the row:
-    ``pad_lens[row] = pos-n``, ``limits[row] = pos+max_new``, done cleared.
-    Requires (host-enforced): n >= 1, n <= P <= pos, pos+1 <= max_seq_len.
+    ``prompt_chunk``: (P,) with the LAST min(n, P) prompt tokens
+    RIGHT-aligned. Writes them into ``buf[row, pos-P:pos)``, prefills the
+    row's KV cache over the chunk ``[c0, c0+P)`` with ``c0 = max(0,
+    pos-1-P)`` (slots below ``pos-n`` and above ``pos-1`` hold garbage that
+    the pad/length masks hide and later steps overwrite; for n > P the
+    earlier prompt slots were written/prefilled by :func:`_cb_chunk_body`
+    passes), and arms the row: ``pad_lens[row] = pos-n``, ``limits[row] =
+    pos+max_new``, done cleared. Requires (host-enforced): n >= 1, P <= pos,
+    pos+1 <= max_seq_len, and buffer+cache coverage of ``[pos-n, pos-1-P)``
+    when n > P.
     """
     p = prompt_chunk.shape[0]
     pad_len = pos - n
@@ -106,9 +114,45 @@ def _cb_admit_body(params, cfg, buf, caches, pad_lens, limits, done,
     merged = jnp.where(jnp.arange(p) >= p - n, prompt_chunk.astype(jnp.int32), old)
     buf = lax.dynamic_update_slice(buf, merged[None], (row, pos - p))
 
-    caches = _cb_row_prefill(params, cfg, buf, caches, row, pos, pad_len, p)
+    caches = _cb_row_prefill(params, cfg, buf, caches, row,
+                             jnp.maximum(pos - 1 - p, 0), pad_len, p)
     pad_lens, limits, done = _cb_arm_row(pad_lens, limits, done, row, pad_len, pos, max_new)
     return buf, caches, pad_lens, limits, done
+
+
+def _cb_chunk_body(params, cfg, buf, caches, row, c0, pad_len, chunk):
+    """Chunked prefill for prompts LONGER than the bucket: write the (P,)
+    ``chunk`` of prompt tokens into ``buf[row, c0:c0+P)`` and forward it
+    against the row's cache (attending to everything already cached below
+    ``c0`` — earlier chunks and any pasted prefix). The host runs this left
+    to right until coverage reaches ``pos-P``; the ordinary admit program
+    then writes/prefills the tail and arms the row. One fixed chunk shape =
+    one compile, shared with the admit path's P."""
+    p = chunk.shape[0]
+    buf = lax.dynamic_update_slice(buf, chunk.astype(jnp.int32)[None], (row, c0))
+    caches = _cb_row_prefill(params, cfg, buf, caches, row, c0, pad_len, p)
+    return buf, caches
+
+
+def _cb_paste_body(buf, caches, row, pad_len, k, prefix_chunk, prefix_caches):
+    """Paste the precomputed shared-prefix KV + tokens into slot ``row`` at
+    ``[pad_len, pad_len+k)`` without any forward pass (the paste half of
+    :func:`_cb_admit_prefix_body`, standalone for chunked long-suffix
+    admissions). The ``Kp - k`` pad tail is masked so stale state there
+    survives."""
+    kp = prefix_chunk.shape[0]
+    keep = jnp.arange(kp) < k
+    old = lax.dynamic_slice(buf, (row, pad_len), (1, kp))[0]
+    buf = lax.dynamic_update_slice(
+        buf, jnp.where(keep, prefix_chunk.astype(jnp.int32), old)[None], (row, pad_len))
+    n_layers, _, _, width = caches["k"].shape
+    for kv in ("k", "v"):
+        old_kv = lax.dynamic_slice(caches[kv], (0, row, pad_len, 0), (n_layers, 1, kp, width))
+        pre = lax.dynamic_slice(prefix_caches[kv], (0, 0, 0, 0), (n_layers, 1, kp, width))
+        merged_kv = jnp.where(keep[None, None, :, None], pre, old_kv)
+        caches = dict(caches) | {
+            kv: lax.dynamic_update_slice(caches[kv], merged_kv, (0, row, pad_len, 0))}
+    return buf, caches
 
 
 def _cb_prefix_body(params, cfg, prefix_chunk):
@@ -168,7 +212,8 @@ def _cb_admit_prefix_body(params, cfg, buf, caches, pad_lens, limits, done,
 
     # the chunk forward recomputes any prefix-tail tokens it covers (reading
     # the pasted KV below c0) and writes the suffix KV
-    caches = _cb_row_prefill(params, cfg, buf, new_caches, row, pos, pad_len, p)
+    caches = _cb_row_prefill(params, cfg, buf, new_caches, row,
+                             jnp.maximum(pos - 1 - p, 0), pad_len, p)
     pad_lens, limits, done = _cb_arm_row(pad_lens, limits, done, row, pad_len, pos, max_new)
     return buf, caches, pad_lens, limits, done
 
@@ -245,6 +290,8 @@ def _cb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, pos, fused,
 
 
 _cb_admit = partial(jax.jit, static_argnums=(1,))(_cb_admit_body)
+_cb_chunk = partial(jax.jit, static_argnums=(1,))(_cb_chunk_body)
+_cb_paste = jax.jit(_cb_paste_body)
 _cb_prefix = partial(jax.jit, static_argnums=(1,))(_cb_prefix_body)
 _cb_admit_prefix = partial(jax.jit, static_argnums=(1,))(_cb_admit_prefix_body)
 _cb_steps = partial(jax.jit, static_argnums=(1, 8, 14, 15, 16))(_cb_steps_body)
@@ -255,8 +302,10 @@ class ContinuousBatchingGenerator:
     mid-flight request admission. Per-request outputs are token-identical to
     ``DecoderGenerator(model, tok).generate_tokens(prompt, max_tokens)``.
 
-    ``prompt_bucket`` caps prompt length (one admit-chunk shape = one
-    compile); ``check_every`` is how many decode steps run between host
+    ``prompt_bucket`` is the admit-chunk width (one shape = one compile);
+    longer prompts admit via chunked prefill (bucket-size chunks forwarded
+    left to right), capped only by ``max_seq_len``. ``check_every`` is how
+    many decode steps run between host
     scheduling points — larger amortizes the host/tunnel round-trip, smaller
     admits waiting requests sooner (finished slots park up to
     ``check_every - 1`` steps).
@@ -284,6 +333,12 @@ class ContinuousBatchingGenerator:
 
     def _admit(self, *args):
         return _cb_admit(*args)
+
+    def _prefill_chunk(self, *args):
+        return _cb_chunk(*args)
+
+    def _paste(self, *args):
+        return _cb_paste(*args)
 
     def _prefill_prefix(self, *args):
         return _cb_prefix(*args)
@@ -317,10 +372,10 @@ class ContinuousBatchingGenerator:
         Each request's full prompt is ``shared_prefix + request``; the prefix
         is forwarded ONCE per call and its KV is pasted into each slot at
         admission (prefix caching), so per-request prefill cost is the suffix
-        only — and the per-request cap becomes ``len(shared_prefix) +
-        prompt_bucket`` instead of ``prompt_bucket``. Outputs include the
-        prefix, identical to ``DecoderGenerator.generate_tokens(prefix +
-        request)`` per request.
+        only. Outputs include the prefix, identical to
+        ``DecoderGenerator.generate_tokens(prefix + request)`` per request.
+        Prompts longer than ``prompt_bucket`` admit via chunked prefill
+        (module docstring); the only length limit is ``max_seq_len``.
 
         ``topk``/``top_p``/``temperature``/``seed``: sampling (greedy by
         default). Request r's generated token g always draws with
@@ -358,7 +413,10 @@ class ContinuousBatchingGenerator:
             prefix_chunk = jnp.asarray(prefix_chunk)
         else:
             kp = 0
-        base = kp + p_bucket  # epoch start: admissions need pos >= n = k + s
+        # epoch start: admissions need pos >= n = k + s, so the base covers
+        # the LONGEST request (bucket-rounded; long prompts chunk-prefill)
+        max_s = max(len(t) for t in requests)
+        base = kp + max(p_bucket, -(-max_s // p_bucket) * p_bucket)
 
         def fits(pos, n, m_eff):
             if pos + m_eff > l_max or pos + 1 > l_max:
@@ -370,9 +428,7 @@ class ContinuousBatchingGenerator:
         plans = []  # (tokens, effective max_new) with the plain generator's clamp
         for toks, m in zip(requests, budgets):
             s = len(toks)
-            assert 1 <= s <= p_bucket, (
-                f"request length {s} exceeds prompt_bucket={p_bucket}; raise prompt_bucket "
-                f"(one-time recompile) or use DecoderGenerator for this request")
+            assert s >= 1, "empty request"
             n = k + s
             m_eff = min(m, l_max - n)  # plain generator: limit = min(n+max_tokens, L)
             assert m_eff >= 1 and fits(base, n, m_eff), (
@@ -413,18 +469,47 @@ class ContinuousBatchingGenerator:
                     slot_req[row] = None
                 if slot_req[row] is None and next_req < n_req:
                     toks, m_eff = plans[next_req]
-                    n = k + len(toks)
+                    s = len(toks)
+                    n = k + s
                     if not fits(pos, n, m_eff):
                         continue  # head-of-queue doesn't fit this epoch
-                    chunk = np.zeros((p_bucket,), np.int32)
-                    chunk[p_bucket - len(toks):] = toks
-                    if k:
+                    if s > p_bucket:
+                        # chunked prefill: paste the prefix (if any), forward
+                        # the prompt in bucket-size chunks left to right, and
+                        # let the ordinary admit run the tail + arm the row.
+                        # Same two compiled shapes as short prompts plus ONE
+                        # chunk program shared by every long request.
+                        pad_len = pos - n
+                        if k:
+                            buf, caches = self._paste(
+                                buf, caches, jnp.int32(row), jnp.int32(pad_len),
+                                jnp.int32(k), prefix_chunk, prefix_caches)
+                        # chunks must cover buffer slots up to pos-P (the
+                        # tail admit writes [pos-P, pos) and its prefill
+                        # reads buf from pos-1-P): loop until c0+P >= pos
+                        c0 = pad_len + k
+                        while c0 + p_bucket < pos:
+                            off = c0 - pad_len - k
+                            buf, caches = self._prefill_chunk(
+                                params, cfg, buf, caches, jnp.int32(row),
+                                jnp.int32(c0), jnp.int32(pad_len),
+                                jnp.asarray(toks[off:off + p_bucket], jnp.int32))
+                            c0 += p_bucket
+                        buf, caches, pad_lens, limits, done = self._admit(
+                            params, cfg, buf, caches, pad_lens, limits, done,
+                            jnp.int32(row), jnp.int32(pos), jnp.int32(n),
+                            jnp.asarray(toks[-p_bucket:], jnp.int32), jnp.int32(m_eff))
+                    elif k:
+                        chunk = np.zeros((p_bucket,), np.int32)
+                        chunk[p_bucket - s:] = toks
                         buf, caches, pad_lens, limits, done = self._admit_prefix(
                             params, cfg, buf, caches, pad_lens, limits, done,
                             jnp.int32(row), jnp.int32(pos), jnp.int32(n), jnp.int32(k),
                             prefix_chunk, prefix_caches, jnp.asarray(chunk),
                             jnp.int32(m_eff))
                     else:
+                        chunk = np.zeros((p_bucket,), np.int32)
+                        chunk[p_bucket - s:] = toks
                         buf, caches, pad_lens, limits, done = self._admit(
                             params, cfg, buf, caches, pad_lens, limits, done,
                             jnp.int32(row), jnp.int32(pos), jnp.int32(n),

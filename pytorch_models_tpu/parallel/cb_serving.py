@@ -27,6 +27,8 @@ from ..models.text.continuous import (
     ContinuousBatchingGenerator,
     _cb_admit_body,
     _cb_admit_prefix_body,
+    _cb_chunk_body,
+    _cb_paste_body,
     _cb_prefix_body,
     _cb_steps_body,
 )
@@ -114,6 +116,27 @@ class TPContinuousBatchingGenerator(ContinuousBatchingGenerator):
             )
             return fn(params, prefix_chunk)
 
+        def prefill_chunk(params, buf, caches, row, c0, pad_len, chunk):
+            fn = jax.shard_map(
+                lambda p, *a: _cb_chunk_body(p, cfg_local, *a),
+                mesh=mesh,
+                in_specs=(pspecs, P(), cache_spec, P(), P(), P(), P()),
+                out_specs=(P(), cache_spec),
+                check_vma=False,
+            )
+            return fn(params, buf, caches, row, c0, pad_len, chunk)
+
+        def paste(buf, caches, row, pad_len, kk, prefix_chunk, prefix_caches):
+            # pure slice/paste: the head-sharded cache width never crosses
+            # ranks, so each rank pastes its own shard
+            fn = jax.shard_map(
+                _cb_paste_body, mesh=mesh,
+                in_specs=(P(), cache_spec, P(), P(), P(), P(), cache_spec),
+                out_specs=(P(), cache_spec),
+                check_vma=False,
+            )
+            return fn(buf, caches, row, pad_len, kk, prefix_chunk, prefix_caches)
+
         def admit_prefix(params, buf, caches, pad_lens, limits, done,
                          row, pos, n, k, prefix_chunk, prefix_caches,
                          suffix_chunk, max_new):
@@ -131,6 +154,8 @@ class TPContinuousBatchingGenerator(ContinuousBatchingGenerator):
 
         self._admit_jit = jax.jit(admit)
         self._prefix_jit = jax.jit(prefill_prefix)
+        self._chunk_jit = jax.jit(prefill_chunk)
+        self._paste_jit = jax.jit(paste)
         self._admit_prefix_jit = jax.jit(admit_prefix)
         self._steps_jit = jax.jit(steps)
         self._steps_sample_jit = jax.jit(steps_sample, static_argnums=(10, 11))
@@ -153,6 +178,12 @@ class TPContinuousBatchingGenerator(ContinuousBatchingGenerator):
 
     def _prefill_prefix(self, params, cfg, prefix_chunk):
         return self._prefix_jit(params, prefix_chunk)
+
+    def _prefill_chunk(self, params, cfg, *args):
+        return self._chunk_jit(params, *args)
+
+    def _paste(self, *args):
+        return self._paste_jit(*args)
 
     def _admit_prefix(self, params, cfg, *args):
         return self._admit_prefix_jit(params, *args)

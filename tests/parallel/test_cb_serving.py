@@ -151,3 +151,25 @@ def test_tp_t5_cb_matches_single_device_per_request(tp):
                                           pool_ctx=64)
     outs = gen.generate_tokens_many(requests, 14, 0, 1)
     assert outs == ref
+
+
+def test_tp_cb_chunked_prefill_long_prompts(tp=2):
+    """Prompts longer than prompt_bucket admit via the sharded chunk/paste
+    programs and stay token-identical to single-device, with and without a
+    shared prefix."""
+    from pytorch_models_tpu.models.text import DecoderGenerator
+
+    m = _tiny_gpt2()
+    requests = [[i % 120 for i in range(2, 41)], [5, 6], [i * 3 % 117 for i in range(19)]]
+    budgets = [6, 9, 5]
+    plain = DecoderGenerator(m, Tok())
+    mesh = make_mesh(tp, shape=(tp,), axes=("tp",))
+    gen = TPContinuousBatchingGenerator(m, Tok(), mesh, batch_size=2,
+                                        prompt_bucket=16, check_every=4)
+    assert gen.generate_tokens_many(requests, budgets) == [
+        plain.generate_tokens(r, max_tokens=mt) for r, mt in zip(requests, budgets)]
+
+    prefix = [7, 3, 1, 8, 2]
+    got = gen.generate_tokens_many(requests, budgets, shared_prefix=prefix)
+    assert got == [plain.generate_tokens(prefix + r, max_tokens=mt)
+                   for r, mt in zip(requests, budgets)]

@@ -110,13 +110,57 @@ def test_single_slot_pool(model):
     assert cb.generate_tokens_many(reqs, budgets) == _oracle(model, tok, reqs, budgets)
 
 
-def test_rejects_oversized_request(model):
+def test_rejects_only_max_seq_len(model):
+    """Prompts longer than the bucket chunk-prefill; the only hard limit is
+    max_seq_len (a prompt leaving no room for a single generated token)."""
     cb = ContinuousBatchingGenerator(model, _Tok(), batch_size=2, prompt_bucket=8)
-    with pytest.raises(AssertionError, match="prompt_bucket"):
-        cb.generate_tokens_many([[1] * 9], 4)
+    with pytest.raises(AssertionError, match="fresh epoch"):
+        cb.generate_tokens_many([[1] * 256], 4)  # n == max_seq_len: no room
     big = ContinuousBatchingGenerator(model, _Tok(), batch_size=2, prompt_bucket=64)
     with pytest.raises(AssertionError, match="fresh epoch"):
         big.generate_tokens_many([[1] * 4], 10_000)  # bucket 64 + 255 > 256? clamp -> 64+251>256
+
+
+def test_chunked_prefill_long_prompts_match_plain(model):
+    """Prompts LONGER than prompt_bucket (up to several chunks, odd tails)
+    admit via chunked prefill and stay token-identical to the plain
+    generator — mixed with short prompts in one pool."""
+    tok = _Tok()
+    requests = [
+        [7] + [i % 512 for i in range(37)],   # 38 = 2 chunks + tail (bucket 16)
+        [3, 1, 4],                             # short: ordinary admit
+        [i * 7 % 512 for i in range(1, 50)],   # 49 = 4 chunks (one exactly full)
+        [i * 3 % 512 for i in range(17)],      # 17 = just over one bucket
+    ]
+    budgets = [9, 12, 5, 7]
+    cb = ContinuousBatchingGenerator(model, tok, batch_size=2, prompt_bucket=16,
+                                     check_every=4)
+    assert cb.generate_tokens_many(requests, budgets) == _oracle(model, tok, requests, budgets)
+
+
+def test_chunked_prefill_with_shared_prefix(model):
+    """Long suffixes behind a shared prefix: paste + suffix chunks + tail
+    admit, token-identical to the plain generator on prefix + request."""
+    tok = _Tok()
+    prefix = [5, 9, 2, 4, 4, 1, 3]
+    requests = [[i % 512 for i in range(2, 40)], [8, 1], [i % 509 for i in range(21)]]
+    budgets = [7, 11, 6]
+    cb = ContinuousBatchingGenerator(model, tok, batch_size=2, prompt_bucket=16,
+                                     check_every=3)
+    got = cb.generate_tokens_many(requests, budgets, shared_prefix=prefix)
+    want = _oracle(model, tok, [prefix + r for r in requests], budgets)
+    assert got == want
+
+
+def test_chunked_prefill_epoch_reset(model):
+    """A long prompt that cannot fit mid-epoch drains the pool and admits at
+    the (long-prompt-sized) fresh epoch base."""
+    tok = _Tok()
+    requests = [[1, 2, 3], [i % 512 for i in range(100)], [4, 5]]
+    budgets = [60, 40, 30]
+    cb = ContinuousBatchingGenerator(model, tok, batch_size=2, prompt_bucket=16,
+                                     check_every=5)
+    assert cb.generate_tokens_many(requests, budgets) == _oracle(model, tok, requests, budgets)
 
 
 def test_empty_queue(model):
