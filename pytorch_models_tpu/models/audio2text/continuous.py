@@ -276,6 +276,57 @@ class WhisperContinuousBatchingGenerator:
                                            temperature=temperature, seed=seed)
         return [self.tokenizer.decode(o) for o in outs]
 
+    def transcribe_long_many(self, audios, language: str = "en",
+                             task: str = "transcribe",
+                             max_tokens: int = DEC_MAX_LEN, topk: int = 1,
+                             top_p: float | None = None, temperature: float = 1.0,
+                             seed: int = 0) -> list[str]:
+        """Long-form (>30 s) waveforms -> texts through the slot pool
+        (requires a WhisperTokenizer). Independent-window mode: every 30 s
+        window of every audio schedules as its own segment, so a pool of B
+        slots keeps decoding while windows of different audios finish at
+        different times — the serving-engine counterpart of
+        ``WhisperGenerator.transcribe_long(condition_on_previous_text=False)``."""
+        if self.tokenizer is None:
+            raise ValueError(
+                "transcribe_long_many() returns text and needs a tokenizer; "
+                "construct with WhisperTokenizer.from_openai() or call "
+                "transcribe_long_tokens_many(...) for raw token ids")
+        init = self.tokenizer.sot_sequence(language, task)
+        outs = self.transcribe_long_tokens_many(audios, init, self.tokenizer.eot,
+                                                max_tokens, topk=topk, top_p=top_p,
+                                                temperature=temperature, seed=seed)
+        return ["".join(self.tokenizer.decode(w) for w in wins) for wins in outs]
+
+    def transcribe_long_tokens_many(self, audios, initial_tokens: list[int],
+                                    eot_id: int, max_tokens: int = DEC_MAX_LEN,
+                                    topk: int = 1, top_p: float | None = None,
+                                    temperature: float = 1.0,
+                                    seed: int = 0) -> list[list[list[int]]]:
+        """Split each waveform into fixed 30 s windows and schedule ALL
+        windows of ALL audios through the pool as independent segments;
+        returns per-audio lists of per-window GENERATED token ids (prompt and
+        EOT stripped), window-identical to
+        ``WhisperGenerator.transcribe_long_tokens(audio, ..., sot_prev_id=None)``.
+
+        Sampling: window w (in global admission order across all audios)
+        draws with ``fold_in(fold_in(PRNGKey(seed), w), g)`` — the segment
+        contract of :meth:`transcribe_tokens_many`."""
+        from .whisper import _strip_generated, split_windows
+
+        windows, owners = [], []
+        for i, a in enumerate(audios):
+            w = split_windows(a, self.N_SAMPLES)
+            windows.extend(w)
+            owners.extend([i] * len(w))
+        outs = self.transcribe_tokens_many(windows, initial_tokens, eot_id,
+                                           max_tokens, topk=topk, top_p=top_p,
+                                           temperature=temperature, seed=seed)
+        per: list[list[list[int]]] = [[] for _ in audios]
+        for owner, o in zip(owners, outs):
+            per[owner].append(_strip_generated(o, len(initial_tokens), eot_id))
+        return per
+
     def transcribe_tokens_many(self, audios, initial_tokens: list[int], eot_id: int,
                                max_tokens: int = DEC_MAX_LEN, on_tokens=None,
                                topk: int = 1, top_p: float | None = None,

@@ -594,6 +594,16 @@ def _strip_generated(tokens: list[int], n_prompt: int, eot_id: int) -> list[int]
     return gen
 
 
+def split_windows(audio, n_samples: int) -> np.ndarray:
+    """Waveform (n,) -> (n_windows, n_samples) fixed windows, last padded."""
+    audio = np.asarray(audio, np.float32)
+    assert audio.ndim == 1, f"long-form transcription takes a single (n,) waveform, got {audio.shape}"
+    n_w = max(1, -(-len(audio) // n_samples))
+    padded = np.zeros((n_w * n_samples,), np.float32)
+    padded[: len(audio)] = audio
+    return padded.reshape(n_w, n_samples)
+
+
 class WhisperGenerator:
     """Greedy KV-cached transcription (new vs reference; decode API modeled on
     T5Generator, ref t5.py:211-227)."""
@@ -737,12 +747,7 @@ class WhisperGenerator:
 
     def _split_windows(self, audio) -> np.ndarray:
         """Waveform (n,) -> (n_windows, N_SAMPLES) fixed 30 s windows, last padded."""
-        audio = np.asarray(audio, np.float32)
-        assert audio.ndim == 1, f"long-form transcription takes a single (n,) waveform, got {audio.shape}"
-        n_w = max(1, -(-len(audio) // self.N_SAMPLES))
-        padded = np.zeros((n_w * self.N_SAMPLES,), np.float32)
-        padded[: len(audio)] = audio
-        return padded.reshape(n_w, self.N_SAMPLES)
+        return split_windows(audio, self.N_SAMPLES)
 
     def transcribe_long_tokens(self, audio, initial_tokens: list[int], eot_id: int,
                                sot_prev_id: int | None = None, ctx_tokens: int = 64,

@@ -145,3 +145,20 @@ def test_sampling_schedule_invariant(model, audios):
     assert outs == cb_b.transcribe_tokens_many(audios[:3], INIT, EOT, max_tokens=14, **kw)
     assert outs == [_sampling_oracle(model, a, 14, 3, i, 5, None, 0.9)
                     for i, a in enumerate(audios[:3])]
+
+
+def test_long_audio_windows_match_plain_long_form(model, plain):
+    """>30 s audios: every window schedules through the pool and the
+    per-window outputs equal WhisperGenerator.transcribe_long_tokens's
+    independent-window mode, per audio."""
+    rng = np.random.default_rng(13)
+    longs = [(rng.standard_normal(16000 * 70) * 0.1).astype(np.float32),   # 3 windows
+             (rng.standard_normal(16000 * 12) * 0.1).astype(np.float32)]   # 1 window
+    cb = WhisperContinuousBatchingGenerator(model, batch_size=2, check_every=4,
+                                            pool_ctx=128)
+    got = cb.transcribe_long_tokens_many(longs, INIT, EOT, max_tokens=12)
+    want = [plain.transcribe_long_tokens(a, INIT, EOT, sot_prev_id=None,
+                                         max_tokens=12, batch_size=2)
+            for a in longs]
+    assert got == want
+    assert [len(w) for w in got] == [3, 1]
