@@ -28,6 +28,7 @@ the text pool:
 
 from __future__ import annotations
 
+import time
 from functools import partial
 
 import jax
@@ -45,6 +46,8 @@ from .whisper import (
     _whisper_encode_body,
     _whisper_fused_ok,
 )
+
+from ..text.continuous import ServingStats
 
 
 def _wcb_hidden(p, lc, cross, tokens, pos_ids, caches, pos, pad_lens):
@@ -387,6 +390,8 @@ class WhisperContinuousBatchingGenerator:
 
         pos = base
         next_req = 0
+        stats = ServingStats(requests=n_req)
+        t_start = time.perf_counter()
         slot_req = [None] * b
         slot_pad = [0] * b
         slot_seen = [0] * b  # next unstreamed buffer slot (on_tokens)
@@ -398,6 +403,7 @@ class WhisperContinuousBatchingGenerator:
                 if slot_req[row] is not None and done_h[row]:
                     end = int(np.asarray(ends[row]))
                     outputs[slot_req[row]] = np.asarray(buf[row, slot_pad[row]: end]).tolist()
+                    stats.tokens_generated += end - slot_pad[row] - n_init
                     slot_req[row] = None
                 if slot_req[row] is None and next_req < n_req:
                     if pos + max_new > l_max or pos + 1 > l_max:
@@ -417,6 +423,7 @@ class WhisperContinuousBatchingGenerator:
                     slot_req[row] = next_req
                     slot_pad[row] = pos - n_init
                     slot_seen[row] = pos  # transcript tokens start at slot pos
+                    stats.admissions += 1
                     next_req += 1
 
             if all(r is None for r in slot_req):
@@ -427,15 +434,24 @@ class WhisperContinuousBatchingGenerator:
                     pos = base
                     pad_lens = jnp.zeros_like(pad_lens)
                     limits = jnp.zeros_like(limits)
+                    stats.epoch_resets += 1
                     continue
                 break
 
+            live = sum(1 for row in range(b)
+                       if slot_req[row] is not None and not done_h[row])
+            pos_before = pos
             buf, ends, caches, pos_d, done = self._steps(
                 params, cfg, buf, pad_lens, limits, ends, caches, cross,
                 jnp.int32(pos), fused, done, jnp.int32(self.check_every), eot_id,
                 packed, head, head_v, topk, top_p, jnp.float32(temperature),
                 keys, t0s)
             pos = int(np.asarray(pos_d))
+            d_steps = pos - pos_before
+            stats.scheduling_points += 1
+            stats.decode_steps += d_steps
+            stats.slot_steps += d_steps * b
+            stats.live_slot_steps += d_steps * live  # chunk-granularity occupancy
             done_h = np.array(done)
 
             if on_tokens is not None:
@@ -451,4 +467,6 @@ class WhisperContinuousBatchingGenerator:
                         slot_seen[row] = upto
 
         assert all(o is not None for o in outputs)
+        stats.wall_time_s = time.perf_counter() - t_start
+        self.last_stats = stats
         return outputs  # type: ignore[return-value]

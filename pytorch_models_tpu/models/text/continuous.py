@@ -53,6 +53,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+import time
+from dataclasses import dataclass
+
 from ._decoder_lm import (
     decoder_lm_forward_cached_batch,
     decoder_lm_fused_ok,
@@ -297,6 +300,34 @@ _cb_admit_prefix = partial(jax.jit, static_argnums=(1,))(_cb_admit_prefix_body)
 _cb_steps = partial(jax.jit, static_argnums=(1, 8, 14, 15, 16))(_cb_steps_body)
 
 
+@dataclass
+class ServingStats:
+    """Scheduler-side counters for one ``generate_*_many`` call (set as
+    ``gen.last_stats``). All counters are host-observed: ``decode_steps`` is
+    the device-executed step count (early-exit chunks count what actually
+    ran), ``live_slot_steps`` integrates pool occupancy over those steps, and
+    ``tokens_generated`` counts returned generated tokens (incl. EOS)."""
+
+    requests: int = 0
+    admissions: int = 0
+    epoch_resets: int = 0
+    scheduling_points: int = 0
+    decode_steps: int = 0
+    slot_steps: int = 0        # decode_steps x pool size (capacity)
+    live_slot_steps: int = 0   # occupied-slot steps (parked-done slots excluded)
+    tokens_generated: int = 0
+    wall_time_s: float = 0.0
+
+    @property
+    def occupancy(self) -> float:
+        """Fraction of slot-step capacity spent on live requests."""
+        return self.live_slot_steps / self.slot_steps if self.slot_steps else 0.0
+
+    @property
+    def tokens_per_s(self) -> float:
+        return self.tokens_generated / self.wall_time_s if self.wall_time_s else 0.0
+
+
 class ContinuousBatchingGenerator:
     """Greedy serving over a fixed pool of ``batch_size`` KV-cache slots with
     mid-flight request admission. Per-request outputs are token-identical to
@@ -456,9 +487,12 @@ class ContinuousBatchingGenerator:
         next_req = 0
         slot_req = [None] * b  # request index occupying each slot
         slot_pad = [0] * b
+        slot_n = [0] * b  # admitted prompt length (stats)
         slot_seen = [0] * b  # next unstreamed buffer slot (on_tokens)
         outputs: list[list[int] | None] = [None] * n_req
         done_h = np.ones((b,), bool)
+        stats = ServingStats(requests=n_req)
+        t_start = time.perf_counter()
 
         while next_req < n_req or any(r is not None for r in slot_req):
             # ---- harvest finished slots, admit queued requests in order
@@ -466,6 +500,7 @@ class ContinuousBatchingGenerator:
                 if slot_req[row] is not None and done_h[row]:
                     end = int(np.asarray(ends[row]))
                     outputs[slot_req[row]] = np.asarray(buf[row, slot_pad[row]: end]).tolist()
+                    stats.tokens_generated += end - slot_pad[row] - slot_n[row]
                     slot_req[row] = None
                 if slot_req[row] is None and next_req < n_req:
                     toks, m_eff = plans[next_req]
@@ -522,7 +557,9 @@ class ContinuousBatchingGenerator:
                     done_h[row] = False
                     slot_req[row] = next_req
                     slot_pad[row] = pos - n
+                    slot_n[row] = n
                     slot_seen[row] = pos  # generated tokens start at slot pos
+                    stats.admissions += 1
                     next_req += 1
 
             if all(r is None for r in slot_req):
@@ -534,16 +571,25 @@ class ContinuousBatchingGenerator:
                     pos = base
                     pad_lens = jnp.zeros_like(pad_lens)
                     limits = jnp.zeros_like(limits)
+                    stats.epoch_resets += 1
                     continue
                 break
 
             # ---- run a chunk of decode steps, then sync the scheduler view
+            live = sum(1 for row in range(b)
+                       if slot_req[row] is not None and not done_h[row])
+            pos_before = pos
             buf, ends, caches, pos_d, done = self._steps(
                 params, cfg, buf, pad_lens, limits, ends, caches, jnp.int32(pos),
                 fused, done, jnp.int32(self.check_every), eos, packed, head, head_v,
                 topk, top_p, jnp.float32(temperature), keys, t0s)
             pos = int(np.asarray(pos_d))
             done_h = np.array(done)  # np.asarray of a device array is read-only
+            d_steps = pos - pos_before
+            stats.scheduling_points += 1
+            stats.decode_steps += d_steps
+            stats.slot_steps += d_steps * b
+            stats.live_slot_steps += d_steps * live  # chunk-granularity occupancy
 
             if on_tokens is not None:
                 ends_h = np.asarray(ends)
@@ -558,4 +604,6 @@ class ContinuousBatchingGenerator:
                         slot_seen[row] = upto
 
         assert all(o is not None for o in outputs)
+        stats.wall_time_s = time.perf_counter() - t_start
+        self.last_stats = stats
         return outputs  # type: ignore[return-value]

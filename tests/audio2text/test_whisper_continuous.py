@@ -162,3 +162,13 @@ def test_long_audio_windows_match_plain_long_form(model, plain):
             for a in longs]
     assert got == want
     assert [len(w) for w in got] == [3, 1]
+
+
+def test_serving_stats(model, audios):
+    cb = WhisperContinuousBatchingGenerator(model, batch_size=2, check_every=4,
+                                            pool_ctx=128)
+    outs = cb.transcribe_tokens_many(audios[:4], INIT, EOT, max_tokens=12)
+    st = cb.last_stats
+    assert st.requests == st.admissions == 4
+    assert st.tokens_generated == sum(len(o) - len(INIT) for o in outs)
+    assert 0.0 < st.occupancy <= 1.0 and st.wall_time_s > 0

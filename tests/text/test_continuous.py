@@ -358,3 +358,25 @@ def test_fused_sampling_path_matches_xla(model):
         attn_mod.USE_DECODE_KERNEL = None
         jax.clear_caches()
     assert outs == base
+
+
+def test_serving_stats_consistency(model):
+    """last_stats bookkeeping: admissions/requests/tokens line up with the
+    outputs, occupancy is a sane fraction, and epoch resets are counted."""
+    small = _model(seed=3, max_seq_len=64)
+    tok = _Tok()
+    requests = [[1, 2, 3], [i % 512 for i in range(14)], [4, 5], [6] * 7]
+    budgets = [30, 30, 30, 10]  # two back-to-back 30s overflow 64: reset
+    cb = ContinuousBatchingGenerator(small, tok, batch_size=2, prompt_bucket=16,
+                                     check_every=5)
+    outs = cb.generate_tokens_many(requests, budgets)
+    st = cb.last_stats
+    assert st.requests == st.admissions == len(requests)
+    assert st.tokens_generated == sum(len(o) - len(r) for o, r in zip(outs, requests))
+    assert 0.0 < st.occupancy <= 1.0
+    assert st.decode_steps >= max(len(o) - len(r) for o, r in zip(outs, requests))
+    assert st.slot_steps == st.decode_steps * 2
+    assert st.live_slot_steps <= st.slot_steps
+    assert st.scheduling_points >= 1 and st.wall_time_s > 0
+    assert st.epoch_resets >= 1  # budgets above force at least one reset
+    assert st.tokens_per_s > 0

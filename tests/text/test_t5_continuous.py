@@ -144,3 +144,13 @@ def test_sampling_schedule_invariant(model, prompts):
     assert outs == cb_b.generate_tokens_many(prompts[:3], 14, PAD, EOS, **kw)
     assert outs == [_sampling_oracle(model, r, 14, 3, i, 5, None, 0.9)
                     for i, r in enumerate(prompts[:3])]
+
+
+def test_serving_stats(model, prompts):
+    cb = T5ContinuousBatchingGenerator(model, batch_size=2, check_every=4,
+                                       pool_ctx=128)
+    outs = cb.generate_tokens_many(prompts[:4], 12, PAD, EOS)
+    st = cb.last_stats
+    assert st.requests == st.admissions == 4
+    assert st.tokens_generated == sum(len(o) - 1 for o in outs)
+    assert 0.0 < st.occupancy <= 1.0 and st.wall_time_s > 0
