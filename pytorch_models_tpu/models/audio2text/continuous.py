@@ -110,7 +110,8 @@ def _wcb_admit_body(params, cfg, buf, caches, cross, pad_lens, limits, done,
 
 def _wcb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, cross, pos,
                     fused, done, n_steps, eot_id, packed=None, head=None, head_v=None,
-                    topk=1, top_p=None, temperature=1.0, keys=None, t0s=None):
+                    topk=1, top_p=None, temperature=1.0, keys=None, t0s=None,
+                    tps=None):
     """Up to ``n_steps`` decode steps over the whole pool (early exit when
     every row is done); finished rows park writing EOT, ``ends`` latches
     pos+1 the step a row finishes.
@@ -153,8 +154,12 @@ def _wcb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, cross, pos
             logits = jnp.matmul(hn, p["token_embs"].astype(hn.dtype).T,
                                 precision=dot_precision(hn))
             step_keys = jax.vmap(jax.random.fold_in)(keys, pos - t0s)
-            nxt = jax.vmap(lambda l, sk: _sample(l, sk, topk, top_p, temperature))(
-                logits, step_keys).astype(jnp.int32)
+            if top_p is not None:
+                nxt = jax.vmap(lambda l, sk, tp, tm: _sample(l, sk, topk, tp, tm))(
+                    logits, step_keys, tps, temperature).astype(jnp.int32)
+            else:
+                nxt = jax.vmap(lambda l, sk, tm: _sample(l, sk, topk, None, tm))(
+                    logits, step_keys, temperature).astype(jnp.int32)
         elif fused:
             nxt, caches = _fused_whisper_step(p, packed, head, head_v, cfg, tok, caches,
                                               cross, pos - 1, pad_lens=pad_lens,
@@ -351,8 +356,6 @@ class WhisperContinuousBatchingGenerator:
         models/text/continuous.py contract."""
         from ..text.generator import _check_sampling, _is_greedy
 
-        _check_sampling(topk, top_p, temperature)
-        greedy = _is_greedy(topk, top_p)
         assert max_tokens <= DEC_MAX_LEN, (
             f"max_tokens={max_tokens} exceeds the decoder position table ({DEC_MAX_LEN}); "
             "dynamic_slice would silently clamp into the last position embedding")
@@ -360,6 +363,19 @@ class WhisperContinuousBatchingGenerator:
         n_req = len(audios)
         if n_req == 0:
             return []
+        # per-request sampling params (temperature/top_p may be lists;
+        # topk and the nucleus on/off mode stay per-call — graph shape)
+        temps_l = (list(temperature) if isinstance(temperature, (list, tuple))
+                   else [temperature] * n_req)
+        has_tp = top_p is not None
+        tps_l = ((list(top_p) if isinstance(top_p, (list, tuple))
+                  else [top_p] * n_req) if has_tp else [None] * n_req)
+        assert len(temps_l) == n_req and len(tps_l) == n_req, \
+            "per-request temperature/top_p lists must have one entry per request"
+        for tp_r, tm_r in zip(tps_l, temps_l):
+            assert not has_tp or tp_r is not None, "mixed top_p on/off is per-call"
+            _check_sampling(topk, tp_r, tm_r)
+        greedy = _is_greedy(topk, 1.0 if has_tp else None)
         n_init = len(initial_tokens)
         assert 1 <= n_init < max_tokens, "prompt leaves no room to generate"
         max_new = max_tokens - n_init  # plain generator: buffer = max_tokens total
@@ -382,11 +398,13 @@ class WhisperContinuousBatchingGenerator:
         done = jnp.ones((b,), bool)
         init_dev = jnp.asarray(initial_tokens, jnp.int32)
         if greedy:
-            keys = t0s = None
+            keys = t0s = temps_d = tps_d = None
         else:
             base_key = jax.random.PRNGKey(seed)
             keys = jnp.zeros((b,) + base_key.shape, base_key.dtype)
             t0s = jnp.zeros((b,), jnp.int32)
+            temps_d = jnp.ones((b,), jnp.float32)
+            tps_d = jnp.ones((b,), jnp.float32)  # unused lanes when nucleus off
 
         pos = base
         next_req = 0
@@ -419,6 +437,9 @@ class WhisperContinuousBatchingGenerator:
                         # of segment r draws fold_in(fold_in(base, r), g)
                         keys = keys.at[row].set(jax.random.fold_in(base_key, next_req))
                         t0s = t0s.at[row].set(pos)
+                        temps_d = temps_d.at[row].set(temps_l[next_req])
+                        if has_tp:
+                            tps_d = tps_d.at[row].set(tps_l[next_req])
                     done_h[row] = False
                     slot_req[row] = next_req
                     slot_pad[row] = pos - n_init
@@ -444,8 +465,8 @@ class WhisperContinuousBatchingGenerator:
             buf, ends, caches, pos_d, done = self._steps(
                 params, cfg, buf, pad_lens, limits, ends, caches, cross,
                 jnp.int32(pos), fused, done, jnp.int32(self.check_every), eot_id,
-                packed, head, head_v, topk, top_p, jnp.float32(temperature),
-                keys, t0s)
+                packed, head, head_v, topk, True if has_tp else None,
+                jnp.float32(1.0) if greedy else temps_d, keys, t0s, tps_d)
             pos = int(np.asarray(pos_d))
             d_steps = pos - pos_before
             stats.scheduling_points += 1

@@ -223,7 +223,8 @@ def _cb_admit_prefix_body(params, cfg, buf, caches, pad_lens, limits, done,
 
 def _cb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, pos, fused,
                    done, n_steps, eos_id, packed=None, head=None, head_v=None,
-                   topk=1, top_p=None, temperature=1.0, keys=None, t0s=None):
+                   topk=1, top_p=None, temperature=1.0, keys=None, t0s=None,
+                   tps=None):
     """Up to ``n_steps`` decode steps over the whole pool (early exit when
     every row is done). Finished rows park writing EOS; a row's ``ends``
     is latched to pos+1 the step it finishes (EOS emitted or per-row limit
@@ -235,7 +236,10 @@ def _cb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, pos, fused,
     t0s[row])`` — ``keys[row]`` is the request's own key and ``t0s[row]``
     its admission position, so generated token g of a request always uses
     ``fold_in(request_key, g)`` regardless of pool size, admission order,
-    check_every, or epoch resets. Returns ``(buf, ends, caches, pos, done)``.
+    check_every, or epoch resets. ``temperature`` and ``tps`` are PER-ROW
+    (B,) value vectors (requests may carry different sampling params);
+    ``top_p`` is only the static mode flag (None = nucleus off).
+    Returns ``(buf, ends, caches, pos, done)``.
     """
     b = buf.shape[0]
     l_max = cfg.max_seq_len
@@ -266,8 +270,12 @@ def _cb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, pos, fused,
                                                                pos - 1, pad_lens)
                 logits = full[:, 0]
             step_keys = jax.vmap(jax.random.fold_in)(keys, pos - t0s)
-            nxt = jax.vmap(lambda l, sk: _sample(l, sk, topk, top_p, temperature))(
-                logits, step_keys).astype(jnp.int32)
+            if top_p is not None:
+                nxt = jax.vmap(lambda l, sk, tp, tm: _sample(l, sk, topk, tp, tm))(
+                    logits, step_keys, tps, temperature).astype(jnp.int32)
+            else:
+                nxt = jax.vmap(lambda l, sk, tm: _sample(l, sk, topk, None, tm))(
+                    logits, step_keys, temperature).astype(jnp.int32)
         elif fused:
             nxt, caches = decoder_lm_fused_tok_batch(params, packed, head, head_v, cfg,
                                                      tok, p_ids, caches, pos - 1, pad_lens)
@@ -409,7 +417,10 @@ class ContinuousBatchingGenerator:
         (module docstring); the only length limit is ``max_seq_len``.
 
         ``topk``/``top_p``/``temperature``/``seed``: sampling (greedy by
-        default). Request r's generated token g always draws with
+        default). ``temperature`` and ``top_p`` also accept PER-REQUEST
+        lists (length ``len(requests)``); ``topk`` and the nucleus on/off
+        mode are per-call (they change the sampling graph shape, so mixing
+        would force recompiles). Request r's generated token g always draws with
         ``fold_in(fold_in(PRNGKey(seed), r), g)`` — outputs are independent
         of pool size, admission order, and scheduling, so a request's sample
         stream is reproducible from ``(seed, r)`` alone.
@@ -420,12 +431,24 @@ class ContinuousBatchingGenerator:
         generated token is delivered exactly once, in order; concatenated
         deliveries equal the returned output minus the prompt.
         """
-        _check_sampling(topk, top_p, temperature)
-        greedy = _is_greedy(topk, top_p)
         params, cfg = self._params_cfg()
         n_req = len(requests)
         if n_req == 0:
             return []
+        # per-request sampling params: temperature / top_p may be lists
+        # (length n_req); topk and the nucleus on/off mode stay per-call
+        # (they change the sampling graph shape)
+        temps_l = (list(temperature) if isinstance(temperature, (list, tuple))
+                   else [temperature] * n_req)
+        has_tp = top_p is not None
+        tps_l = ((list(top_p) if isinstance(top_p, (list, tuple))
+                  else [top_p] * n_req) if has_tp else [None] * n_req)
+        assert len(temps_l) == n_req and len(tps_l) == n_req, \
+            "per-request temperature/top_p lists must have one entry per request"
+        for tp_r, tm_r in zip(tps_l, temps_l):
+            assert not has_tp or tp_r is not None, "mixed top_p on/off is per-call"
+            _check_sampling(topk, tp_r, tm_r)
+        greedy = _is_greedy(topk, 1.0 if has_tp else None)
         budgets = [max_tokens] * n_req if isinstance(max_tokens, int) else list(max_tokens)
         assert len(budgets) == n_req
         p_bucket = self.prompt_bucket
@@ -477,11 +500,15 @@ class ContinuousBatchingGenerator:
         ends = jnp.zeros((b,), jnp.int32)
         done = jnp.ones((b,), bool)
         if greedy:
-            keys = t0s = None
+            keys = t0s = temps_d = tps_d = None
         else:
             base_key = jax.random.PRNGKey(seed)
             keys = jnp.zeros((b,) + base_key.shape, base_key.dtype)
             t0s = jnp.zeros((b,), jnp.int32)
+            temps_d = jnp.ones((b,), jnp.float32)
+            # always an array (unused when nucleus is off): keeps the steps
+            # pytree structure fixed across modes and shard_map specs simple
+            tps_d = jnp.ones((b,), jnp.float32)
 
         pos = base  # host-tracked; device copies flow through the jits
         next_req = 0
@@ -554,6 +581,9 @@ class ContinuousBatchingGenerator:
                         # of request r draws fold_in(fold_in(base, r), g)
                         keys = keys.at[row].set(jax.random.fold_in(base_key, next_req))
                         t0s = t0s.at[row].set(pos)
+                        temps_d = temps_d.at[row].set(temps_l[next_req])
+                        if has_tp:
+                            tps_d = tps_d.at[row].set(tps_l[next_req])
                     done_h[row] = False
                     slot_req[row] = next_req
                     slot_pad[row] = pos - n
@@ -582,7 +612,8 @@ class ContinuousBatchingGenerator:
             buf, ends, caches, pos_d, done = self._steps(
                 params, cfg, buf, pad_lens, limits, ends, caches, jnp.int32(pos),
                 fused, done, jnp.int32(self.check_every), eos, packed, head, head_v,
-                topk, top_p, jnp.float32(temperature), keys, t0s)
+                topk, True if has_tp else None,
+                jnp.float32(1.0) if greedy else temps_d, keys, t0s, tps_d)
             pos = int(np.asarray(pos_d))
             done_h = np.array(done)  # np.asarray of a device array is read-only
             d_steps = pos - pos_before

@@ -87,26 +87,27 @@ class TPContinuousBatchingGenerator(ContinuousBatchingGenerator):
                       done, n_steps, eos_id)
 
         def steps_sample(params, buf, pad_lens, limits, ends, caches, pos, done,
-                         n_steps, eos_id, topk, top_p, temperature, keys, t0s):
+                         n_steps, eos_id, topk, top_p, temperature, keys, t0s,
+                         tps):
             # per-rank sampling is replicated math: hidden is psum-complete
             # and token_embs/keys are replicated, so every rank draws the
             # same token (same argument as the TP greedy argmax)
             def local(p, buf, pads, lims, ends, caches, pos, done, n_steps, eos,
-                      temp, keys, t0s):
+                      temp, keys, t0s, tps):
                 return _cb_steps_body(p, cfg_local, buf, pads, lims, ends, caches,
                                       pos, False, done, n_steps, eos,
                                       topk=topk, top_p=top_p, temperature=temp,
-                                      keys=keys, t0s=t0s)
+                                      keys=keys, t0s=t0s, tps=tps)
 
             fn = jax.shard_map(
                 local, mesh=mesh,
                 in_specs=(pspecs, P(), P(), P(), P(), cache_spec, P(), P(), P(),
-                          P(), P(), P(), P()),
+                          P(), P(), P(), P(), P()),
                 out_specs=(P(), P(), cache_spec, P(), P()),
                 check_vma=False,
             )
             return fn(params, buf, pad_lens, limits, ends, caches, pos,
-                      done, n_steps, eos_id, temperature, keys, t0s)
+                      done, n_steps, eos_id, temperature, keys, t0s, tps)
 
         def prefill_prefix(params, prefix_chunk):
             fn = jax.shard_map(
@@ -190,13 +191,14 @@ class TPContinuousBatchingGenerator(ContinuousBatchingGenerator):
 
     def _steps(self, params, cfg, buf, pad_lens, limits, ends, caches, pos,
                fused, done, n_steps, eos_id, packed=None, head=None, head_v=None,
-               topk=1, top_p=None, temperature=None, keys=None, t0s=None):
+               topk=1, top_p=None, temperature=None, keys=None, t0s=None,
+               tps=None):
         if topk == 1 and top_p is None:
             return self._steps_jit(params, buf, pad_lens, limits, ends, caches,
                                    pos, done, n_steps, eos_id)
         return self._steps_sample_jit(params, buf, pad_lens, limits, ends, caches,
                                       pos, done, n_steps, eos_id, topk, top_p,
-                                      temperature, keys, t0s)
+                                      temperature, keys, t0s, tps)
 
 
 class TPWhisperContinuousBatchingGenerator(WhisperContinuousBatchingGenerator):
@@ -271,24 +273,25 @@ class TPWhisperContinuousBatchingGenerator(WhisperContinuousBatchingGenerator):
                       done, n_steps, eot_id)
 
         def steps_sample(params, buf, pad_lens, limits, ends, caches, cross, pos,
-                         done, n_steps, eot_id, topk, top_p, temperature, keys, t0s):
+                         done, n_steps, eot_id, topk, top_p, temperature, keys, t0s,
+                         tps):
             # per-rank sampling is replicated math: hidden is psum-complete
             # and token_embs/keys are replicated -> every rank draws the same
             def local(p, buf, pads, lims, ends, caches, cross, pos, done, n, eot,
-                      temp, keys, t0s):
+                      temp, keys, t0s, tps):
                 return _wcb_steps_body(p, cfg_local, buf, pads, lims, ends, caches,
                                        cross, pos, False, done, n, eot,
                                        topk=topk, top_p=top_p, temperature=temp,
-                                       keys=keys, t0s=t0s)
+                                       keys=keys, t0s=t0s, tps=tps)
 
             fn = jax.shard_map(
                 local, mesh=mesh,
                 in_specs=(pspecs, P(), P(), P(), P(), cache_spec, cross_spec,
-                          P(), P(), P(), P(), P(), P(), P()),
+                          P(), P(), P(), P(), P(), P(), P(), P()),
                 out_specs=(P(), P(), cache_spec, P(), P()),
                 check_vma=False)
             return fn(params, buf, pad_lens, limits, ends, caches, cross, pos,
-                      done, n_steps, eot_id, temperature, keys, t0s)
+                      done, n_steps, eot_id, temperature, keys, t0s, tps)
 
         self._encode = jax.jit(encode)
         self._admit_jit = jax.jit(admit)
@@ -321,13 +324,13 @@ class TPWhisperContinuousBatchingGenerator(WhisperContinuousBatchingGenerator):
 
     def _steps(self, params, cfg, buf, pad_lens, limits, ends, caches, cross, pos,
                fused, done, n_steps, eot_id, packed=None, head=None, head_v=None,
-               topk=1, top_p=None, temperature=None, keys=None, t0s=None):
+               topk=1, top_p=None, temperature=None, keys=None, t0s=None, tps=None):
         if topk == 1 and top_p is None:
             return self._steps_jit(params, buf, pad_lens, limits, ends, caches, cross,
                                    pos, done, n_steps, eot_id)
         return self._steps_sample_jit(params, buf, pad_lens, limits, ends, caches,
                                       cross, pos, done, n_steps, eot_id, topk, top_p,
-                                      temperature, keys, t0s)
+                                      temperature, keys, t0s, tps)
 
 
 class TPT5ContinuousBatchingGenerator(T5ContinuousBatchingGenerator):
@@ -402,24 +405,24 @@ class TPT5ContinuousBatchingGenerator(T5ContinuousBatchingGenerator):
 
         def steps_sample(params, buf, pad_lens, limits, ends, caches, cross, pos,
                          done, n_steps, eos_id, bias_tab, topk, top_p, temperature,
-                         keys, t0s):
+                         keys, t0s, tps):
             # per-rank sampling is replicated math: hidden is psum-complete
             # and classifier/keys are replicated -> every rank draws the same
             def local(p, buf, pads, lims, ends, caches, cross, pos, done, n, eos,
-                      bias, temp, keys, t0s):
+                      bias, temp, keys, t0s, tps):
                 return _t5cb_steps_body(p, cfg_local, buf, pads, lims, ends, caches,
                                         cross, pos, False, done, n, eos, bias,
                                         topk=topk, top_p=top_p, temperature=temp,
-                                        keys=keys, t0s=t0s)
+                                        keys=keys, t0s=t0s, tps=tps)
 
             fn = jax.shard_map(
                 local, mesh=mesh,
                 in_specs=(pspecs, P(), P(), P(), P(), cache_spec, cross_spec,
-                          P(), P(), P(), P(), bias_spec, P(), P(), P()),
+                          P(), P(), P(), P(), bias_spec, P(), P(), P(), P()),
                 out_specs=(P(), P(), cache_spec, P(), P()),
                 check_vma=False)
             return fn(params, buf, pad_lens, limits, ends, caches, cross, pos,
-                      done, n_steps, eos_id, bias_tab, temperature, keys, t0s)
+                      done, n_steps, eos_id, bias_tab, temperature, keys, t0s, tps)
 
         self._encode_jit = jax.jit(encode)
         self._admit_jit = jax.jit(admit)
@@ -462,10 +465,11 @@ class TPT5ContinuousBatchingGenerator(T5ContinuousBatchingGenerator):
 
     def _steps(self, params, cfg, buf, pad_lens, limits, ends, caches, cross, pos,
                fused, done, n_steps, eos_id, bias_tab, packed=None, head=None,
-               head_v=None, topk=1, top_p=None, temperature=None, keys=None, t0s=None):
+               head_v=None, topk=1, top_p=None, temperature=None, keys=None, t0s=None,
+               tps=None):
         if topk == 1 and top_p is None:
             return self._steps_jit(params, buf, pad_lens, limits, ends, caches, cross,
                                    pos, done, n_steps, eos_id, bias_tab)
         return self._steps_sample_jit(params, buf, pad_lens, limits, ends, caches,
                                       cross, pos, done, n_steps, eos_id, bias_tab,
-                                      topk, top_p, temperature, keys, t0s)
+                                      topk, top_p, temperature, keys, t0s, tps)

@@ -172,3 +172,20 @@ def test_serving_stats(model, audios):
     assert st.requests == st.admissions == 4
     assert st.tokens_generated == sum(len(o) - len(INIT) for o in outs)
     assert 0.0 < st.occupancy <= 1.0 and st.wall_time_s > 0
+
+
+def test_per_request_sampling_params(model, audios):
+    """Per-segment temperature/top_p lists: each segment's stream equals a
+    solo-pool run with that segment's scalar params at the same index r."""
+    temps, tps = [0.8, 1.1, 0.95], [0.85, 0.6, 0.9]
+    cb = WhisperContinuousBatchingGenerator(model, batch_size=2, check_every=3,
+                                            pool_ctx=128)
+    mixed = cb.transcribe_tokens_many(audios[:3], INIT, EOT, max_tokens=12,
+                                      topk=6, top_p=tps, temperature=temps, seed=5)
+    for r in range(3):
+        solo = WhisperContinuousBatchingGenerator(model, batch_size=1, check_every=1,
+                                                  pool_ctx=128)
+        outs = solo.transcribe_tokens_many(audios[: r + 1], INIT, EOT, max_tokens=12,
+                                           topk=6, top_p=tps[r], temperature=temps[r],
+                                           seed=5)
+        assert mixed[r] == outs[r]

@@ -380,3 +380,40 @@ def test_serving_stats_consistency(model):
     assert st.scheduling_points >= 1 and st.wall_time_s > 0
     assert st.epoch_resets >= 1  # budgets above force at least one reset
     assert st.tokens_per_s > 0
+
+
+def test_per_request_sampling_params(model):
+    """Per-request temperature / top_p lists: each request's sample stream
+    equals a single-request pool run with that request's scalar params and
+    its own (seed, r) key chain."""
+    tok = _Tok()
+    reqs = [[3, 1, 4], [9, 2, 6, 5], [2, 7]]
+    temps = [0.7, 1.3, 1.0]
+    tps = [0.9, 0.5, 0.95]
+    cb = ContinuousBatchingGenerator(model, tok, batch_size=2, prompt_bucket=16,
+                                     check_every=3)
+    mixed = cb.generate_tokens_many(reqs, 10, topk=8, top_p=tps,
+                                    temperature=temps, seed=4)
+    # oracle: run each request through its OWN pool with scalar params but
+    # the same request index r (pad the queue with dummies that keep r)
+    for r in range(3):
+        solo = ContinuousBatchingGenerator(model, tok, batch_size=1,
+                                           prompt_bucket=16, check_every=1)
+        outs = solo.generate_tokens_many(reqs[: r + 1], 10, topk=8,
+                                         top_p=tps[r], temperature=temps[r],
+                                         seed=4)
+        assert mixed[r] == outs[r]
+
+
+def test_per_request_temperature_only(model):
+    tok = _Tok()
+    reqs = [[3, 1, 4], [9, 2, 6]]
+    cb = ContinuousBatchingGenerator(model, tok, batch_size=2, prompt_bucket=16,
+                                     check_every=2)
+    mixed = cb.generate_tokens_many(reqs, 8, topk=5, temperature=[0.6, 1.4], seed=2)
+    for r in range(2):
+        solo = ContinuousBatchingGenerator(model, tok, batch_size=1, prompt_bucket=16,
+                                           check_every=1)
+        outs = solo.generate_tokens_many(reqs[: r + 1], 8, topk=5,
+                                         temperature=[0.6, 1.4][r], seed=2)
+        assert mixed[r] == outs[r]

@@ -154,3 +154,19 @@ def test_serving_stats(model, prompts):
     assert st.requests == st.admissions == 4
     assert st.tokens_generated == sum(len(o) - 1 for o in outs)
     assert 0.0 < st.occupancy <= 1.0 and st.wall_time_s > 0
+
+
+def test_per_request_sampling_params(model, prompts):
+    """Per-request temperature/top_p lists: each request's stream equals a
+    solo-pool run with that request's scalar params at the same index r."""
+    temps, tps = [0.7, 1.2, 1.0], [0.9, 0.6, 0.95]
+    cb = T5ContinuousBatchingGenerator(model, batch_size=2, check_every=3,
+                                       pool_ctx=128)
+    mixed = cb.generate_tokens_many(prompts[:3], 12, PAD, EOS, topk=6,
+                                    top_p=tps, temperature=temps, seed=5)
+    for r in range(3):
+        solo = T5ContinuousBatchingGenerator(model, batch_size=1, check_every=1,
+                                             pool_ctx=128)
+        outs = solo.generate_tokens_many(prompts[: r + 1], 12, PAD, EOS, topk=6,
+                                         top_p=tps[r], temperature=temps[r], seed=5)
+        assert mixed[r] == outs[r]
