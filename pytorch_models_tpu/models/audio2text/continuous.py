@@ -354,7 +354,7 @@ class WhisperContinuousBatchingGenerator:
         default). Segment r's transcript token g always draws with
         ``fold_in(fold_in(PRNGKey(seed), r), g)`` — schedule-invariant, the
         models/text/continuous.py contract."""
-        from ..text.generator import _check_sampling, _is_greedy
+        from ..text.generator import _parse_sampling_params
 
         assert max_tokens <= DEC_MAX_LEN, (
             f"max_tokens={max_tokens} exceeds the decoder position table ({DEC_MAX_LEN}); "
@@ -363,19 +363,8 @@ class WhisperContinuousBatchingGenerator:
         n_req = len(audios)
         if n_req == 0:
             return []
-        # per-request sampling params (temperature/top_p may be lists;
-        # topk and the nucleus on/off mode stay per-call — graph shape)
-        temps_l = (list(temperature) if isinstance(temperature, (list, tuple))
-                   else [temperature] * n_req)
-        has_tp = top_p is not None
-        tps_l = ((list(top_p) if isinstance(top_p, (list, tuple))
-                  else [top_p] * n_req) if has_tp else [None] * n_req)
-        assert len(temps_l) == n_req and len(tps_l) == n_req, \
-            "per-request temperature/top_p lists must have one entry per request"
-        for tp_r, tm_r in zip(tps_l, temps_l):
-            assert not has_tp or tp_r is not None, "mixed top_p on/off is per-call"
-            _check_sampling(topk, tp_r, tm_r)
-        greedy = _is_greedy(topk, 1.0 if has_tp else None)
+        greedy, has_tp, temps_l, tps_l = _parse_sampling_params(
+            n_req, topk, top_p, temperature)
         n_init = len(initial_tokens)
         assert 1 <= n_init < max_tokens, "prompt leaves no room to generate"
         max_new = max_tokens - n_init  # plain generator: buffer = max_tokens total

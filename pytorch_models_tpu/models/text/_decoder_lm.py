@@ -164,12 +164,12 @@ def quantize_kv_caches(caches: dict) -> dict:
     planes ``{"k","v","ks","vs"}`` for the fused step's int8 self-KV path
     (ops/decode_step.py ``kv_scales=``; design + oracle in ops/int8_kv.py).
     Unwritten slots are zeros and quantize harmlessly (q=0, scale 1/127)."""
-    from ...ops.int8_kv import quantize_rows
+    from ...ops.int8_kv import _b8, quantize_rows
 
     k_q, k_s = quantize_rows(caches["k"])
     v_q, v_s = quantize_rows(caches["v"])
     b = k_q.shape[1]
-    pad = max(8, -(-b // 8) * 8) - b
+    pad = _b8(b) - b  # the kernel's scale-plane row-padding rule
 
     def plane(s):  # (L, B, Lmax, 1) -> (L, B8, Lmax)
         p = s[..., 0]

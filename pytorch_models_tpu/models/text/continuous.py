@@ -65,7 +65,8 @@ from ._decoder_lm import (
     decoder_lm_make_cache,
     decoder_lm_pack,
 )
-from .generator import PROMPT_BUCKET, _check_sampling, _is_greedy, _sample
+from .generator import (PROMPT_BUCKET, _is_greedy, _parse_sampling_params,
+                        _sample)
 
 
 def _cb_row_prefill(params, cfg, buf, caches, row, c0, pad_len, p):
@@ -435,20 +436,8 @@ class ContinuousBatchingGenerator:
         n_req = len(requests)
         if n_req == 0:
             return []
-        # per-request sampling params: temperature / top_p may be lists
-        # (length n_req); topk and the nucleus on/off mode stay per-call
-        # (they change the sampling graph shape)
-        temps_l = (list(temperature) if isinstance(temperature, (list, tuple))
-                   else [temperature] * n_req)
-        has_tp = top_p is not None
-        tps_l = ((list(top_p) if isinstance(top_p, (list, tuple))
-                  else [top_p] * n_req) if has_tp else [None] * n_req)
-        assert len(temps_l) == n_req and len(tps_l) == n_req, \
-            "per-request temperature/top_p lists must have one entry per request"
-        for tp_r, tm_r in zip(tps_l, temps_l):
-            assert not has_tp or tp_r is not None, "mixed top_p on/off is per-call"
-            _check_sampling(topk, tp_r, tm_r)
-        greedy = _is_greedy(topk, 1.0 if has_tp else None)
+        greedy, has_tp, temps_l, tps_l = _parse_sampling_params(
+            n_req, topk, top_p, temperature)
         budgets = [max_tokens] * n_req if isinstance(max_tokens, int) else list(max_tokens)
         assert len(budgets) == n_req
         p_bucket = self.prompt_bucket
@@ -469,8 +458,12 @@ class ContinuousBatchingGenerator:
             kp = 0
         # epoch start: admissions need pos >= n = k + s, so the base covers
         # the LONGEST request (bucket-rounded; long prompts chunk-prefill)
+        # no bucket rounding: pos is a traced scalar (compiled shapes depend
+        # only on the chunk width), and rounding up would reject feasible
+        # prompts near max_seq_len (and, via the plan asserts, sink every
+        # short request batched with one long one)
         max_s = max(len(t) for t in requests)
-        base = kp + max(p_bucket, -(-max_s // p_bucket) * p_bucket)
+        base = kp + max(p_bucket, max_s)
 
         def fits(pos, n, m_eff):
             if pos + m_eff > l_max or pos + 1 > l_max:

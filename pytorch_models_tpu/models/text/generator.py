@@ -51,6 +51,24 @@ def _is_greedy(topk: int, top_p) -> bool:
     return topk == 1 and top_p is None
 
 
+def _parse_sampling_params(n_req: int, topk: int, top_p, temperature):
+    """Per-request sampling params for the serving engines: ``temperature``
+    and ``top_p`` may be lists (length ``n_req``); ``topk`` and the nucleus
+    on/off mode are per-call (they change the sampling graph shape).
+    Returns ``(greedy, has_tp, temps_l, tps_l)``."""
+    temps_l = (list(temperature) if isinstance(temperature, (list, tuple))
+               else [temperature] * n_req)
+    has_tp = top_p is not None
+    tps_l = ((list(top_p) if isinstance(top_p, (list, tuple))
+              else [top_p] * n_req) if has_tp else [None] * n_req)
+    assert len(temps_l) == n_req and len(tps_l) == n_req, \
+        "per-request temperature/top_p lists must have one entry per request"
+    for tp_r, tm_r in zip(tps_l, temps_l):
+        assert not has_tp or tp_r is not None, "mixed top_p on/off is per-call"
+        _check_sampling(topk, tp_r, tm_r)
+    return _is_greedy(topk, 1.0 if has_tp else None), has_tp, temps_l, tps_l
+
+
 def _nucleus_mask(vals: jnp.ndarray, top_p: float) -> jnp.ndarray:
     """Mask DESC-sorted logits outside the smallest set with prob mass >= top_p.
 

@@ -1024,3 +1024,57 @@ def test_fused_step_int8_kv_write_roundtrip():
     # neighbours untouched
     np.testing.assert_array_equal(np.asarray(out["k"][:, :, 99, :]),
                                   np.asarray(caches["k"][:, :, 99, :]))
+
+
+def test_fused_step_int8_kv_multi_group():
+    """b=16 exercises the megakernel's MULTI-GROUP int8 path (ng=2 groups of
+    8: per-group q-expander/scale-slice indexing) against the oracle — the
+    b=4 test above only covers ng=1."""
+    from pytorch_models_tpu.models.text._decoder_lm import quantize_kv_caches
+    from pytorch_models_tpu.ops.int8_kv import int8_attention_oracle
+
+    r = rng(317)
+    b, d, n_layers, l_max, pos = 16, 128, 1, 256, 180
+    cfg, params = _setup(b=b, d=d, n_layers=n_layers, l_max=l_max)
+    hd = cfg.n_heads * cfg.head_dim
+    x = jnp.asarray(r.standard_normal((b, d)), jnp.float32)
+    caches = {
+        "k": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+        "v": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+    }
+    qcaches = quantize_kv_caches(caches)
+    pads = jnp.asarray([0, 3, 130, 7] * 4, jnp.int32)
+
+    packed = pack_decode_weights(params["layers"], jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        x_out, k_new, v_new = fused_decode_step(
+            x, packed, qcaches["k"], qcaches["v"], pos, pads,
+            n_heads=cfg.n_heads, act=cfg.act, eps=cfg.norm_eps,
+            kv_scales={"ks": qcaches["ks"], "vs": qcaches["vs"]})
+
+    lp = params["layers"]
+
+    def ln(h, p):
+        m = h.mean(axis=-1, keepdims=True)
+        v = ((h - m) ** 2).mean(axis=-1, keepdims=True)
+        return (h - m) / jnp.sqrt(v + cfg.norm_eps) * p["scale"] + p["bias"]
+
+    h1 = ln(x, {k: lp["sa_norm"][k][0] for k in ("scale", "bias")})
+    wq = jnp.concatenate([lp["sa"][n]["w"][0] for n in ("q", "k", "v")], axis=-1)
+    bq = jnp.concatenate([lp["sa"][n]["b"][0] for n in ("q", "k", "v")], axis=-1)
+    qkv = h1 @ wq + bq
+    q, k_n, v_n = qkv[:, :hd], qkv[:, hd:2 * hd], qkv[:, 2 * hd:]
+    ctx = int8_attention_oracle(
+        q[:, None, :], qcaches["k"][0], qcaches["v"][0],
+        qcaches["ks"][0], qcaches["vs"][0], jnp.full((b,), pos, jnp.int32),
+        cfg.n_heads, pad_lens=pads, cur_k=k_n, cur_v=v_n)[:, 0, :]
+    hcur = x + ctx @ lp["sa"]["o"]["w"][0] + lp["sa"]["o"]["b"][0]
+    h2 = ln(hcur, {k: lp["mlp_norm"][k][0] for k in ("scale", "bias")})
+    m1 = h2 @ lp["mlp"]["fc1"]["w"][0] + lp["mlp"]["fc1"]["b"][0]
+    g = 0.5 * m1 * (1.0 + jnp.tanh(np.sqrt(2 / np.pi) * (m1 + 0.044715 * m1 ** 3)))
+    hcur = hcur + g @ lp["mlp"]["fc2"]["w"][0] + lp["mlp"]["fc2"]["b"][0]
+
+    ref = np.asarray(hcur, np.float32)
+    got = np.asarray(x_out, np.float32)
+    scale = max(np.abs(ref).max(), 1.0)
+    assert np.abs(got - ref).max() / scale < 2e-4, np.abs(got - ref).max() / scale

@@ -417,3 +417,14 @@ def test_per_request_temperature_only(model):
         outs = solo.generate_tokens_many(reqs[: r + 1], 8, topk=5,
                                          temperature=[0.6, 1.4][r], seed=2)
         assert mixed[r] == outs[r]
+
+
+def test_long_prompt_near_max_seq_len(model):
+    """A long prompt close to max_seq_len must serve (the epoch base is NOT
+    bucket-rounded past feasibility), alone and mixed with short requests."""
+    tok = _Tok()
+    requests = [[i % 512 for i in range(200)], [5, 6, 7]]
+    budgets = [10, 40]
+    cb = ContinuousBatchingGenerator(model, tok, batch_size=2, prompt_bucket=64,
+                                     check_every=4)
+    assert cb.generate_tokens_many(requests, budgets) == _oracle(model, tok, requests, budgets)
