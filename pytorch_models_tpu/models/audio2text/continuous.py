@@ -412,11 +412,28 @@ class WhisperContinuousBatchingGenerator:
                     outputs[slot_req[row]] = np.asarray(buf[row, slot_pad[row]: end]).tolist()
                     stats.tokens_generated += end - slot_pad[row] - n_init
                     slot_req[row] = None
-                if slot_req[row] is None and next_req < n_req:
-                    if pos + max_new > l_max or pos + 1 > l_max:
-                        continue  # doesn't fit this epoch
-                    memory = mem0 if next_req == 0 else self._encode(
-                        params, self._stage_segment(audios[next_req]))
+
+            # all admissions at one scheduling point share the same pos and
+            # prompt length, so their encoder forwards run as ONE batched
+            # call (power-of-2 buckets bound the compile count; the tail
+            # pads by repeating a segment). The per-segment encode is the
+            # dominant admission cost — batch-1 encodes underuse the MXU.
+            free = [r for r in range(b) if slot_req[r] is None]
+            fits = pos + max_new <= l_max and pos + 1 <= l_max
+            m = min(len(free), n_req - next_req) if fits else 0
+            if m > 0:
+                mems = None
+                if m > 1 or next_req > 0:  # req 0's memory is the pool probe
+                    mb = 1
+                    while mb < m:
+                        mb *= 2
+                    segs = [self._stage_segment(audios[next_req + i])[0]
+                            for i in range(m)]
+                    wavs = jnp.stack(segs + [segs[-1]] * (mb - m))
+                    mems = self._encode(params, wavs)
+                for i in range(m):
+                    row = free[i]
+                    memory = mem0 if next_req == 0 else mems[i: i + 1]
                     buf, caches, cross, pad_lens, limits, done = self._admit(
                         params, cfg, buf, caches, cross, pad_lens, limits, done,
                         jnp.int32(row), jnp.int32(pos), memory, init_dev,

@@ -189,3 +189,13 @@ def test_per_request_sampling_params(model, audios):
                                            topk=6, top_p=tps[r], temperature=temps[r],
                                            seed=5)
         assert mixed[r] == outs[r]
+
+
+def test_batched_admission_encodes(model, plain, audios):
+    """A scheduling point admitting several segments runs ONE batched encoder
+    forward (bucketed); outputs stay token-identical per segment."""
+    cb = WhisperContinuousBatchingGenerator(model, batch_size=4, check_every=4,
+                                            pool_ctx=128)
+    outs = cb.transcribe_tokens_many(audios, INIT, EOT, max_tokens=12)
+    assert outs == _oracle(plain, audios, 12)
+    assert cb.last_stats.admissions == len(audios)
