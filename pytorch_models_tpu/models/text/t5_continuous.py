@@ -343,7 +343,6 @@ class T5ContinuousBatchingGenerator:
         outputs: list[list[int] | None] = [None] * n_req
         done_h = np.ones((b,), bool)
 
-        enc_buf = np.zeros((1, p_pad), np.int32)
         while next_req < n_req or any(r is not None for r in slot_req):
             for row in range(b):
                 if slot_req[row] is not None and done_h[row]:
@@ -351,18 +350,32 @@ class T5ContinuousBatchingGenerator:
                     outputs[slot_req[row]] = np.asarray(buf[row, slot_pad[row]: end]).tolist()
                     stats.tokens_generated += end - slot_pad[row] - 1
                     slot_req[row] = None
-                if slot_req[row] is None and next_req < n_req:
-                    if pos + max_new > l_max:
-                        continue  # doesn't fit this epoch
+
+            # all admissions at one scheduling point run ONE batched encoder
+            # forward (power-of-2 buckets bound the compile count; tail rows
+            # repeat — per-row n_enc masks them identically either way)
+            free = [r for r in range(b) if slot_req[r] is None]
+            m = (min(len(free), n_req - next_req)
+                 if pos + max_new <= l_max else 0)
+            if m > 0:
+                mb = 1
+                while mb < m:
+                    mb *= 2
+                enc_buf = np.zeros((mb, p_pad), np.int32)
+                lens = np.zeros((mb,), np.int32)
+                for i in range(mb):
+                    ts = token_lists[next_req + min(i, m - 1)]
+                    enc_buf[i, : len(ts)] = ts
+                    lens[i] = len(ts)
+                mems = self._encode(params, cfg, jnp.asarray(enc_buf),
+                                    jnp.asarray(lens))
+                for i in range(m):
+                    row = free[i]
                     ts = token_lists[next_req]
-                    enc_buf[:] = 0
-                    enc_buf[0, : len(ts)] = ts
-                    memory = self._encode(params, cfg, jnp.asarray(enc_buf),
-                                          jnp.asarray([len(ts)], jnp.int32))
                     buf, cross, pad_lens, limits, done = self._admit(
                         params, cfg, buf, cross, pad_lens, limits, done,
                         jnp.int32(row), jnp.int32(pos),
-                        memory, jnp.asarray([len(ts)], jnp.int32),
+                        mems[i: i + 1], jnp.asarray([len(ts)], jnp.int32),
                         jnp.int32(max_new), jnp.int32(pad_id))
                     if not greedy:
                         # the request's own key + admission position: token g
