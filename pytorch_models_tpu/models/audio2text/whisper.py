@@ -177,12 +177,16 @@ def _fused_whisper_step(p, packed, head, head_v, cfg: WhisperConfig, tok, caches
     x, emb_kw = _whisper_embed_or_fold(p, cfg, tok, pos, pos_ids)
     lc = cfg.dec_layer
     cdt = p["token_embs"].dtype
+    if "ks" in cross:  # int8 cross caches (quantized once at encode time)
+        ck, cv = cross["k"], cross["v"]
+        kvx = {"ks": cross["ks"], "vs": cross["vs"]}
+    else:
+        ck, cv, kvx = cross["k"].astype(cdt), cross["v"].astype(cdt), None
     out = fused_cross_decode_step(
-        x, packed, caches["k"], caches["v"],
-        cross["k"].astype(cdt), cross["v"].astype(cdt), cross["len"][0],
+        x, packed, caches["k"], caches["v"], ck, cv, cross["len"][0],
         pos, pad_lens, n_heads=lc.n_heads, act=lc.act, eps=lc.norm_eps, norm="ln",
         head=head, head_v=head_v, a8=_attn.use_a8_decode(packed["wqkv"].dtype),
-        **emb_kw)
+        kv_scales_x=kvx, **emb_kw)
     x_out, k_new, v_new = out[:3]
     start = (0, 0, pos, 0)
     caches = {
@@ -352,6 +356,14 @@ def _whisper_generate_batch_body(params, cfg: WhisperConfig, memory, initial_tok
     self_caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, max_tokens, lc.head_dim,
                                     dtype=p["token_embs"].dtype, stacked=fused)
     cross_caches = tfm.precompute_cross_caches(p, lc, memory)
+    # int8 cross-KV (opt-in): the DECODE loop streams quantized caches (the
+    # dominant batched-decode stream halves); the prefill below keeps the
+    # full-precision cross (einsum path), dead after it runs
+    dec_cross = cross_caches
+    if fused and _attn.use_int8_kv_cross(b):
+        from ..text._decoder_lm import quantize_kv_caches
+
+        dec_cross = quantize_kv_caches(cross_caches)
     if fused:
         from ...ops.decode_step import pack_decode_weights, pack_greedy_head
 
@@ -383,7 +395,7 @@ def _whisper_generate_batch_body(params, cfg: WhisperConfig, memory, initial_tok
         if fused:
             # layer stack + cross-attn + final LN + greedy argmax in ONE kernel
             nxt, caches = _fused_whisper_step(p, packed, head, head_v, cfg, tok,
-                                              caches, cross_caches, pos - 1)
+                                              caches, dec_cross, pos - 1)
         elif _attn.use_greedy_head(b):
             from ...ops.greedy_head import greedy_argmax_tied
 

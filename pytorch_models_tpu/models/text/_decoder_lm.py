@@ -175,7 +175,9 @@ def quantize_kv_caches(caches: dict) -> dict:
         p = s[..., 0]
         return jnp.pad(p, ((0, 0), (0, pad), (0, 0)), constant_values=1.0) if pad else p
 
-    return {"k": k_q, "v": v_q, "ks": plane(k_s), "vs": plane(v_s)}
+    out = {"k": k_q, "v": v_q, "ks": plane(k_s), "vs": plane(v_s)}
+    out.update({key: v for key, v in caches.items() if key not in ("k", "v")})
+    return out  # extra keys (e.g. cross "len") pass through
 
 
 def _write_caches(caches: dict, k_new, v_new, pos):

@@ -284,13 +284,19 @@ def _fused_t5_step(dec, packed, head, head_v, cfg: "T5Config", h, caches, cross_
     emb_kw = emb_kw or {}
     cdt = (emb_kw["emb"]["tok"] if h is None else h).dtype
     sbias = lax.dynamic_slice(bias_km, (pos, 0, 0), (1,) + bias_km.shape[1:])[0]
+    if "ks" in cross_caches:  # int8 cross caches (quantized once at encode)
+        ck, cv = cross_caches["k"], cross_caches["v"]
+        kvx = {"ks": cross_caches["ks"], "vs": cross_caches["vs"]}
+    else:
+        ck = cross_caches["k"].astype(cdt)
+        cv = cross_caches["v"].astype(cdt)
+        kvx = None
     out = fused_cross_decode_step(
         None if h is None else h[:, 0, :], packed, caches["k"], caches["v"],
-        cross_caches["k"].astype(cdt), cross_caches["v"].astype(cdt),
-        cross_caches["len"][0], pos, pad_lens, n_heads=lc.n_heads,
+        ck, cv, cross_caches["len"][0], pos, pad_lens, n_heads=lc.n_heads,
         act="approximate_gelu", eps=1e-5, norm="rms", gated=True, sbias=sbias,
         head=head, head_v=head_v, a8=_attn.use_a8_decode(packed["wqkv"].dtype),
-        **emb_kw)
+        kv_scales_x=kvx, **emb_kw)
     x_out, k_new, v_new = out[:3]
     start = (0, 0, pos, 0)
     caches = {
@@ -387,6 +393,13 @@ def _t5_generate_batch_body(params, cfg: T5Config, enc_tokens, n_enc, max_tokens
     self_caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, max_tokens, lc.head_dim,
                                     dtype=params["token_embs"].dtype, stacked=fused)
     cross_caches = tfm.precompute_cross_caches(dec, lc, memory, valid_lens=n_enc)
+    if fused and _attn.use_int8_kv_cross(b):
+        # int8 cross-KV (opt-in): T5's decoder has no cross prefill, so the
+        # quantized caches are the only copy the decode loop ever reads
+        # (the rel-pos bias applies to self-attention only — cross is legal)
+        from ._decoder_lm import quantize_kv_caches
+
+        cross_caches = quantize_kv_caches(cross_caches)
 
     out_buf = jnp.zeros((b, max_tokens), jnp.int32).at[:, 0].set(pad_id)
 

@@ -109,6 +109,23 @@ def use_int8_kv(batch: int) -> bool:
     return on and (batch <= 8 or batch % 8 == 0)
 
 
+# int8 CROSS-KV caches (``kv_scales_x=``): whisper/T5 encoder caches are
+# write-once per request (quantize at encode time, zero per-step requant) and
+# are the DOMINANT decode stream at batch — whisper-base batch-16 streams
+# ~295 MB of cross K/V per step vs ~50 MB of weights. Legal for T5 too (its
+# rel-pos bias applies to SELF attention only). Opt-in, same grouping
+# constraint; env INT8_KV_CROSS=0/1 overrides (trace time).
+USE_INT8_KV_CROSS: bool = False
+
+
+def use_int8_kv_cross(batch: int) -> bool:
+    import os
+
+    env = os.environ.get("INT8_KV_CROSS")
+    on = (env == "1") if env is not None else USE_INT8_KV_CROSS
+    return on and (batch <= 8 or batch % 8 == 0)
+
+
 # fused greedy head (ops/greedy_head.py): argmax(x @ emb.T) without the
 # (B, V) logits round-trip. None = auto (on for TPU at batch >= 4 — at B=1
 # the chunked matmuls lose to XLA's single streamed head, measured ~10%

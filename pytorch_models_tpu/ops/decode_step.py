@@ -115,7 +115,8 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             b: int, head_v: int | None = None, wt_int8: bool = False,
             a8: bool = False, eager: bool = False, embed: bool = False,
             embed_pos: bool = False, head_a8: bool = False,
-            kv_int8: bool = False, kv_g: int = 0, b8: int = 0):
+            kv_int8: bool = False, kvx_int8: bool = False, kv_g: int = 0,
+            b8: int = 0):
     refs = list(refs)
     with_head = head_v is not None
 
@@ -159,8 +160,11 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
     ks_hbm = vs_hbm = None
     if kv_int8:  # (L, B8, Lmax) f32 per-key scale planes for the int8 caches
         ks_hbm, vs_hbm = pop(2)
+    kxs_hbm = vxs_hbm = None
     if cross:
         kxc_hbm, vxc_hbm = pop(2)
+        if kvx_int8:  # (L, B8, Lx) f32 per-key scales of the int8 cross caches
+            kxs_hbm, vxs_hbm = pop(2)
     if with_head:
         (emb_hbm,) = pop(1)
     temb_hbm = pemb_hbm = None
@@ -180,8 +184,11 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
     if kv_int8:
         ks_scr, vs_scr = pop(2)
     kx_scr = vx_scr = kvx_sem = None
+    kxs_scr = vxs_scr = kvxs_sem = None
     if cross:
         kx_scr, vx_scr = pop(2)
+        if kvx_int8:
+            kxs_scr, vxs_scr = pop(2)
     if with_head:
         (emb_scr,) = pop(1)
     gw_scr = None
@@ -196,6 +203,8 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
         (kvs_sem,) = pop(1)
     if cross:
         (kvx_sem,) = pop(1)
+        if kvx_int8:
+            (kvxs_sem,) = pop(1)
     if with_head:
         (emb_sem,) = pop(1)
     g_sem = None
@@ -235,6 +244,18 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                                       ks_scr.at[slot], kvs_sem.at[slot, 0]),
                 pltpu.make_async_copy(vs_hbm.at[l, :, pl.ds(i * bkv, bkv)],
                                       vs_scr.at[slot], kvs_sem.at[slot, 1]),
+            ]
+        return cps
+
+    def xkv_dma(i, slot):
+        """Cross-KV block copies (+ scale windows for int8 cross caches)."""
+        cps = kv_dma(kxc_hbm, vxc_hbm, i, slot, (kx_scr, vx_scr), kvx_sem, bkv_x)
+        if kvx_int8:
+            cps += [
+                pltpu.make_async_copy(kxs_hbm.at[l, :, pl.ds(i * bkv_x, bkv_x)],
+                                      kxs_scr.at[slot], kvxs_sem.at[slot, 0]),
+                pltpu.make_async_copy(vxs_hbm.at[l, :, pl.ds(i * bkv_x, bkv_x)],
+                                      vxs_scr.at[slot], kvxs_sem.at[slot, 1]),
             ]
         return cps
 
@@ -295,8 +316,7 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                 for w in range(min(2, n_xkv_max)):
                     @pl.when(w < n_xkv)
                     def _(w=w):
-                        for cp in kv_dma(kxc_hbm, vxc_hbm, w, w % 2,
-                                         (kx_scr, vx_scr), kvx_sem, bkv_x):
+                        for cp in xkv_dma(w, w % 2):
                             cp.start()
                 for t in range(min(2, n_oc)):
                     wdma(woc_hbm, oc_scr, oc_sem, l, t, rows["oc"], t % 2).start()
@@ -447,17 +467,22 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             ls = jnp.where(ls == 0.0, 1.0, ls)
         return (accs / expand(ls)).astype(cdt)
 
-    def attn_stream_int8(q, cur_kv):
-        """Self-attention over the int8 KV cache (ops/int8_kv.py design,
-        oracle-pinned there): per-group block-diagonal int8 q-expander
-        scores, prob-folded V scales, dim-0-contracting int8 PV dots — all
-        attention math rides the MXU as int8 x int8 -> int32 with NO
-        int8->bf16 tile casts. Streams bkv=128 int8 K/V blocks plus their
-        (B8, bkv) f32 per-key scale windows (skv_dma)."""
+    def attn_stream_int8(q, cur_kv, dma, scr4, first, n_blk, blk, ends_col):
+        """Attention over an int8 KV cache (ops/int8_kv.py design, oracle-
+        pinned there): per-group block-diagonal int8 q-expander scores,
+        prob-folded V scales, dim-0-contracting int8 PV dots — all attention
+        math rides the MXU as int8 x int8 -> int32 with NO int8->bf16 tile
+        casts. ``dma``/``scr4`` select the stream (self via skv_dma or cross
+        via xkv_dma; blocks are 128 keys so the scale windows stay
+        lane-aligned). ``ends_col=None`` is self-attention (valid keys
+        ``[pad_col[r], pos)`` + the in-VMEM current position ``cur_kv``);
+        a (b, 1) length column is cross-attention (valid keys ``[0, len_r)``,
+        no current position; all-empty rows return zeros)."""
         g = kv_g
         ng = b // g
         gh = g * n_heads
         f32 = jnp.float32
+        k_scr_, v_scr_, sk_scr_, sv_scr_ = scr4
         sel = (lax.broadcasted_iota(jnp.int32, (g, gh), 1) // n_heads
                == lax.broadcasted_iota(jnp.int32, (g, gh), 0)).astype(f32)
         head_ok = (lax.broadcasted_iota(jnp.int32, (hd, gh), 0) // head_dim
@@ -469,17 +494,20 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             return lax.dot_general(sel * v_gh, hm, (((1,), (0,)), ((), ())),
                                    preferred_element_type=f32, precision=prec)
 
-        row_i = lax.broadcasted_iota(jnp.int32, (g * bkv, gh), 0)
-        col_i = lax.broadcasted_iota(jnp.int32, (g * bkv, gh), 1)
-        diag = row_i // bkv == col_i // n_heads
-        j_in_blk = row_i - (row_i // bkv) * bkv
+        row_i = lax.broadcasted_iota(jnp.int32, (g * blk, gh), 0)
+        col_i = lax.broadcasted_iota(jnp.int32, (g * blk, gh), 1)
+        diag = row_i // blk == col_i // n_heads
+        j_in_blk = row_i - (row_i // blk) * blk
 
         q_s = q.astype(f32) * scale  # (b, hd)
-        pad_all = pad_col[...]  # (b, 1)
-        k_new, v_new = cur_kv
+        if ends_col is None:
+            pad_all = pad_col[...]  # (b, 1); ends = pos for every row
+        else:
+            ends_all = ends_col[...]  # (b, 1); pads = 0
 
-        # per-group quantized q-expander + current-position K (the cache-
-        # write rule: a key scores identically now and when later streamed)
+        # per-group quantized q-expander + (self only) current-position K
+        # quantized with the cache-write rule: a key scores identically now
+        # and when later streamed
         qs, qi, kci, kcs = [], [], [], []
         for gi in range(ng):
             q_g = q_s[gi * g:(gi + 1) * g]
@@ -489,51 +517,56 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             sq = jnp.where(absmax == 0.0, 1.0, absmax) * (1.0 / 127.0)
             qi.append(jnp.clip(jnp.round(q_e / sq), -127, 127).astype(jnp.int8))
             qs.append(sq)
-            kc = k_new[gi * g:(gi + 1) * g].astype(f32)
-            am = jnp.max(jnp.abs(kc), axis=1, keepdims=True)
-            ks_ = jnp.where(am == 0.0, 1.0, am) * (1.0 / 127.0)
-            kci.append(jnp.clip(jnp.round(kc / ks_), -127, 127).astype(jnp.int8))
-            kcs.append(ks_)
+            if cur_kv is not None:
+                kc = cur_kv[0][gi * g:(gi + 1) * g].astype(f32)
+                am = jnp.max(jnp.abs(kc), axis=1, keepdims=True)
+                ks_ = jnp.where(am == 0.0, 1.0, am) * (1.0 / 127.0)
+                kci.append(jnp.clip(jnp.round(kc / ks_), -127, 127).astype(jnp.int8))
+                kcs.append(ks_)
 
         def step(i, carry):
             mss, lss, accss = carry
             slot = lax.rem(i, 2)
 
-            @pl.when(i + 2 < n_kv)
+            @pl.when(i + 2 < n_blk)
             def _():
-                for cp in skv_dma(i + 2, lax.rem(i + 2, 2)):
+                for cp in dma(i + 2, lax.rem(i + 2, 2)):
                     cp.start()
 
-            for cp in skv_dma(i, slot):
+            for cp in dma(i, slot):
                 cp.wait()
 
             out_m, out_l, out_a = [], [], []
             for gi in range(ng):
                 ms, ls, accs = mss[gi], lss[gi], accss[gi]
-                k_flat = k_scr[slot][gi * g:(gi + 1) * g].reshape(g * bkv, hd)
+                k_flat = k_scr_[slot][gi * g:(gi + 1) * g].reshape(g * blk, hd)
                 s_i32 = lax.dot_general(k_flat, qi[gi], (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.int32)
-                sk_blk = ks_scr[slot][gi * g:(gi + 1) * g]  # (g, bkv)
-                s = (s_i32.astype(f32).reshape(g, bkv, gh)
-                     * sk_blk[:, :, None]).reshape(g * bkv, gh) * qs[gi]
-                pad_g = jnp.broadcast_to(pad_all[gi * g:(gi + 1) * g, :, None],
-                                         (g, bkv, 1)).reshape(g * bkv, 1)
-                k_idx = i * bkv + j_in_blk
-                valid = jnp.logical_and(
-                    jnp.logical_and(k_idx < pos, k_idx >= pad_g), diag)
-                s = jnp.where(valid, s, NEG_INF)
+                sk_blk = sk_scr_[slot][gi * g:(gi + 1) * g]  # (g, blk)
+                s = (s_i32.astype(f32).reshape(g, blk, gh)
+                     * sk_blk[:, :, None]).reshape(g * blk, gh) * qs[gi]
+                k_idx = i * blk + j_in_blk
+                if ends_col is None:
+                    pad_g = jnp.broadcast_to(pad_all[gi * g:(gi + 1) * g, :, None],
+                                             (g, blk, 1)).reshape(g * blk, 1)
+                    valid = jnp.logical_and(k_idx < pos, k_idx >= pad_g)
+                else:
+                    ends_g = jnp.broadcast_to(ends_all[gi * g:(gi + 1) * g, :, None],
+                                              (g, blk, 1)).reshape(g * blk, 1)
+                    valid = k_idx < ends_g
+                s = jnp.where(jnp.logical_and(valid, diag), s, NEG_INF)
                 m_new = jnp.maximum(ms, jnp.max(s, axis=0, keepdims=True))
                 m_safe = jnp.maximum(m_new, jnp.float32(NEG_INF / 2))
                 p = jnp.exp(s - m_safe)
                 alpha = jnp.exp(ms - m_safe)
                 l_new = alpha * ls + jnp.sum(p, axis=0, keepdims=True)
-                sv_blk = vs_scr[slot][gi * g:(gi + 1) * g]
-                p_eff = (p.reshape(g, bkv, gh)
-                         * sv_blk[:, :, None]).reshape(g * bkv, gh)
+                sv_blk = sv_scr_[slot][gi * g:(gi + 1) * g]
+                p_eff = (p.reshape(g, blk, gh)
+                         * sv_blk[:, :, None]).reshape(g * blk, gh)
                 pm = jnp.max(jnp.abs(p_eff), axis=0, keepdims=True)
                 ps = jnp.where(pm == 0.0, 1.0, pm) * (1.0 / 127.0)
                 p_i8 = jnp.clip(jnp.round(p_eff / ps), -127, 127).astype(jnp.int8)
-                v_flat = v_scr[slot][gi * g:(gi + 1) * g].reshape(g * bkv, hd)
+                v_flat = v_scr_[slot][gi * g:(gi + 1) * g].reshape(g * blk, hd)
                 pv = lax.dot_general(p_i8, v_flat, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.int32)
                 ctx = lax.dot_general(sel * ps, pv.astype(f32) * hm,
@@ -547,26 +580,29 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
         init = ([jnp.full((1, gh), NEG_INF, f32)] * ng,
                 [jnp.zeros((1, gh), f32)] * ng,
                 [jnp.zeros((g, hd), f32)] * ng)
-        mss, lss, accss = lax.fori_loop(first_kv, n_kv, step, init)
+        mss, lss, accss = lax.fori_loop(first, n_blk, step, init)
 
         cdiag = (lax.broadcasted_iota(jnp.int32, (g, gh), 0)
                  == lax.broadcasted_iota(jnp.int32, (g, gh), 1) // n_heads)
         outs = []
         for gi in range(ng):
             ms, ls, accs = mss[gi], lss[gi], accss[gi]
-            sc_i32 = lax.dot_general(kci[gi], qi[gi], (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.int32)
-            s_cur = jnp.where(cdiag, sc_i32.astype(f32) * kcs[gi] * qs[gi], NEG_INF)
-            m_new = jnp.maximum(ms, jnp.max(s_cur, axis=0, keepdims=True))
-            p_cur = jnp.exp(s_cur - m_new)  # current pos always valid: l > 0
-            alpha = jnp.exp(ms - m_new)
-            ls = alpha * ls + jnp.sum(p_cur, axis=0, keepdims=True)
-            v_cur = v_new[gi * g:(gi + 1) * g].astype(f32)
-            pv_cur = lax.dot_general(p_cur, v_cur, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=f32, precision=prec)
-            ctx_cur = lax.dot_general(sel, pv_cur * hm, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=f32, precision=prec)
-            accs = accs * expand_g(alpha) + ctx_cur
+            if cur_kv is not None:
+                sc_i32 = lax.dot_general(kci[gi], qi[gi], (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.int32)
+                s_cur = jnp.where(cdiag, sc_i32.astype(f32) * kcs[gi] * qs[gi], NEG_INF)
+                m_new = jnp.maximum(ms, jnp.max(s_cur, axis=0, keepdims=True))
+                p_cur = jnp.exp(s_cur - m_new)  # current pos always valid: l > 0
+                alpha = jnp.exp(ms - m_new)
+                ls = alpha * ls + jnp.sum(p_cur, axis=0, keepdims=True)
+                v_cur = cur_kv[1][gi * g:(gi + 1) * g].astype(f32)
+                pv_cur = lax.dot_general(p_cur, v_cur, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=f32, precision=prec)
+                ctx_cur = lax.dot_general(sel, pv_cur * hm, (((1,), (0,)), ((), ())),
+                                          preferred_element_type=f32, precision=prec)
+                accs = accs * expand_g(alpha) + ctx_cur
+            else:
+                ls = jnp.where(ls == 0.0, 1.0, ls)  # all-empty cross rows -> 0
             outs.append((accs / expand_g(ls)).astype(cdt))
         return jnp.concatenate(outs, 0) if ng > 1 else outs[0]
 
@@ -591,7 +627,9 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
         vnew_ref[0] = v_new
 
         if kv_int8:
-            ctx = attn_stream_int8(q, (k_new, v_new))
+            ctx = attn_stream_int8(q, (k_new, v_new), skv_dma,
+                                   (k_scr, v_scr, ks_scr, vs_scr),
+                                   first_kv, n_kv, bkv, None)
         else:
             ends_v = pos * jnp.ones((b, 1, 1), jnp.int32)
             pad_v = pad_col[...].reshape(b, 1, 1)
@@ -605,8 +643,7 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                 for w in range(min(2, n_xkv_max)):
                     @pl.when(w < n_xkv)
                     def _(w=w):
-                        for cp in kv_dma(kxc_hbm, vxc_hbm, w, w % 2,
-                                         (kx_scr, vx_scr), kvx_sem, bkv_x):
+                        for cp in xkv_dma(w, w % 2):
                             cp.start()
         else:
             def after_o():
@@ -633,10 +670,16 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                 qc_acc = qc_acc * s_qc[0].astype(f32)
             q_c = (qc_acc + bqc_r[0].astype(f32)).astype(cdt)
 
-            xlen_v = xlen_col[...].reshape(b, 1, 1)
-            zero_v = jnp.zeros((b, 1, 1), jnp.int32)
-            ctx_c = attn_stream(q_c, kxc_hbm, vxc_hbm, 0, n_xkv, xlen_v, zero_v, None, None,
-                                scr2=(kx_scr, vx_scr), sem2=kvx_sem, blk=bkv_x)
+            if kvx_int8:
+                ctx_c = attn_stream_int8(q_c, None, xkv_dma,
+                                         (kx_scr, vx_scr, kxs_scr, vxs_scr),
+                                         0, n_xkv, bkv_x, xlen_col)
+            else:
+                xlen_v = xlen_col[...].reshape(b, 1, 1)
+                zero_v = jnp.zeros((b, 1, 1), jnp.int32)
+                ctx_c = attn_stream(q_c, kxc_hbm, vxc_hbm, 0, n_xkv, xlen_v, zero_v,
+                                    None, None, scr2=(kx_scr, vx_scr), sem2=kvx_sem,
+                                    blk=bkv_x)
 
             def w1_warmup():
                 for t1 in range(min(2, n_1)):
@@ -967,7 +1010,7 @@ def pack_embed_tables(token_embs, pos_embs=None, dtype=jnp.bfloat16) -> dict:
 def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
                 norm, gated, sbias, cross_k, cross_v, cross_lens,
                 head=None, head_v=None, a8=False, emb=None, tok_ids=None,
-                pos_rows=None, kv_scales=None):
+                pos_rows=None, kv_scales=None, kv_scales_x=None):
     embed = emb is not None
     embed_pos = embed and "pos" in emb
     if embed:  # in-kernel embed phase replaces the x operand
@@ -997,23 +1040,33 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
     assert l_max % KV_BLOCK == 0
     kv_item = jnp.dtype(k_caches.dtype).itemsize
     kv_int8 = kv_scales is not None
-    if kv_int8:
-        # int8 self-KV (ops/int8_kv.py design): 128-key blocks keep the
+    kvx_int8 = kv_scales_x is not None
+    if kv_int8 or kvx_int8:
+        # int8 KV (ops/int8_kv.py design): 128-key blocks keep the
         # scale-plane DMA lane offsets aligned; groups of <= 8 rows bound
         # the block-diagonal q-expander's MXU waste
-        assert k_caches.dtype == jnp.int8 and v_caches.dtype == jnp.int8
-        assert sbias is None, "int8 self-KV does not take a self bias (T5)"
         assert b <= 8 or b % 8 == 0, f"batch {b}: int8 KV needs b <= 8 or b % 8 == 0"
-        assert l_max % 128 == 0
         kv_g = b if b <= 8 else 8
         b8 = max(8, -(-b // 8) * 8)
+    else:
+        kv_g = b8 = 0
+    if kv_int8:
+        assert k_caches.dtype == jnp.int8 and v_caches.dtype == jnp.int8
+        assert sbias is None, "int8 self-KV does not take a self bias (T5)"
+        assert l_max % 128 == 0
         assert kv_scales["ks"].shape == (n_layers, b8, l_max), kv_scales["ks"].shape
         bkv = 128
     else:
-        kv_g = b8 = 0
         bkv = _pick_kv_block(l_max, b, hd, kv_item)
-    bkv_x = _pick_kv_block(cross_k.shape[-2], b, hd,
-                           jnp.dtype(cross_k.dtype).itemsize) if cross else KV_BLOCK
+    if kvx_int8:
+        assert cross and cross_k.dtype == jnp.int8 and cross_v.dtype == jnp.int8
+        assert cross_k.shape[-2] % 128 == 0
+        assert kv_scales_x["ks"].shape == (n_layers, b8, cross_k.shape[-2]), \
+            kv_scales_x["ks"].shape
+        bkv_x = 128
+    else:
+        bkv_x = _pick_kv_block(cross_k.shape[-2], b, hd,
+                               jnp.dtype(cross_k.dtype).itemsize) if cross else KV_BLOCK
 
     rows = {
         "qkv": _pick_rows(d, 3 * hd, itemsize),
@@ -1112,6 +1165,9 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
     if cross:
         in_specs += [any_spec] * 2
         operands += [cross_k, cross_v]
+        if kvx_int8:
+            in_specs += [any_spec] * 2
+            operands += [kv_scales_x["ks"], kv_scales_x["vs"]]
     if with_head:
         in_specs += [any_spec]
         operands += [head["emb"]]
@@ -1137,6 +1193,9 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
     if cross:
         scratch += [pltpu.VMEM((2, b, bkv_x, hd), cross_k.dtype),
                     pltpu.VMEM((2, b, bkv_x, hd), cross_v.dtype)]
+        if kvx_int8:
+            scratch += [pltpu.VMEM((2, b8, bkv_x), jnp.float32),
+                        pltpu.VMEM((2, b8, bkv_x), jnp.float32)]
     if with_head:
         scratch += [pltpu.VMEM((2, rows["emb"], d), head["emb"].dtype)]
     if embed:
@@ -1147,6 +1206,8 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
         scratch += [pltpu.SemaphoreType.DMA((2, 2))]
     if cross:
         scratch += [pltpu.SemaphoreType.DMA((2, 2))]
+        if kvx_int8:
+            scratch += [pltpu.SemaphoreType.DMA((2, 2))]
     if with_head:
         scratch += [pltpu.SemaphoreType.DMA((2,))]
     if embed:
@@ -1179,7 +1240,8 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
         scale=1.0 / (head_dim ** 0.5), prec=prec, cross=cross,
         norm_kind=norm, gated=gated, has_sbias=sbias is not None, b=b,
         head_v=head_v, wt_int8=wt_int8, a8=a8, eager=eager, embed=embed,
-        embed_pos=embed_pos, head_a8=head_a8, kv_int8=kv_int8, kv_g=kv_g, b8=b8)
+        embed_pos=embed_pos, head_a8=head_a8, kv_int8=kv_int8,
+        kvx_int8=kvx_int8, kv_g=kv_g, b8=b8)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1199,7 +1261,7 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
 def fused_decode_step(x, packed, k_caches, v_caches, pos, pad_lens,
                       n_heads: int, act: str = "gelu", eps: float = 1e-5,
                       head=None, head_v: int | None = None, a8: bool = False,
-                      emb=None, tok_ids=None, pos_rows=None, kv_scales=None):
+                      emb=None, tok_ids=None, pos_rows=None, kv_scales=None, kv_scales_x=None):
     """One full decode step over a self-attention-only layer stack (GPT-2).
 
     ``x``: (B, d) hidden states (embeddings already applied);
@@ -1240,7 +1302,7 @@ def fused_cross_decode_step(x, packed, k_caches, v_caches, cross_k, cross_v,
                             norm: str = "ln", gated: bool = False, sbias=None,
                             head=None, head_v: int | None = None,
                             a8: bool = False, emb=None, tok_ids=None,
-                            pos_rows=None, kv_scales=None):
+                            pos_rows=None, kv_scales=None, kv_scales_x=None):
     """Decode step for cross-attention decoders (Whisper ``norm="ln"``;
     T5 ``norm="rms", gated=True`` with ``sbias`` the key-major rel-pos
     decode-bias table ``(Lmax, 128)`` fp32, shared across layers/batch).
@@ -1253,4 +1315,5 @@ def fused_cross_decode_step(x, packed, k_caches, v_caches, cross_k, cross_v,
     return _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads,
                        act, eps, norm, gated, sbias, cross_k, cross_v, cross_lens,
                        head=head, head_v=head_v, a8=a8, emb=emb,
-                       tok_ids=tok_ids, pos_rows=pos_rows, kv_scales=kv_scales)
+                       tok_ids=tok_ids, pos_rows=pos_rows, kv_scales=kv_scales,
+                       kv_scales_x=kv_scales_x)

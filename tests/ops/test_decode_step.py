@@ -1078,3 +1078,82 @@ def test_fused_step_int8_kv_multi_group():
     got = np.asarray(x_out, np.float32)
     scale = max(np.abs(ref).max(), 1.0)
     assert np.abs(got - ref).max() / scale < 2e-4, np.abs(got - ref).max() / scale
+
+
+def test_fused_cross_step_int8_cross_kv_matches_oracle():
+    """int8 CROSS-KV (``kv_scales_x=``): the cross-attention phase streams
+    int8 encoder caches + per-key scale windows and must reproduce the
+    ops/int8_kv.py oracle (ends = per-row memory lengths, no current
+    position); the self stream stays f32."""
+    import pytorch_models_tpu.transformer as tfm2
+    from pytorch_models_tpu.models.text._decoder_lm import quantize_kv_caches
+    from pytorch_models_tpu.ops.decode_step import fused_cross_decode_step
+    from pytorch_models_tpu.ops.int8_kv import int8_attention_oracle
+
+    r = rng(331)
+    b, d, n_layers, l_max, lx, pos = 4, 128, 2, 128, 256, 37
+    cfg = tfm2.LayerConfig.make(d, n_heads=2, mlp_ratio=4.0,
+                                act="approximate_gelu", cross_attn=True)
+    params = tfm2.decoder_init(jax.random.PRNGKey(3), n_layers, cfg)
+    hd = cfg.n_heads * cfg.head_dim
+
+    x = jnp.asarray(r.standard_normal((b, d)), jnp.float32)
+    caches = {
+        "k": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+        "v": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+    }
+    cross = {
+        "k": jnp.asarray(r.standard_normal((n_layers, b, lx, hd)), jnp.float32),
+        "v": jnp.asarray(r.standard_normal((n_layers, b, lx, hd)), jnp.float32),
+    }
+    qcross = quantize_kv_caches(cross)
+    xlens = jnp.asarray([256, 100, 0, 130], jnp.int32)  # incl. an empty row
+
+    packed = pack_decode_weights(params["layers"], jnp.float32, cross=True)
+    with pltpu.force_tpu_interpret_mode():
+        x_out, k_new, v_new = fused_cross_decode_step(
+            x, packed, caches["k"], caches["v"], qcross["k"], qcross["v"],
+            xlens, pos, None, n_heads=cfg.n_heads, act=cfg.act,
+            eps=cfg.norm_eps,
+            kv_scales_x={"ks": qcross["ks"], "vs": qcross["vs"]})
+
+    # replica: plain einsum self-attention; int8 oracle cross-attention
+    lp = params["layers"]
+
+    def ln(h, p, li):
+        m = h.mean(axis=-1, keepdims=True)
+        v = ((h - m) ** 2).mean(axis=-1, keepdims=True)
+        return (h - m) / jnp.sqrt(v + cfg.norm_eps) * p["scale"][li] + p["bias"][li]
+
+    dh = cfg.head_dim
+    hcur = x
+    for li in range(n_layers):
+        h1 = ln(hcur, lp["sa_norm"], li)
+        wq = jnp.concatenate([lp["sa"][n]["w"][li] for n in ("q", "k", "v")], axis=-1)
+        bq = jnp.concatenate([lp["sa"][n]["b"][li] for n in ("q", "k", "v")], axis=-1)
+        qkv = h1 @ wq + bq
+        q, k_n, v_n = qkv[:, :hd], qkv[:, hd:2 * hd], qkv[:, 2 * hd:]
+        kc = jnp.concatenate([caches["k"][li][:, :pos, :], k_n[:, None, :]], axis=1)
+        vc = jnp.concatenate([caches["v"][li][:, :pos, :], v_n[:, None, :]], axis=1)
+        qh = q.reshape(b, cfg.n_heads, dh)
+        s = jnp.einsum("bhd,bphd->bhp", qh, kc.reshape(b, pos + 1, cfg.n_heads, dh)) / np.sqrt(dh)
+        a = jax.nn.softmax(s, axis=-1)
+        ctx = jnp.einsum("bhp,bphd->bhd", a, vc.reshape(b, pos + 1, cfg.n_heads, dh)).reshape(b, hd)
+        hcur = hcur + ctx @ lp["sa"]["o"]["w"][li] + lp["sa"]["o"]["b"][li]
+
+        hc = ln(hcur, lp["ca_norm"], li)
+        q_c = hc @ lp["ca"]["q"]["w"][li] + lp["ca"]["q"]["b"][li]
+        ctx_c = int8_attention_oracle(
+            q_c[:, None, :], qcross["k"][li], qcross["v"][li],
+            qcross["ks"][li], qcross["vs"][li], xlens, cfg.n_heads)[:, 0, :]
+        hcur = hcur + ctx_c @ lp["ca"]["o"]["w"][li] + lp["ca"]["o"]["b"][li]
+
+        h2 = ln(hcur, lp["mlp_norm"], li)
+        m1 = h2 @ lp["mlp"]["fc1"]["w"][li] + lp["mlp"]["fc1"]["b"][li]
+        g = 0.5 * m1 * (1.0 + jnp.tanh(np.sqrt(2 / np.pi) * (m1 + 0.044715 * m1 ** 3)))
+        hcur = hcur + g @ lp["mlp"]["fc2"]["w"][li] + lp["mlp"]["fc2"]["b"][li]
+
+    ref = np.asarray(hcur, np.float32)
+    got = np.asarray(x_out, np.float32)
+    scale = max(np.abs(ref).max(), 1.0)
+    assert np.abs(got - ref).max() / scale < 2e-4, np.abs(got - ref).max() / scale

@@ -141,6 +141,49 @@ def main():
           f"(random-weight logits are near-uniform; expect high but not 1.0)",
           flush=True)
 
+    # ---- int8 CROSS-KV at the whisper-base batch-16 shape -----------------
+    # cross caches are THE dominant stream there: 6 layers x 16 rows x 1536
+    # keys x 512 width x 2 (K,V) = ~295 MB/step bf16 -> ~150 MB int8
+    from pytorch_models_tpu.models.audio2text.whisper import (
+        Whisper, _fused_whisper_step)
+    from pytorch_models_tpu.models.text._decoder_lm import quantize_kv_caches
+    from pytorch_models_tpu.ops.decode_step import pack_greedy_head
+
+    wm = Whisper(vocab_size=51865, n_layers=6, d_model=512, n_mels=80).to_bf16()
+    wp = wm.params["decoder"]
+    wcfg = wm.cfg
+    wlc = wcfg.dec_layer
+    bw, lxw, lw, posw = 16, 1536, 448, 200
+    whd = wlc.n_heads * wlc.head_dim
+    from pytorch_models_tpu.ops.decode_step import pack_decode_weights
+    wpacked = pack_decode_weights(wp["layers"], jnp.bfloat16, cross=True)
+    whead, whead_v = pack_greedy_head(wp["token_embs"], wp["norm"], jnp.bfloat16)
+    sc = {
+        "k": jnp.asarray(r.standard_normal((6, bw, lw, whd)) * 0.3, jnp.bfloat16),
+        "v": jnp.asarray(r.standard_normal((6, bw, lw, whd)) * 0.3, jnp.bfloat16),
+    }
+    cross = {
+        "k": jnp.asarray(r.standard_normal((6, bw, lxw, whd)) * 0.3, jnp.bfloat16),
+        "v": jnp.asarray(r.standard_normal((6, bw, lxw, whd)) * 0.3, jnp.bfloat16),
+        "len": jnp.full((6, bw), 1500, jnp.int32),
+    }
+    qcross = quantize_kv_caches(cross)
+    tokw = jnp.ones((bw, 1), jnp.int32)
+
+    def wstep(cr):
+        return _fused_whisper_step(wp, wpacked, whead, whead_v, wcfg, tokw,
+                                   dict(sc), cr, posw)
+
+    t0 = time.time()
+    wstep(qcross)[0].block_until_ready()
+    print(f"int8 cross-kv megakernel compile+run OK in {time.time()-t0:.0f}s",
+          flush=True)
+    tb = timed_step(lambda: wstep(cross))
+    ti = timed_step(lambda: wstep(qcross))
+    print(f"whisper-base step @ (b=16, xlen=1500): bf16-cross {tb*1e3:.3f} ms, "
+          f"int8-cross {ti*1e3:.3f} ms ({tb/ti:.2f}x; cross is ~295 of ~360 "
+          f"MB/step -> floor ratio ~1.7x)", flush=True)
+
 
 if __name__ == "__main__":
     main()
