@@ -47,7 +47,7 @@ from .whisper import (
     _whisper_fused_ok,
 )
 
-from ..text.continuous import ServingStats
+from ..text.continuous import ServingStats, _bucket_pow2
 
 
 def _wcb_hidden(p, lc, cross, tokens, pos_ids, caches, pos, pad_lens):
@@ -422,18 +422,25 @@ class WhisperContinuousBatchingGenerator:
             fits = pos + max_new <= l_max and pos + 1 <= l_max
             m = min(len(free), n_req - next_req) if fits else 0
             if m > 0:
+                # segment 0's memory is the pool probe (mem0): don't stage or
+                # encode it a second time (staging re-uploads ~2 MB through
+                # the ~12 MB/s tunnel)
+                first_probe = next_req == 0
+                n_enc = m - 1 if first_probe else m
                 mems = None
-                if m > 1 or next_req > 0:  # req 0's memory is the pool probe
-                    mb = 1
-                    while mb < m:
-                        mb *= 2
-                    segs = [self._stage_segment(audios[next_req + i])[0]
-                            for i in range(m)]
-                    wavs = jnp.stack(segs + [segs[-1]] * (mb - m))
+                if n_enc > 0:
+                    mb = _bucket_pow2(n_enc)
+                    start = next_req + (1 if first_probe else 0)
+                    segs = [self._stage_segment(audios[start + i])[0]
+                            for i in range(n_enc)]
+                    wavs = jnp.stack(segs + [segs[-1]] * (mb - n_enc))
                     mems = self._encode(params, wavs)
                 for i in range(m):
                     row = free[i]
-                    memory = mem0 if next_req == 0 else mems[i: i + 1]
+                    if first_probe:
+                        memory = mem0 if i == 0 else mems[i - 1: i]
+                    else:
+                        memory = mems[i: i + 1]
                     buf, caches, cross, pad_lens, limits, done = self._admit(
                         params, cfg, buf, caches, cross, pad_lens, limits, done,
                         jnp.int32(row), jnp.int32(pos), memory, init_dev,

@@ -177,11 +177,9 @@ def _fused_whisper_step(p, packed, head, head_v, cfg: WhisperConfig, tok, caches
     x, emb_kw = _whisper_embed_or_fold(p, cfg, tok, pos, pos_ids)
     lc = cfg.dec_layer
     cdt = p["token_embs"].dtype
-    if "ks" in cross:  # int8 cross caches (quantized once at encode time)
-        ck, cv = cross["k"], cross["v"]
-        kvx = {"ks": cross["ks"], "vs": cross["vs"]}
-    else:
-        ck, cv, kvx = cross["k"].astype(cdt), cross["v"].astype(cdt), None
+    from ..text._decoder_lm import cross_operands
+
+    ck, cv, kvx = cross_operands(cross, cdt)
     out = fused_cross_decode_step(
         x, packed, caches["k"], caches["v"], ck, cv, cross["len"][0],
         pos, pad_lens, n_heads=lc.n_heads, act=lc.act, eps=lc.norm_eps, norm="ln",

@@ -206,6 +206,15 @@ def _kv_scales(caches: dict):
     return ({"ks": caches["ks"], "vs": caches["vs"]} if "ks" in caches else None)
 
 
+def cross_operands(cross: dict, cdt):
+    """(ck, cv, kv_scales_x) for a fused cross-attention step: int8 caches
+    (quantize_kv_caches output) pass through in their native dtype with the
+    scale planes; full-precision caches cast to the compute dtype."""
+    if "ks" in cross:
+        return cross["k"], cross["v"], {"ks": cross["ks"], "vs": cross["vs"]}
+    return cross["k"].astype(cdt), cross["v"].astype(cdt), None
+
+
 def _embed_or_fold(params, tokens, pos_ids):
     """Embeddings for a fused decode step: at small batch, return the
     in-kernel embed-phase kwargs (the token/pos gathers move into the

@@ -69,6 +69,15 @@ from .generator import (PROMPT_BUCKET, _is_greedy, _parse_sampling_params,
                         _sample)
 
 
+def _bucket_pow2(m: int) -> int:
+    """Smallest power of two >= m (batched-admission encode buckets: a
+    bounded set of compiled batch shapes)."""
+    mb = 1
+    while mb < m:
+        mb *= 2
+    return mb
+
+
 def _cb_row_prefill(params, cfg, buf, caches, row, c0, pad_len, p):
     """Prefill slot ``row``'s KV cache over the buffer chunk ``[c0, c0+P)``.
     Slots below ``pad_len`` hold garbage the pad mask hides; cached KV below
@@ -457,7 +466,7 @@ class ContinuousBatchingGenerator:
         else:
             kp = 0
         # epoch start: admissions need pos >= n = k + s, so the base covers
-        # the LONGEST request (bucket-rounded; long prompts chunk-prefill)
+        # the LONGEST request (long prompts chunk-prefill at admission)
         # no bucket rounding: pos is a traced scalar (compiled shapes depend
         # only on the chunk width), and rounding up would reject feasible
         # prompts near max_seq_len (and, via the plan asserts, sink every

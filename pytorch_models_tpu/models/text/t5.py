@@ -284,13 +284,9 @@ def _fused_t5_step(dec, packed, head, head_v, cfg: "T5Config", h, caches, cross_
     emb_kw = emb_kw or {}
     cdt = (emb_kw["emb"]["tok"] if h is None else h).dtype
     sbias = lax.dynamic_slice(bias_km, (pos, 0, 0), (1,) + bias_km.shape[1:])[0]
-    if "ks" in cross_caches:  # int8 cross caches (quantized once at encode)
-        ck, cv = cross_caches["k"], cross_caches["v"]
-        kvx = {"ks": cross_caches["ks"], "vs": cross_caches["vs"]}
-    else:
-        ck = cross_caches["k"].astype(cdt)
-        cv = cross_caches["v"].astype(cdt)
-        kvx = None
+    from ._decoder_lm import cross_operands
+
+    ck, cv, kvx = cross_operands(cross_caches, cdt)
     out = fused_cross_decode_step(
         None if h is None else h[:, 0, :], packed, caches["k"], caches["v"],
         ck, cv, cross_caches["len"][0], pos, pad_lens, n_heads=lc.n_heads,

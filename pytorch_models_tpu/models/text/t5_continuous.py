@@ -54,7 +54,7 @@ from .t5 import (
     t5_encoder_apply,
 )
 
-from .continuous import ServingStats
+from .continuous import ServingStats, _bucket_pow2
 
 
 def _t5cb_encode_body(params, cfg: T5Config, enc_tokens, n_enc):
@@ -358,9 +358,7 @@ class T5ContinuousBatchingGenerator:
             m = (min(len(free), n_req - next_req)
                  if pos + max_new <= l_max else 0)
             if m > 0:
-                mb = 1
-                while mb < m:
-                    mb *= 2
+                mb = _bucket_pow2(m)
                 enc_buf = np.zeros((mb, p_pad), np.int32)
                 lens = np.zeros((mb,), np.int32)
                 for i in range(mb):

@@ -99,14 +99,19 @@ def use_fused_embed(batch: int) -> bool:
 USE_INT8_KV: bool = False
 
 
-def use_int8_kv(batch: int) -> bool:
-    """True when the mode is on and the batch fits the kernel's grouping
-    (b <= 8 or b % 8 == 0: per-group scale DMAs need 8-aligned row sets)."""
+def _int8_kv_gate(env_name: str, flag: bool, batch: int) -> bool:
+    """Shared int8-KV gate: env override wins, and the batch must fit the
+    kernel's grouping (b <= 8 or b % 8 == 0: per-group scale DMAs need
+    8-aligned row sets)."""
     import os
 
-    env = os.environ.get("INT8_KV")
-    on = (env == "1") if env is not None else USE_INT8_KV
+    env = os.environ.get(env_name)
+    on = (env == "1") if env is not None else flag
     return on and (batch <= 8 or batch % 8 == 0)
+
+
+def use_int8_kv(batch: int) -> bool:
+    return _int8_kv_gate("INT8_KV", USE_INT8_KV, batch)
 
 
 # int8 CROSS-KV caches (``kv_scales_x=``): whisper/T5 encoder caches are
@@ -119,11 +124,7 @@ USE_INT8_KV_CROSS: bool = False
 
 
 def use_int8_kv_cross(batch: int) -> bool:
-    import os
-
-    env = os.environ.get("INT8_KV_CROSS")
-    on = (env == "1") if env is not None else USE_INT8_KV_CROSS
-    return on and (batch <= 8 or batch % 8 == 0)
+    return _int8_kv_gate("INT8_KV_CROSS", USE_INT8_KV_CROSS, batch)
 
 
 # fused greedy head (ops/greedy_head.py): argmax(x @ emb.T) without the

@@ -1261,7 +1261,7 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
 def fused_decode_step(x, packed, k_caches, v_caches, pos, pad_lens,
                       n_heads: int, act: str = "gelu", eps: float = 1e-5,
                       head=None, head_v: int | None = None, a8: bool = False,
-                      emb=None, tok_ids=None, pos_rows=None, kv_scales=None, kv_scales_x=None):
+                      emb=None, tok_ids=None, pos_rows=None, kv_scales=None):
     """One full decode step over a self-attention-only layer stack (GPT-2).
 
     ``x``: (B, d) hidden states (embeddings already applied);

@@ -19,7 +19,9 @@ INIT, EOT = [50, 51, 52], 99
 
 @pytest.fixture(scope="module")
 def whisper():
-    return Whisper(vocab_size=100, n_layers=2, d_model=64, n_mels=80)
+    # d_model must be a 128 multiple or fused_step_eligible rejects the
+    # megakernel and these tests silently cover nothing
+    return Whisper(vocab_size=100, n_layers=2, d_model=128, n_mels=80)
 
 
 def _flags(on):
@@ -29,12 +31,16 @@ def _flags(on):
 
 
 def test_whisper_int8_cross_generation(whisper):
+    from pytorch_models_tpu.models.audio2text.whisper import _whisper_fused_ok
+
     rng = np.random.default_rng(3)
     audios = np.stack([(rng.standard_normal(16000 * 30) * 0.1).astype(np.float32)
                        for _ in range(2)])
     gen = WhisperGenerator(whisper)
     _flags(True)
     try:
+        # guard against vacuous coverage: the fused step must be eligible
+        assert _whisper_fused_ok(whisper.params["decoder"], whisper.cfg, 16)
         with pltpu.force_tpu_interpret_mode():
             a = gen.transcribe_tokens_batch(audios, INIT, EOT, max_tokens=10)
             b = gen.transcribe_tokens_batch(audios, INIT, EOT, max_tokens=10)
@@ -46,11 +52,14 @@ def test_whisper_int8_cross_generation(whisper):
 
 
 def test_t5_int8_cross_generation():
-    model = T5Model(vocab_size=120, dim=64, n_heads=4, n_layers=2, mlp_dim=128)
+    from pytorch_models_tpu.models.text.t5 import _t5_fused_ok
+
+    model = T5Model(vocab_size=120, dim=128, n_heads=2, n_layers=2, mlp_dim=256)
     gen = T5Generator(model=model, tokenizer=object())
     prompts = [[5, 6, 7, 1], [8, 9, 1]]
     _flags(True)
     try:
+        assert _t5_fused_ok(model.params["decoder"], model.cfg, 16)
         with pltpu.force_tpu_interpret_mode():
             a = gen.generate_tokens_batch(prompts, 10, 0, 1)
             b = gen.generate_tokens_batch(prompts, 10, 0, 1)
