@@ -177,20 +177,16 @@ def _fused_whisper_step(p, packed, head, head_v, cfg: WhisperConfig, tok, caches
     x, emb_kw = _whisper_embed_or_fold(p, cfg, tok, pos, pos_ids)
     lc = cfg.dec_layer
     cdt = p["token_embs"].dtype
-    from ..text._decoder_lm import cross_operands
+    from ..text._decoder_lm import _kv_scales, _write_caches, cross_operands
 
     ck, cv, kvx = cross_operands(cross, cdt)
     out = fused_cross_decode_step(
         x, packed, caches["k"], caches["v"], ck, cv, cross["len"][0],
         pos, pad_lens, n_heads=lc.n_heads, act=lc.act, eps=lc.norm_eps, norm="ln",
         head=head, head_v=head_v, a8=_attn.use_a8_decode(packed["wqkv"].dtype),
-        kv_scales_x=kvx, **emb_kw)
+        kv_scales=_kv_scales(caches), kv_scales_x=kvx, **emb_kw)
     x_out, k_new, v_new = out[:3]
-    start = (0, 0, pos, 0)
-    caches = {
-        "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
-        "v": lax.dynamic_update_slice(caches["v"], v_new[:, :, None, :].astype(caches["v"].dtype), start),
-    }
+    caches = _write_caches(caches, k_new, v_new, pos)
     if head is None:
         return layer_norm(p["norm"], x_out), caches
     return out[3], caches
@@ -362,6 +358,7 @@ def _whisper_generate_batch_body(params, cfg: WhisperConfig, memory, initial_tok
         from ..text._decoder_lm import quantize_kv_caches
 
         dec_cross = quantize_kv_caches(cross_caches)
+    int8_kv = fused and _attn.use_int8_kv(b)
     if fused:
         from ...ops.decode_step import pack_decode_weights, pack_greedy_head
 
@@ -379,6 +376,10 @@ def _whisper_generate_batch_body(params, cfg: WhisperConfig, memory, initial_tok
     init_rows = jnp.broadcast_to(initial_tokens.astype(jnp.int32), (b, n_init))
     buf = lax.dynamic_update_slice(buf, init_rows, (0, 0))
     logits, self_caches = forward_chunk(init_rows, self_caches, 0, n_init)
+    if int8_kv:  # int8 self-KV: quantize the prefilled cache once (opt-in)
+        from ..text._decoder_lm import quantize_kv_caches
+
+        self_caches = quantize_kv_caches(self_caches)
     first = jnp.argmax(logits[:, n_init - 1], axis=-1).astype(jnp.int32)
     buf = buf.at[:, n_init].set(first)
     state = (buf, jnp.int32(n_init + 1), self_caches, first == eot_id)

@@ -248,10 +248,18 @@ def _t5_fused_ok(dec: dict, cfg: "T5Config", max_tokens: int) -> bool:
                                cross=True, gated=True)
 
 
-def _t5_key_major_bias(bias_table: jnp.ndarray) -> jnp.ndarray:
+def _t5_key_major_bias(bias_table: jnp.ndarray, group: int = 1) -> jnp.ndarray:
     """(H, P, L) rel-pos decode bias -> key-major (P, L, 128) fp32 for the
-    fused kernel (lane-padded: Mosaic wants 128-lane minor dims)."""
+    fused kernel (lane-padded: Mosaic wants 128-lane minor dims).
+
+    ``group > 1`` tiles the H head columns ``group`` times (int8 self-KV:
+    the grouped kernel's score columns are (row, head) pairs, so the bias
+    table carries the g-fold tiling — a free XLA op here vs a lane relayout
+    in-kernel). Requires ``group * H <= 128``."""
     km = jnp.transpose(bias_table, (1, 2, 0)).astype(jnp.float32)
+    if group > 1:
+        assert group * km.shape[-1] <= 128, (group, km.shape)
+        km = jnp.concatenate([km] * group, axis=-1)
     return jnp.pad(km, ((0, 0), (0, 0), (0, 128 - km.shape[-1])))
 
 
@@ -284,7 +292,7 @@ def _fused_t5_step(dec, packed, head, head_v, cfg: "T5Config", h, caches, cross_
     emb_kw = emb_kw or {}
     cdt = (emb_kw["emb"]["tok"] if h is None else h).dtype
     sbias = lax.dynamic_slice(bias_km, (pos, 0, 0), (1,) + bias_km.shape[1:])[0]
-    from ._decoder_lm import cross_operands
+    from ._decoder_lm import _kv_scales, _write_caches, cross_operands
 
     ck, cv, kvx = cross_operands(cross_caches, cdt)
     out = fused_cross_decode_step(
@@ -292,13 +300,9 @@ def _fused_t5_step(dec, packed, head, head_v, cfg: "T5Config", h, caches, cross_
         ck, cv, cross_caches["len"][0], pos, pad_lens, n_heads=lc.n_heads,
         act="approximate_gelu", eps=1e-5, norm="rms", gated=True, sbias=sbias,
         head=head, head_v=head_v, a8=_attn.use_a8_decode(packed["wqkv"].dtype),
-        kv_scales_x=kvx, **emb_kw)
+        kv_scales=_kv_scales(caches), kv_scales_x=kvx, **emb_kw)
     x_out, k_new, v_new = out[:3]
-    start = (0, 0, pos, 0)
-    caches = {
-        "k": lax.dynamic_update_slice(caches["k"], k_new[:, :, None, :].astype(caches["k"].dtype), start),
-        "v": lax.dynamic_update_slice(caches["v"], v_new[:, :, None, :].astype(caches["v"].dtype), start),
-    }
+    caches = _write_caches(caches, k_new, v_new, pos)
     if head is None:
         return rms_norm(dec["norm"], x_out), caches
     return out[3], caches
@@ -388,6 +392,15 @@ def _t5_generate_batch_body(params, cfg: T5Config, enc_tokens, n_enc, max_tokens
     fused = _t5_fused_ok(dec, cfg, max_tokens)
     self_caches = tfm.make_kv_cache(cfg.n_layers, (b,), lc.n_heads, max_tokens, lc.head_dim,
                                     dtype=params["token_embs"].dtype, stacked=fused)
+    # int8 self-KV (opt-in): the cache starts empty (T5 decodes from the pad
+    # token), so quantizing the zeros IS the initial int8 state; the decode
+    # bias table below is group-tiled for the grouped kernel (g*H <= 128)
+    kv_g = b if b <= 8 else 8
+    int8_kv = fused and _attn.use_int8_kv(b) and kv_g * lc.n_heads <= 128
+    if int8_kv:
+        from ._decoder_lm import quantize_kv_caches
+
+        self_caches = quantize_kv_caches(self_caches)
     cross_caches = tfm.precompute_cross_caches(dec, lc, memory, valid_lens=n_enc)
     if fused and _attn.use_int8_kv_cross(b):
         # int8 cross-KV (opt-in): T5's decoder has no cross prefill, so the
@@ -410,7 +423,7 @@ def _t5_generate_batch_body(params, cfg: T5Config, enc_tokens, n_enc, max_tokens
         head, head_v = pack_greedy_head(params["classifier"]["w"], dec["norm"], dtype,
                                         tied=False,
                                         a8=_attn.use_a8_decode(packed["wqkv"].dtype))
-        bias_km = _t5_key_major_bias(bias_table)
+        bias_km = _t5_key_major_bias(bias_table, group=kv_g if int8_kv else 1)
 
     def step(carry):
         buf, pos, caches, done = carry

@@ -545,6 +545,11 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                 sk_blk = sk_scr_[slot][gi * g:(gi + 1) * g]  # (g, blk)
                 s = (s_i32.astype(f32).reshape(g, blk, gh)
                      * sk_blk[:, :, None]).reshape(g * blk, gh) * qs[gi]
+                if has_sbias and ends_col is None:
+                    # GROUP-TILED key-major decode bias: first g*H lanes hold
+                    # bias[k, h] repeated per group; rows broadcast g-fold
+                    sb = sbias_r[pl.ds(i * blk, blk), :gh].astype(f32)
+                    s = s + jnp.broadcast_to(sb[None], (g, blk, gh)).reshape(g * blk, gh)
                 k_idx = i * blk + j_in_blk
                 if ends_col is None:
                     pad_g = jnp.broadcast_to(pad_all[gi * g:(gi + 1) * g, :, None],
@@ -590,7 +595,10 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             if cur_kv is not None:
                 sc_i32 = lax.dot_general(kci[gi], qi[gi], (((1,), (0,)), ((), ())),
                                          preferred_element_type=jnp.int32)
-                s_cur = jnp.where(cdiag, sc_i32.astype(f32) * kcs[gi] * qs[gi], NEG_INF)
+                s_cur = sc_i32.astype(f32) * kcs[gi] * qs[gi]
+                if has_sbias and ends_col is None:
+                    s_cur = s_cur + sbias_r[pl.ds(pos, 1), :gh].astype(f32)
+                s_cur = jnp.where(cdiag, s_cur, NEG_INF)
                 m_new = jnp.maximum(ms, jnp.max(s_cur, axis=0, keepdims=True))
                 p_cur = jnp.exp(s_cur - m_new)  # current pos always valid: l > 0
                 alpha = jnp.exp(ms - m_new)
@@ -1052,7 +1060,9 @@ def _call_fused(x, packed, k_caches, v_caches, pos, pad_lens, n_heads, act, eps,
         kv_g = b8 = 0
     if kv_int8:
         assert k_caches.dtype == jnp.int8 and v_caches.dtype == jnp.int8
-        assert sbias is None, "int8 self-KV does not take a self bias (T5)"
+        # sbias IS supported: the caller must pass the GROUP-TILED key-major
+        # table (models/text/t5.py _t5_key_major_bias(group=kv_g)) — the
+        # grouped kernel reads its first g*H lanes directly
         assert l_max % 128 == 0
         assert kv_scales["ks"].shape == (n_layers, b8, l_max), kv_scales["ks"].shape
         bkv = 128

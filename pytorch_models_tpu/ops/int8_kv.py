@@ -347,10 +347,15 @@ def int8_decode_attention(q, k_q, v_q, k_s, v_s, ends, n_heads: int,
 
 
 def int8_attention_oracle(q, k_q, v_q, k_s, v_s, ends, n_heads: int,
-                          pad_lens=None, cur_k=None, cur_v=None):
+                          pad_lens=None, cur_k=None, cur_v=None, bias=None):
     """Exact re-implementation of the kernel's quantized math in plain jnp
     (same block structure, same op order — int dots are exact and the f32
-    chain mirrors the kernel's, so outputs match to f32 rounding)."""
+    chain mirrors the kernel's, so outputs match to f32 rounding).
+
+    ``bias``: optional (Lmax, H) f32 additive key-major decode bias (T5's
+    rel-pos table at the query position), added after dequant and at the
+    current position (index ``ends[0]`` — self-decode semantics where every
+    row shares pos)."""
     b, _, hd = q.shape
     d = hd // n_heads
     l_max = k_q.shape[-2]
@@ -398,6 +403,9 @@ def int8_attention_oracle(q, k_q, v_q, k_s, v_s, ends, n_heads: int,
             sk_blk = k_s[g0:g0 + g, i * bk:(i + 1) * bk]
             s = (s_i32.astype(f32).reshape(g, bk, gh)
                  * sk_blk[:, :, None]).reshape(g * bk, gh) * sq
+            if bias is not None:
+                blk_b = bias[i * bk:(i + 1) * bk, :].astype(f32)  # (bk, H)
+                s = s + jnp.tile(jnp.tile(blk_b, (g, 1)), (1, g))
             k_idx = i * bk + (row_i - (row_i // bk) * bk)
             valid = jnp.logical_and(jnp.logical_and(k_idx < ends_v, k_idx >= pad_v), diag)
             s = jnp.where(valid, s, NEG_INF)
@@ -423,7 +431,10 @@ def int8_attention_oracle(q, k_q, v_q, k_s, v_s, ends, n_heads: int,
             sc_i32 = lax.dot_general(kc_i8, q_i8, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.int32)
             cdiag = (jnp.arange(g)[:, None] == jnp.arange(gh)[None, :] // n_heads)
-            s_cur = jnp.where(cdiag, sc_i32.astype(f32) * kc_s * sq, NEG_INF)
+            s_cur = sc_i32.astype(f32) * kc_s * sq
+            if bias is not None:
+                s_cur = s_cur + jnp.tile(bias[int(ends_arr[0]):int(ends_arr[0]) + 1, :].astype(f32), (1, g))
+            s_cur = jnp.where(cdiag, s_cur, NEG_INF)
             m_new = jnp.maximum(ms, jnp.max(s_cur, axis=0, keepdims=True))
             p_cur = jnp.exp(s_cur - m_new)
             alpha = jnp.exp(ms - m_new)

@@ -68,3 +68,56 @@ def test_t5_int8_cross_generation():
     assert a == b
     for out in a:
         assert out[0] == 0 and all(0 <= t < 120 for t in out)
+
+
+def test_t5_int8_self_and_cross_generation():
+    """Full int8 serving for T5: self-KV (group-tiled rel-pos bias) + cross
+    caches quantized. Runs deterministically through the fused path."""
+    from pytorch_models_tpu.models.text.t5 import _t5_fused_ok
+
+    model = T5Model(vocab_size=120, dim=128, n_heads=2, n_layers=2, mlp_dim=256)
+    gen = T5Generator(model=model, tokenizer=object())
+    prompts = [[5, 6, 7, 1], [8, 9, 1]]
+    attn_mod.USE_FUSED_STEP = True
+    attn_mod.USE_INT8_KV = True
+    attn_mod.USE_INT8_KV_CROSS = True
+    jax.clear_caches()
+    try:
+        assert _t5_fused_ok(model.params["decoder"], model.cfg, 16)
+        with pltpu.force_tpu_interpret_mode():
+            a = gen.generate_tokens_batch(prompts, 10, 0, 1)
+            b = gen.generate_tokens_batch(prompts, 10, 0, 1)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        attn_mod.USE_INT8_KV = False
+        attn_mod.USE_INT8_KV_CROSS = False
+        jax.clear_caches()
+    assert a == b
+    for out in a:
+        assert out[0] == 0 and all(0 <= t < 120 for t in out)
+
+
+def test_whisper_int8_self_generation(whisper):
+    """Whisper int8 self-KV: the batched loop quantizes the prefilled cache
+    once and every step writes quantized."""
+    from pytorch_models_tpu.models.audio2text.whisper import _whisper_fused_ok
+
+    rng = np.random.default_rng(5)
+    audios = np.stack([(rng.standard_normal(16000 * 30) * 0.1).astype(np.float32)
+                       for _ in range(2)])
+    gen = WhisperGenerator(whisper)
+    attn_mod.USE_FUSED_STEP = True
+    attn_mod.USE_INT8_KV = True
+    jax.clear_caches()
+    try:
+        assert _whisper_fused_ok(whisper.params["decoder"], whisper.cfg, 16)
+        with pltpu.force_tpu_interpret_mode():
+            a = gen.transcribe_tokens_batch(audios, INIT, EOT, max_tokens=10)
+            b = gen.transcribe_tokens_batch(audios, INIT, EOT, max_tokens=10)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        attn_mod.USE_INT8_KV = False
+        jax.clear_caches()
+    assert a == b
+    for out in a:
+        assert out[:3] == INIT and all(0 <= t < 100 for t in out)

@@ -1157,3 +1157,87 @@ def test_fused_cross_step_int8_cross_kv_matches_oracle():
     got = np.asarray(x_out, np.float32)
     scale = max(np.abs(ref).max(), 1.0)
     assert np.abs(got - ref).max() / scale < 2e-4, np.abs(got - ref).max() / scale
+
+
+def test_fused_t5_step_int8_self_kv_with_bias_matches_oracle():
+    """T5-style int8 SELF-KV: rel-pos decode bias rides as a GROUP-TILED
+    key-major table and the grouped kernel must reproduce the bias-aware
+    oracle (RMSNorm + GEGLU + bf16 cross stay the standard paths)."""
+    from pytorch_models_tpu.models.text._decoder_lm import quantize_kv_caches
+    from pytorch_models_tpu.models.text.t5 import T5Config, t5_stack_init
+    from pytorch_models_tpu.ops.decode_step import fused_cross_decode_step
+    from pytorch_models_tpu.ops.int8_kv import int8_attention_oracle
+
+    r = rng(337)
+    b, n_layers, l_max, lx, pos = 4, 2, 256, 256, 200
+    cfg = T5Config(vocab_size=64, dim=128, n_heads=2, n_layers=n_layers, mlp_dim=256)
+    stack = t5_stack_init(jax.random.PRNGKey(7), cfg, cross_attn=True)
+    hd = cfg.n_heads * 64
+    g = b  # <= 8: single group
+
+    x = jnp.asarray(r.standard_normal((b, cfg.dim)), jnp.float32)
+    caches = quantize_kv_caches({
+        "k": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+        "v": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+    })
+    cross = {
+        "k": jnp.asarray(r.standard_normal((n_layers, b, lx, hd)), jnp.float32),
+        "v": jnp.asarray(r.standard_normal((n_layers, b, lx, hd)), jnp.float32),
+    }
+    xlens = jnp.asarray([256, 100, 50, 130], jnp.int32)
+    bias = jnp.asarray(r.standard_normal((l_max, cfg.n_heads)) * 0.3, jnp.float32)
+    # group-tiled key-major table, lane-padded to 128 (t5._t5_key_major_bias)
+    sbias = jnp.pad(jnp.concatenate([bias] * g, axis=-1),
+                    ((0, 0), (0, 128 - g * cfg.n_heads)))
+
+    packed = pack_decode_weights(stack["layers"], jnp.float32, gated=True,
+                                 cross=True, norm="rms")
+    with pltpu.force_tpu_interpret_mode():
+        x_out, k_new, v_new = fused_cross_decode_step(
+            x, packed, caches["k"], caches["v"], cross["k"], cross["v"],
+            xlens, pos, None, n_heads=cfg.n_heads, act="approximate_gelu",
+            eps=1e-5, norm="rms", gated=True, sbias=sbias,
+            kv_scales={"ks": caches["ks"], "vs": caches["vs"]})
+
+    lp = stack["layers"]
+    dh = 64
+
+    def rms(h, p, li):
+        h32 = h.astype(jnp.float32)
+        y = h32 * jax.lax.rsqrt(jnp.mean(h32 ** 2, axis=-1, keepdims=True) + 1e-5)
+        return y * p["scale"][li]
+
+    hcur = x
+    for li in range(n_layers):
+        h1 = rms(hcur, lp["sa_norm"], li)
+        wq = jnp.concatenate([lp["sa"][n]["w"][li] for n in ("q", "k", "v")], axis=-1)
+        qkv = h1 @ wq
+        q, k_n, v_n = qkv[:, :hd], qkv[:, hd:2 * hd], qkv[:, 2 * hd:]
+        np.testing.assert_allclose(np.asarray(k_new[li]), np.asarray(k_n),
+                                   rtol=2e-5, atol=2e-5)
+        ctx = int8_attention_oracle(
+            q[:, None, :], caches["k"][li], caches["v"][li],
+            caches["ks"][li], caches["vs"][li], jnp.full((b,), pos, jnp.int32),
+            cfg.n_heads, cur_k=k_n, cur_v=v_n, bias=bias)[:, 0, :]
+        hcur = hcur + ctx @ lp["sa"]["o"]["w"][li]
+
+        hc = rms(hcur, lp["ca_norm"], li)
+        q_c = hc @ lp["ca"]["q"]["w"][li]
+        s = jnp.einsum("bhd,bphd->bhp", q_c.reshape(b, cfg.n_heads, dh),
+                       cross["k"][li].reshape(b, lx, cfg.n_heads, dh)) / np.sqrt(dh)
+        valid = (jnp.arange(lx)[None, None, :] < xlens[:, None, None])
+        s = jnp.where(valid, s, -1e30)
+        a = jax.nn.softmax(s, axis=-1)
+        ctx_c = jnp.einsum("bhp,bphd->bhd", a,
+                           cross["v"][li].reshape(b, lx, cfg.n_heads, dh)).reshape(b, hd)
+        hcur = hcur + ctx_c @ lp["ca"]["o"]["w"][li]
+
+        h2 = rms(hcur, lp["mlp_norm"], li)
+        m1 = h2 @ lp["mlp"]["w"]["w"][li]
+        gelu = 0.5 * m1 * (1.0 + jnp.tanh(np.sqrt(2 / np.pi) * (m1 + 0.044715 * m1 ** 3)))
+        hcur = hcur + (gelu * (h2 @ lp["mlp"]["v"]["w"][li])) @ lp["mlp"]["wo"]["w"][li]
+
+    ref = np.asarray(hcur, np.float32)
+    got = np.asarray(x_out, np.float32)
+    scale = max(np.abs(ref).max(), 1.0)
+    assert np.abs(got - ref).max() / scale < 3e-4, np.abs(got - ref).max() / scale
