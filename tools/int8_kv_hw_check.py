@@ -184,6 +184,31 @@ def main():
           f"int8-cross {ti*1e3:.3f} ms ({tb/ti:.2f}x; cross is ~295 of ~360 "
           f"MB/step -> floor ratio ~1.7x)", flush=True)
 
+    # ---- T5 variant: int8 self (group-tiled rel-pos bias) + int8 cross ----
+    # compile/run check only (the rms/GEGLU/bias kernel variant is the last
+    # untested int8 lowering combination); bench via BENCH_MODEL=t5 INT8_KV=1
+    from pytorch_models_tpu.models.text import T5Model
+    from pytorch_models_tpu.ops import attention as attn_mod
+
+    attn_mod.USE_FUSED_STEP = True
+    attn_mod.USE_INT8_KV = True
+    attn_mod.USE_INT8_KV_CROSS = True
+    try:
+        t5 = T5Model.from_t5x("t5_1_1-base").to_bf16()
+        from pytorch_models_tpu.models.text.t5 import _t5_generate_batch
+
+        prompts = jnp.ones((8, 64), jnp.int32)
+        n_enc = jnp.full((8,), 60, jnp.int32)
+        t0 = time.time()
+        out = _t5_generate_batch(t5.params, t5.cfg, prompts, n_enc, 64, 0, 1)
+        np.asarray(out[0])
+        print(f"t5 full-int8 (self+bias+cross) compile+run OK in "
+              f"{time.time()-t0:.0f}s", flush=True)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        attn_mod.USE_INT8_KV = False
+        attn_mod.USE_INT8_KV_CROSS = False
+
 
 if __name__ == "__main__":
     main()
