@@ -1241,3 +1241,38 @@ def test_fused_t5_step_int8_self_kv_with_bias_matches_oracle():
     got = np.asarray(x_out, np.float32)
     scale = max(np.abs(ref).max(), 1.0)
     assert np.abs(got - ref).max() / scale < 3e-4, np.abs(got - ref).max() / scale
+
+
+def test_fused_step_a8_plus_int8_kv_compose():
+    """Every int8 feature at once — w8a8 weight streaming + int8 self-KV +
+    the a8 greedy head — must compose (ref/scratch/semaphore pop order) and
+    produce finite, in-vocab tokens."""
+    from pytorch_models_tpu.models.text._decoder_lm import quantize_kv_caches
+    from pytorch_models_tpu.ops.decode_step import pack_greedy_head
+    from pytorch_models_tpu.utils.params import quantize_tree_int8
+
+    r = rng(341)
+    b, d, n_layers, l_max, pos = 8, 128, 2, 256, 100
+    cfg, params = _setup(b=b, d=d, n_layers=n_layers, l_max=l_max)
+    qparams = {"layers": quantize_tree_int8(params["layers"])}
+    hd = cfg.n_heads * cfg.head_dim
+
+    x = jnp.asarray(r.standard_normal((b, d)), jnp.float32)
+    caches = quantize_kv_caches({
+        "k": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+        "v": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
+    })
+    packed = pack_decode_weights(qparams["layers"], jnp.float32)
+    assert packed["wqkv"].dtype == jnp.int8
+    emb = jnp.asarray(r.standard_normal((64, d)), jnp.float32)
+    head, head_v = pack_greedy_head(emb, {"scale": jnp.ones((d,), jnp.float32)},
+                                    jnp.float32, a8=True)
+    with pltpu.force_tpu_interpret_mode():
+        x_out, k_new, v_new, tok = fused_decode_step(
+            x, packed, caches["k"], caches["v"], pos, None,
+            n_heads=cfg.n_heads, act=cfg.act, eps=cfg.norm_eps,
+            head=head, head_v=head_v, a8=True,
+            kv_scales={"ks": caches["ks"], "vs": caches["vs"]})
+    assert np.isfinite(np.asarray(x_out, np.float32)).all()
+    assert ((np.asarray(tok) >= 0) & (np.asarray(tok) < head_v)).all()
+    assert k_new.shape == (n_layers, b, hd)
