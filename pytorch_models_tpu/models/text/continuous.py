@@ -64,9 +64,10 @@ from ._decoder_lm import (
     decoder_lm_hidden_fused_batch,
     decoder_lm_make_cache,
     decoder_lm_pack,
+    quantize_kv_caches,
 )
 from .generator import (PROMPT_BUCKET, _is_greedy, _parse_sampling_params,
-                        _sample)
+                        _sample, _use_int8_kv)
 
 
 def _bucket_pow2(m: int) -> int:
@@ -310,12 +311,93 @@ def _cb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, pos, fused,
     return buf, ends, caches, pos, done
 
 
+def _cb_i8_prefill(params, cfg, buf, scratch, row, c0, pad_len, p):
+    """Prefill the (L, 1, Lmax, W) bf16 admission SCRATCH cache over the
+    buffer chunk ``[c0, c0+P)`` of pool row ``row``. The int8 pool never
+    participates in prefill math: the whole admission (paste + chunks +
+    tail) runs in full precision on the scratch and quantizes ONCE at
+    commit — exactly the plain int8 generator's prefill-then-quantize order
+    (generator.py), so per-request outputs stay token-identical to it."""
+    chunk = lax.dynamic_slice(buf, (row, c0), (1, p))
+    p_ids = jnp.clip(jnp.arange(p)[None, :] + c0 - pad_len, 0, None)
+    _, scratch = decoder_lm_hidden_cached_batch(
+        params, cfg, chunk, p_ids, scratch, c0, pad_len[None])
+    return scratch
+
+
+def _cb_i8_paste_body(buf, scratch, row, pad_len, k, prefix_chunk, prefix_caches):
+    """int8-mode prefix paste: prefix TOKENS land in the pool buffer row
+    (later prefills read them back), the bf16 prefix KV lands in the
+    admission scratch at ``[pad_len, pad_len+k)`` — the pool's int8 row is
+    rewritten wholesale by :func:`_cb_i8_commit_body`."""
+    kp = prefix_chunk.shape[0]
+    keep = jnp.arange(kp) < k
+    old = lax.dynamic_slice(buf, (row, pad_len), (1, kp))[0]
+    buf = lax.dynamic_update_slice(
+        buf, jnp.where(keep, prefix_chunk.astype(jnp.int32), old)[None], (row, pad_len))
+    n_layers, _, _, width = scratch["k"].shape
+    for kv in ("k", "v"):
+        old_kv = lax.dynamic_slice(scratch[kv], (0, 0, pad_len, 0), (n_layers, 1, kp, width))
+        pre = lax.dynamic_slice(prefix_caches[kv], (0, 0, 0, 0), (n_layers, 1, kp, width))
+        scratch = dict(scratch) | {kv: lax.dynamic_update_slice(
+            scratch[kv],
+            jnp.where(keep[None, None, :, None], pre.astype(old_kv.dtype), old_kv),
+            (0, 0, pad_len, 0))}
+    return buf, scratch
+
+
+def _cb_i8_chunk_body(params, cfg, buf, scratch, row, c0, pad_len, chunk):
+    """Chunked-prefill pass against the admission scratch (int8-mode twin of
+    :func:`_cb_chunk_body`)."""
+    p = chunk.shape[0]
+    buf = lax.dynamic_update_slice(buf, chunk.astype(jnp.int32)[None], (row, c0))
+    return buf, _cb_i8_prefill(params, cfg, buf, scratch, row, c0, pad_len, p)
+
+
+def _cb_i8_admit_body(params, cfg, buf, scratch, pad_lens, limits, done,
+                      row, pos, n, n_tok, prompt_chunk, max_new):
+    """Tail admit against the admission scratch. ``n_tok`` is how many
+    rightmost chunk slots hold real prompt tokens (min(suffix, P) — with a
+    shared prefix the chunk's left slots must NOT clobber the pasted prefix
+    tokens); ``n`` is the FULL prompt length (pad/limit bookkeeping)."""
+    p = prompt_chunk.shape[0]
+    pad_len = pos - n
+    old = lax.dynamic_slice(buf, (row, pos - p), (1, p))[0]
+    merged = jnp.where(jnp.arange(p) >= p - n_tok, prompt_chunk.astype(jnp.int32), old)
+    buf = lax.dynamic_update_slice(buf, merged[None], (row, pos - p))
+    scratch = _cb_i8_prefill(params, cfg, buf, scratch, row,
+                             jnp.maximum(pos - 1 - p, 0), pad_len, p)
+    pad_lens, limits, done = _cb_arm_row(pad_lens, limits, done, row, pad_len, pos, max_new)
+    return buf, scratch, pad_lens, limits, done
+
+
+def _cb_i8_commit_body(caches, scratch, row):
+    """Quantize the admission scratch row (per-key int8, ops/int8_kv.py
+    rule) and write it into the int8 pool's row — cache + scale planes.
+    One whole-row write: every slot outside ``[pad_len, pos)`` is masked
+    by the pad/length rules, so requantized stale garbage is harmless."""
+    from ...ops.int8_kv import quantize_rows
+
+    kq, ks = quantize_rows(scratch["k"])
+    vq, vs = quantize_rows(scratch["v"])
+    return dict(caches) | {
+        "k": lax.dynamic_update_slice(caches["k"], kq, (0, row, 0, 0)),
+        "v": lax.dynamic_update_slice(caches["v"], vq, (0, row, 0, 0)),
+        "ks": lax.dynamic_update_slice(caches["ks"], ks[..., 0], (0, row, 0)),
+        "vs": lax.dynamic_update_slice(caches["vs"], vs[..., 0], (0, row, 0)),
+    }
+
+
 _cb_admit = partial(jax.jit, static_argnums=(1,))(_cb_admit_body)
 _cb_chunk = partial(jax.jit, static_argnums=(1,))(_cb_chunk_body)
 _cb_paste = jax.jit(_cb_paste_body)
 _cb_prefix = partial(jax.jit, static_argnums=(1,))(_cb_prefix_body)
 _cb_admit_prefix = partial(jax.jit, static_argnums=(1,))(_cb_admit_prefix_body)
 _cb_steps = partial(jax.jit, static_argnums=(1, 8, 14, 15, 16))(_cb_steps_body)
+_cb_i8_paste = jax.jit(_cb_i8_paste_body)
+_cb_i8_chunk = partial(jax.jit, static_argnums=(1,))(_cb_i8_chunk_body)
+_cb_i8_admit = partial(jax.jit, static_argnums=(1,))(_cb_i8_admit_body)
+_cb_i8_commit = jax.jit(_cb_i8_commit_body)
 
 
 @dataclass
@@ -397,6 +479,26 @@ class ContinuousBatchingGenerator:
 
     def _steps(self, *args, **kw):
         return _cb_steps(*args, **kw)
+
+    # ---- int8 self-KV pool (opt-in, ops/attention.py USE_INT8_KV) -------
+    def _use_int8_pool(self, cfg, b: int, fused: bool) -> bool:
+        """int8 pool gate: the fused megakernel must carry the pool (only it
+        reads scale planes) and TP ranks are excluded — per-key scales span
+        the FULL head width, which a head-sharded rank can't compute
+        locally (parallel/cb_serving.py keeps bf16 pools)."""
+        return fused and cfg.tp_axis is None and _use_int8_kv(b)
+
+    def _i8_paste(self, *args):
+        return _cb_i8_paste(*args)
+
+    def _i8_chunk(self, *args):
+        return _cb_i8_chunk(*args)
+
+    def _i8_admit(self, *args):
+        return _cb_i8_admit(*args)
+
+    def _i8_commit(self, *args):
+        return _cb_i8_commit(*args)
 
     def generate_many(self, prompts: list[str], max_tokens: int | list[int] = 100,
                       shared_prefix: str | None = None, topk: int = 1,
@@ -496,6 +598,12 @@ class ContinuousBatchingGenerator:
 
         b = self.batch_size
         fused, packed, head, head_v, caches = self._init_pool(params, cfg, b)
+        use_i8 = self._use_int8_pool(cfg, b, fused)
+        if use_i8:
+            # pool caches live as per-key int8 + scale planes for the whole
+            # serving call: halves the pool's HBM footprint AND the decode
+            # steps' dominant stream. Zeros quantize harmlessly (q=0, s=1/127).
+            caches = quantize_kv_caches(caches)
         buf = jnp.zeros((b, l_max), jnp.int32)
         pad_lens = jnp.zeros((b,), jnp.int32)
         limits = jnp.zeros((b,), jnp.int32)
@@ -537,7 +645,36 @@ class ContinuousBatchingGenerator:
                     n = k + s
                     if not fits(pos, n, m_eff):
                         continue  # head-of-queue doesn't fit this epoch
-                    if s > p_bucket:
+                    if use_i8:
+                        # int8 pool: ONE unified admission path (paste if
+                        # prefix, chunk while long, tail admit) running in
+                        # bf16 on a 1-row scratch, quantized once at commit —
+                        # the plain int8 generator's prefill-then-quantize
+                        # order, so outputs stay token-identical to it.
+                        scratch = decoder_lm_make_cache(
+                            cfg, (1,), dtype=params["token_embs"].dtype, stacked=True)
+                        pad_len = pos - n
+                        if k:
+                            buf, scratch = self._i8_paste(
+                                buf, scratch, jnp.int32(row), jnp.int32(pad_len),
+                                jnp.int32(k), prefix_chunk, prefix_caches)
+                        c0 = pad_len + k
+                        while c0 + p_bucket < pos:
+                            off = c0 - pad_len - k
+                            buf, scratch = self._i8_chunk(
+                                params, cfg, buf, scratch, jnp.int32(row),
+                                jnp.int32(c0), jnp.int32(pad_len),
+                                jnp.asarray(toks[off:off + p_bucket], jnp.int32))
+                            c0 += p_bucket
+                        n_tok = min(s, p_bucket)
+                        chunk = np.zeros((p_bucket,), np.int32)
+                        chunk[p_bucket - n_tok:] = toks[-n_tok:]
+                        buf, scratch, pad_lens, limits, done = self._i8_admit(
+                            params, cfg, buf, scratch, pad_lens, limits, done,
+                            jnp.int32(row), jnp.int32(pos), jnp.int32(n),
+                            jnp.int32(n_tok), jnp.asarray(chunk), jnp.int32(m_eff))
+                        caches = self._i8_commit(caches, scratch, jnp.int32(row))
+                    elif s > p_bucket:
                         # chunked prefill: paste the prefix (if any), forward
                         # the prompt in bucket-size chunks left to right, and
                         # let the ordinary admit run the tail + arm the row.

@@ -482,6 +482,11 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
         ng = b // g
         gh = g * n_heads
         f32 = jnp.float32
+        # f32 selector/expander/context dots are exact-math glue around the
+        # int8 MXU dots: DEFAULT lowers them to bf16 passes on hardware and
+        # the path drifts ~5e-3 off the quantized oracle (int8_kv.py). Their
+        # FLOPs are negligible -> force HIGHEST, shadowing the serving prec.
+        prec = lax.Precision.HIGHEST
         k_scr_, v_scr_, sk_scr_, sv_scr_ = scr4
         sel = (lax.broadcasted_iota(jnp.int32, (g, gh), 1) // n_heads
                == lax.broadcasted_iota(jnp.int32, (g, gh), 0)).astype(f32)

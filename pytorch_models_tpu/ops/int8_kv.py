@@ -168,7 +168,7 @@ def _kernel(ends_ref, pad_ref, qt_ref, curk_ref, curv_ref, k_hbm, v_hbm,
         # ---- per-step int8 q-expander: Q[c, i*H+h] = q_s[i, c]*(c in head h),
         # quantized per COLUMN (= per row-head pair). Built once per call:
         # replicate q's columns H-fold with a selector matmul, mask by head.
-        qt = qt_ref[...].astype(f32) * scale  # (hd, g)
+        qt = qt_ref[0].astype(f32) * scale  # (hd, g)
         sel_ig = lax.broadcasted_iota(jnp.int32, (g, gh), 0)
         sel_m = lax.broadcasted_iota(jnp.int32, (g, gh), 1)
         sel = (sel_m // n_heads == sel_ig).astype(f32)  # (g, gh)
@@ -317,9 +317,16 @@ def int8_decode_attention(q, k_q, v_q, k_s, v_s, ends, n_heads: int,
     ends_arr = jnp.broadcast_to(jnp.asarray(ends, jnp.int32).reshape(-1), (b,))
     pad_arr = (jnp.zeros((b,), jnp.int32) if pad_lens is None
                else jnp.broadcast_to(jnp.asarray(pad_lens, jnp.int32).reshape(-1), (b,)))
-    prec = lax.Precision.HIGHEST if q.dtype == jnp.float32 else lax.Precision.DEFAULT
+    # the f32 helper dots (q-expander, head-select, alpha/l expansion) are
+    # exact-math glue around the int8 MXU dots: at DEFAULT they lower to
+    # bf16 passes on hardware and the kernel drifts ~5e-3 off the quantized
+    # oracle. Their FLOPs are negligible next to the int8 dots -> HIGHEST.
+    prec = lax.Precision.HIGHEST
 
-    qt = q[:, 0, :].T  # (hd, b): per-program (hd, g) lane blocks
+    # per-program (hd, g) q block, carried as the (b//g, hd, g) leading-grid
+    # layout: a (hd, g) lane-blocked spec over (hd, b) violates Mosaic's
+    # last-dim block rule (divisible by 128 or full) when g < b
+    qt = jnp.swapaxes(q[:, 0, :].reshape(b // g, g, hd), 1, 2)
     if not has_cur:  # dummy (never read; has_cur is static)
         cur_k = jnp.zeros((b, hd), q.dtype)
         cur_v = jnp.zeros((b, hd), q.dtype)
@@ -329,7 +336,7 @@ def int8_decode_attention(q, k_q, v_q, k_s, v_s, ends, n_heads: int,
         num_scalar_prefetch=2,
         grid=(b // g,),
         in_specs=[
-            pl.BlockSpec((hd, g), lambda i, e, p: (0, i)),
+            pl.BlockSpec((1, hd, g), lambda i, e, p: (i, 0, 0)),
             pl.BlockSpec((g, hd), lambda i, e, p: (i, 0)),
             pl.BlockSpec((g, hd), lambda i, e, p: (i, 0)),
             any_spec, any_spec, any_spec, any_spec,
@@ -346,8 +353,19 @@ def int8_decode_attention(q, k_q, v_q, k_s, v_s, ends, n_heads: int,
     return out
 
 
-def int8_attention_oracle(q, k_q, v_q, k_s, v_s, ends, n_heads: int,
-                          pad_lens=None, cur_k=None, cur_v=None, bias=None):
+def int8_attention_oracle(*args, **kw):
+    """Exact quantized-math oracle (see :func:`_int8_attention_oracle_impl`).
+
+    Forces HIGHEST matmul precision: on TPU the impl's plain f32 ``@`` ops
+    would otherwise lower to bf16 passes and the ORACLE itself drifts ~5e-3
+    (the CLAUDE.md fp32-parity rule) — the kernel pins its own glue dots to
+    HIGHEST for the same reason."""
+    with jax.default_matmul_precision("highest"):
+        return _int8_attention_oracle_impl(*args, **kw)
+
+
+def _int8_attention_oracle_impl(q, k_q, v_q, k_s, v_s, ends, n_heads: int,
+                                pad_lens=None, cur_k=None, cur_v=None, bias=None):
     """Exact re-implementation of the kernel's quantized math in plain jnp
     (same block structure, same op order — int dots are exact and the f32
     chain mirrors the kernel's, so outputs match to f32 rounding).
