@@ -108,6 +108,82 @@ def _wcb_admit_body(params, cfg, buf, caches, cross, pad_lens, limits, done,
     return buf, caches, new_cross, pad_lens, limits, done
 
 
+def _wcb_admit_i8_body(params, cfg, buf, caches, cross, pad_lens, limits, done,
+                       row, pos, memory_row, init_chunk, max_new,
+                       i8_self: bool, i8_cross: bool):
+    """int8-pool admission (opt-in USE_INT8_KV / USE_INT8_KV_CROSS): same
+    contract as :func:`_wcb_admit_body`, but each int8 stream quantizes at
+    its plain-generator point so outputs stay token-identical to
+    ``WhisperGenerator.transcribe_tokens`` under the same flags
+    (whisper.py:353-382):
+
+    - CROSS: the segment's freshly projected K/V quantize ONCE here
+      (write-once; the plain path quantizes at encode time) and the int8
+      rows + scale planes paste over the slot.
+    - SELF: the prompt prefill runs in bf16 on a fresh 1-row scratch and the
+      row quantizes ONCE at commit (prefill-then-quantize, the plain order);
+      decode steps write quantized through the shared _write_caches.
+    """
+    from ...ops.int8_kv import quantize_rows
+
+    p = params["decoder"]
+    lc = cfg.dec_layer
+    i = init_chunk.shape[0]
+    pad_len = pos - i
+
+    row_cross = tfm.precompute_cross_caches(p, lc, memory_row)
+    new_cross = dict(cross) | {"len": lax.dynamic_update_slice(
+        cross["len"], row_cross["len"].astype(cross["len"].dtype), (0, row))}
+    if i8_cross:
+        kq, ks = quantize_rows(row_cross["k"])
+        vq, vs = quantize_rows(row_cross["v"])
+        new_cross |= {
+            "k": lax.dynamic_update_slice(cross["k"], kq, (0, row, 0, 0)),
+            "v": lax.dynamic_update_slice(cross["v"], vq, (0, row, 0, 0)),
+            "ks": lax.dynamic_update_slice(cross["ks"], ks[..., 0], (0, row, 0)),
+            "vs": lax.dynamic_update_slice(cross["vs"], vs[..., 0], (0, row, 0)),
+        }
+    else:
+        new_cross |= {
+            kv: lax.dynamic_update_slice(cross[kv], row_cross[kv].astype(cross[kv].dtype),
+                                         (0, row, 0, 0))
+            for kv in ("k", "v")
+        }
+
+    buf = lax.dynamic_update_slice(buf, init_chunk.astype(jnp.int32)[None], (row, pad_len))
+
+    c0 = pos - 1 - i
+    chunk = lax.dynamic_slice(buf, (row, c0), (1, i))
+    p_ids = jnp.clip(jnp.arange(i)[None, :] + c0 - pad_len, 0, None)
+    n_layers = caches["k"].shape[0]
+    l_max, width = caches["k"].shape[2], caches["k"].shape[3]
+    if i8_self:
+        dtype = p["token_embs"].dtype
+        scratch = {kv: jnp.zeros((n_layers, 1, l_max, width), dtype) for kv in ("k", "v")}
+        _, scratch = _wcb_hidden(p, lc, row_cross, chunk, p_ids, scratch, c0, pad_len[None])
+        kq, ks = quantize_rows(scratch["k"])
+        vq, vs = quantize_rows(scratch["v"])
+        caches = dict(caches) | {
+            "k": lax.dynamic_update_slice(caches["k"], kq, (0, row, 0, 0)),
+            "v": lax.dynamic_update_slice(caches["v"], vq, (0, row, 0, 0)),
+            "ks": lax.dynamic_update_slice(caches["ks"], ks[..., 0], (0, row, 0)),
+            "vs": lax.dynamic_update_slice(caches["vs"], vs[..., 0], (0, row, 0)),
+        }
+    else:
+        row_self = {
+            kv: lax.dynamic_slice(caches[kv], (0, row, 0, 0), (n_layers, 1, l_max, width))
+            for kv in ("k", "v")
+        }
+        _, row_self = _wcb_hidden(p, lc, row_cross, chunk, p_ids, row_self, c0, pad_len[None])
+        caches = {kv: lax.dynamic_update_slice(caches[kv], row_self[kv], (0, row, 0, 0))
+                  for kv in ("k", "v")}
+
+    pad_lens = lax.dynamic_update_slice(pad_lens, pad_len[None], (row,))
+    limits = lax.dynamic_update_slice(limits, (pos + max_new)[None], (row,))
+    done = lax.dynamic_update_slice(done, jnp.zeros((1,), bool), (row,))
+    return buf, caches, new_cross, pad_lens, limits, done
+
+
 def _wcb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, cross, pos,
                     fused, done, n_steps, eot_id, packed=None, head=None, head_v=None,
                     topk=1, top_p=None, temperature=1.0, keys=None, t0s=None,
@@ -190,6 +266,7 @@ def _wcb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, cross, pos
 
 
 _wcb_admit = partial(jax.jit, static_argnums=(1,))(_wcb_admit_body)
+_wcb_admit_i8 = partial(jax.jit, static_argnums=(1, 13, 14))(_wcb_admit_i8_body)
 _wcb_steps = partial(jax.jit, static_argnums=(1, 9, 16, 17))(_wcb_steps_body)
 
 
@@ -264,6 +341,19 @@ class WhisperContinuousBatchingGenerator:
 
     def _admit(self, params, cfg, *args):
         return _wcb_admit(params, cfg, *args)
+
+    def _int8_modes(self, cfg, b: int, fused: bool) -> tuple[bool, bool]:
+        """(i8_self, i8_cross) pool modes: only the fused megakernel reads
+        scale planes, and TP pools stay bf16 (per-key scales span the full
+        head width, which a head-sharded rank can't compute locally)."""
+        from ...ops import attention as _attn
+
+        if not fused or cfg.dec_layer.tp_axis is not None:
+            return False, False
+        return _attn.use_int8_kv(b), _attn.use_int8_kv_cross(b)
+
+    def _admit_i8(self, params, cfg, *args):
+        return _wcb_admit_i8(params, cfg, *args)
 
     def _steps(self, params, cfg, *args):
         return _wcb_steps(params, cfg, *args)
@@ -380,6 +470,16 @@ class WhisperContinuousBatchingGenerator:
         t_pad = tfm.padded_cache_len(mem0.shape[1])
         fused, packed, head, head_v, caches, cross = self._init_pool(
             params, cfg, b, l_max, t_pad)
+        i8_self, i8_cross = self._int8_modes(cfg, b, fused)
+        if i8_self or i8_cross:
+            from ..text._decoder_lm import quantize_kv_caches
+
+            # pool caches live as per-key int8 + scale planes ("len" passes
+            # through); zeros quantize harmlessly (q=0, scale 1/127)
+            if i8_self:
+                caches = quantize_kv_caches(caches)
+            if i8_cross:
+                cross = quantize_kv_caches(cross)
         buf = jnp.zeros((b, l_max), jnp.int32)
         pad_lens = jnp.zeros((b,), jnp.int32)
         limits = jnp.zeros((b,), jnp.int32)
@@ -441,10 +541,16 @@ class WhisperContinuousBatchingGenerator:
                         memory = mem0 if i == 0 else mems[i - 1: i]
                     else:
                         memory = mems[i: i + 1]
-                    buf, caches, cross, pad_lens, limits, done = self._admit(
-                        params, cfg, buf, caches, cross, pad_lens, limits, done,
-                        jnp.int32(row), jnp.int32(pos), memory, init_dev,
-                        jnp.int32(max_new))
+                    if i8_self or i8_cross:
+                        buf, caches, cross, pad_lens, limits, done = self._admit_i8(
+                            params, cfg, buf, caches, cross, pad_lens, limits, done,
+                            jnp.int32(row), jnp.int32(pos), memory, init_dev,
+                            jnp.int32(max_new), i8_self, i8_cross)
+                    else:
+                        buf, caches, cross, pad_lens, limits, done = self._admit(
+                            params, cfg, buf, caches, cross, pad_lens, limits, done,
+                            jnp.int32(row), jnp.int32(pos), memory, init_dev,
+                            jnp.int32(max_new))
                     if not greedy:
                         # the segment's own key + admission position: token g
                         # of segment r draws fold_in(fold_in(base, r), g)

@@ -109,6 +109,38 @@ def _t5cb_admit_body(params, cfg, buf, cross, pad_lens, limits, done,
     return buf, new_cross, pad_lens, limits, done
 
 
+def _t5cb_admit_i8_body(params, cfg, buf, cross, pad_lens, limits, done,
+                        row, pos, memory_row, n_enc_row, max_new, pad_id):
+    """int8-cross admission (opt-in USE_INT8_KV_CROSS): the request's freshly
+    projected cross K/V quantizes ONCE here — write-once, the plain
+    generator's quantize-at-encode point (t5.py:405-411) — and the int8 rows
+    + scale planes paste over the slot. T5 has no self-KV prefill (the pad
+    token's K/V comes from the first decode step), so int8 SELF needs no
+    admission work at all: the pool just starts as quantized zeros."""
+    from ...ops.int8_kv import quantize_rows
+
+    dec = params["decoder"]
+    lc = cfg.layer
+
+    row_cross = tfm.precompute_cross_caches(dec, lc, memory_row, valid_lens=n_enc_row)
+    kq, ks = quantize_rows(row_cross["k"])
+    vq, vs = quantize_rows(row_cross["v"])
+    new_cross = dict(cross) | {
+        "k": lax.dynamic_update_slice(cross["k"], kq, (0, row, 0, 0)),
+        "v": lax.dynamic_update_slice(cross["v"], vq, (0, row, 0, 0)),
+        "ks": lax.dynamic_update_slice(cross["ks"], ks[..., 0], (0, row, 0)),
+        "vs": lax.dynamic_update_slice(cross["vs"], vs[..., 0], (0, row, 0)),
+        "len": lax.dynamic_update_slice(
+            cross["len"], row_cross["len"].astype(cross["len"].dtype), (0, row)),
+    }
+
+    buf = lax.dynamic_update_slice(buf, jnp.full((1, 1), pad_id, jnp.int32), (row, pos - 1))
+    pad_lens = lax.dynamic_update_slice(pad_lens, (pos - 1)[None], (row,))
+    limits = lax.dynamic_update_slice(limits, (pos + max_new)[None], (row,))
+    done = lax.dynamic_update_slice(done, jnp.zeros((1,), bool), (row,))
+    return buf, new_cross, pad_lens, limits, done
+
+
 def _t5cb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, cross, pos,
                      fused, done, n_steps, eos_id, bias_tab, packed=None, head=None,
                      head_v=None, topk=1, top_p=None, temperature=1.0, keys=None,
@@ -187,6 +219,7 @@ def _t5cb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, cross, po
 
 _t5cb_encode = partial(jax.jit, static_argnums=(1,))(_t5cb_encode_body)
 _t5cb_admit = partial(jax.jit, static_argnums=(1,))(_t5cb_admit_body)
+_t5cb_admit_i8 = partial(jax.jit, static_argnums=(1,))(_t5cb_admit_i8_body)
 _t5cb_steps = partial(jax.jit, static_argnums=(1, 9, 17, 18))(_t5cb_steps_body)
 
 
@@ -218,11 +251,28 @@ class T5ContinuousBatchingGenerator:
     def _encode(self, params, cfg, enc_tokens, n_enc):
         return _t5cb_encode(params, cfg, enc_tokens, n_enc)
 
-    def _init_pool(self, params, cfg, b: int, l_max: int, t_pad: int):
+    def _int8_modes(self, params, cfg, b: int, l_max: int) -> tuple[bool, bool]:
+        """(i8_self, i8_cross) pool modes, mirroring the plain generator's
+        gates (t5.py:395-411): fused megakernel only, TP pools stay bf16,
+        and int8 SELF additionally needs the group-tiled rel-pos bias to fit
+        the 128-lane score layout (g * H <= 128)."""
+        if cfg.layer.tp_axis is not None or not _t5_fused_ok(params["decoder"], cfg, l_max):
+            return False, False
+        g = b if b <= 8 else 8
+        return (_attn.use_int8_kv(b) and g * cfg.layer.n_heads <= 128,
+                _attn.use_int8_kv_cross(b))
+
+    def _admit_i8(self, params, cfg, *args):
+        return _t5cb_admit_i8(params, cfg, *args)
+
+    def _init_pool(self, params, cfg, b: int, l_max: int, t_pad: int,
+                   kv_group: int = 1):
         """Build the pool state: ``(fused, packed, head, head_v, caches,
         cross, bias_tab)`` — the fused-megakernel gate, zeroed self/cross
         caches, and the pool-global decode-bias table (key-major (P, L, 128)
-        when fused, else (H, P, L))."""
+        when fused, else (H, P, L)). ``kv_group > 1`` tiles the key-major
+        bias for the grouped int8 self-KV score layout (t5.py
+        _t5_key_major_bias)."""
         dec = params["decoder"]
         lc = cfg.layer
         dtype = params["token_embs"].dtype
@@ -240,7 +290,7 @@ class T5ContinuousBatchingGenerator:
             head, head_v = pack_greedy_head(params["classifier"]["w"], dec["norm"], dtype,
                                             tied=False,
                                             a8=_attn.use_a8_decode(packed["wqkv"].dtype))
-            bias_tab = _t5_key_major_bias(bias_table)
+            bias_tab = _t5_key_major_bias(bias_table, group=kv_group)
         else:
             packed = head = head_v = None
             bias_tab = bias_table
@@ -317,8 +367,23 @@ class T5ContinuousBatchingGenerator:
         # wider bucket changes nothing (and avoids per-length admit retraces)
         p_pad = -(-max(len(ts) for ts in token_lists) // ENC_BUCKET) * ENC_BUCKET
         t_pad = tfm.padded_cache_len(p_pad)
+        i8_self, i8_cross = self._int8_modes(params, cfg, b, l_max)
+        # kv_group only passed when int8 self engages: TP subclasses override
+        # _init_pool without the kwarg, and their _int8_modes is always off
+        kv_kw = {"kv_group": b if b <= 8 else 8} if i8_self else {}
         fused, packed, head, head_v, caches, cross, bias_tab = self._init_pool(
-            params, cfg, b, l_max, t_pad)
+            params, cfg, b, l_max, t_pad, **kv_kw)
+        if i8_self or i8_cross:
+            from ._decoder_lm import quantize_kv_caches
+
+            # int8 pools: per-key int8 + scale planes; T5 has no self
+            # prefill, so quantized zeros ARE the initial self state and
+            # every decode step writes quantized (the plain generator's
+            # order, t5.py:395-411)
+            if i8_self:
+                caches = quantize_kv_caches(caches)
+            if i8_cross:
+                cross = quantize_kv_caches(cross)
         buf = jnp.zeros((b, l_max), jnp.int32)
         pad_lens = jnp.zeros((b,), jnp.int32)
         limits = jnp.zeros((b,), jnp.int32)
@@ -370,7 +435,8 @@ class T5ContinuousBatchingGenerator:
                 for i in range(m):
                     row = free[i]
                     ts = token_lists[next_req]
-                    buf, cross, pad_lens, limits, done = self._admit(
+                    admit = self._admit_i8 if i8_cross else self._admit
+                    buf, cross, pad_lens, limits, done = admit(
                         params, cfg, buf, cross, pad_lens, limits, done,
                         jnp.int32(row), jnp.int32(pos),
                         mems[i: i + 1], jnp.asarray([len(ts)], jnp.int32),
