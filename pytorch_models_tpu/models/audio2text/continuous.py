@@ -135,8 +135,10 @@ def _wcb_admit_i8_body(params, cfg, buf, caches, cross, pad_lens, limits, done,
     new_cross = dict(cross) | {"len": lax.dynamic_update_slice(
         cross["len"], row_cross["len"].astype(cross["len"].dtype), (0, row))}
     if i8_cross:
-        kq, ks = quantize_rows(row_cross["k"])
-        vq, vs = quantize_rows(row_cross["v"])
+        # tp ranks hold width shards: pmax gives every rank the full-width
+        # scale (single-device identity; ops/int8_kv.py quantize_rows)
+        kq, ks = quantize_rows(row_cross["k"], tp_axis=lc.tp_axis)
+        vq, vs = quantize_rows(row_cross["v"], tp_axis=lc.tp_axis)
         new_cross |= {
             "k": lax.dynamic_update_slice(cross["k"], kq, (0, row, 0, 0)),
             "v": lax.dynamic_update_slice(cross["v"], vq, (0, row, 0, 0)),
@@ -161,8 +163,8 @@ def _wcb_admit_i8_body(params, cfg, buf, caches, cross, pad_lens, limits, done,
         dtype = p["token_embs"].dtype
         scratch = {kv: jnp.zeros((n_layers, 1, l_max, width), dtype) for kv in ("k", "v")}
         _, scratch = _wcb_hidden(p, lc, row_cross, chunk, p_ids, scratch, c0, pad_len[None])
-        kq, ks = quantize_rows(scratch["k"])
-        vq, vs = quantize_rows(scratch["v"])
+        kq, ks = quantize_rows(scratch["k"], tp_axis=lc.tp_axis)
+        vq, vs = quantize_rows(scratch["v"], tp_axis=lc.tp_axis)
         caches = dict(caches) | {
             "k": lax.dynamic_update_slice(caches["k"], kq, (0, row, 0, 0)),
             "v": lax.dynamic_update_slice(caches["v"], vq, (0, row, 0, 0)),
@@ -267,7 +269,11 @@ def _wcb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, cross, pos
 
 _wcb_admit = partial(jax.jit, static_argnums=(1,))(_wcb_admit_body)
 _wcb_admit_i8 = partial(jax.jit, static_argnums=(1, 13, 14))(_wcb_admit_i8_body)
-_wcb_steps = partial(jax.jit, static_argnums=(1, 9, 16, 17))(_wcb_steps_body)
+# head_v (argnum 15) must be STATIC: it parameterizes the megakernel's head
+# phase (``row < head_v``) — traced, it gets captured by the kernel closure
+# and pallas_call rejects the trace (only reachable with a fused-eligible
+# model, d_model % 128 == 0)
+_wcb_steps = partial(jax.jit, static_argnums=(1, 9, 15, 16, 17))(_wcb_steps_body)
 
 
 class WhisperContinuousBatchingGenerator:

@@ -371,15 +371,16 @@ def _cb_i8_admit_body(params, cfg, buf, scratch, pad_lens, limits, done,
     return buf, scratch, pad_lens, limits, done
 
 
-def _cb_i8_commit_body(caches, scratch, row):
+def _cb_i8_commit_body(caches, scratch, row, tp_axis=None):
     """Quantize the admission scratch row (per-key int8, ops/int8_kv.py
     rule) and write it into the int8 pool's row — cache + scale planes.
     One whole-row write: every slot outside ``[pad_len, pos)`` is masked
-    by the pad/length rules, so requantized stale garbage is harmless."""
+    by the pad/length rules, so requantized stale garbage is harmless.
+    ``tp_axis``: width-sharded ranks pmax to the full-width scale."""
     from ...ops.int8_kv import quantize_rows
 
-    kq, ks = quantize_rows(scratch["k"])
-    vq, vs = quantize_rows(scratch["v"])
+    kq, ks = quantize_rows(scratch["k"], tp_axis=tp_axis)
+    vq, vs = quantize_rows(scratch["v"], tp_axis=tp_axis)
     return dict(caches) | {
         "k": lax.dynamic_update_slice(caches["k"], kq, (0, row, 0, 0)),
         "v": lax.dynamic_update_slice(caches["v"], vq, (0, row, 0, 0)),
@@ -397,7 +398,7 @@ _cb_steps = partial(jax.jit, static_argnums=(1, 8, 14, 15, 16))(_cb_steps_body)
 _cb_i8_paste = jax.jit(_cb_i8_paste_body)
 _cb_i8_chunk = partial(jax.jit, static_argnums=(1,))(_cb_i8_chunk_body)
 _cb_i8_admit = partial(jax.jit, static_argnums=(1,))(_cb_i8_admit_body)
-_cb_i8_commit = jax.jit(_cb_i8_commit_body)
+_cb_i8_commit = partial(jax.jit, static_argnums=(3,))(_cb_i8_commit_body)
 
 
 @dataclass

@@ -123,8 +123,9 @@ def _t5cb_admit_i8_body(params, cfg, buf, cross, pad_lens, limits, done,
     lc = cfg.layer
 
     row_cross = tfm.precompute_cross_caches(dec, lc, memory_row, valid_lens=n_enc_row)
-    kq, ks = quantize_rows(row_cross["k"])
-    vq, vs = quantize_rows(row_cross["v"])
+    # tp ranks hold width shards: pmax gives every rank the full-width scale
+    kq, ks = quantize_rows(row_cross["k"], tp_axis=lc.tp_axis)
+    vq, vs = quantize_rows(row_cross["v"], tp_axis=lc.tp_axis)
     new_cross = dict(cross) | {
         "k": lax.dynamic_update_slice(cross["k"], kq, (0, row, 0, 0)),
         "v": lax.dynamic_update_slice(cross["v"], vq, (0, row, 0, 0)),
@@ -220,7 +221,10 @@ def _t5cb_steps_body(params, cfg, buf, pad_lens, limits, ends, caches, cross, po
 _t5cb_encode = partial(jax.jit, static_argnums=(1,))(_t5cb_encode_body)
 _t5cb_admit = partial(jax.jit, static_argnums=(1,))(_t5cb_admit_body)
 _t5cb_admit_i8 = partial(jax.jit, static_argnums=(1,))(_t5cb_admit_i8_body)
-_t5cb_steps = partial(jax.jit, static_argnums=(1, 9, 17, 18))(_t5cb_steps_body)
+# head_v (argnum 16) must be STATIC: traced, it gets captured by the
+# megakernel's head phase (``row < head_v``) and pallas_call rejects the
+# trace (same bug class as the whisper pool's _wcb_steps)
+_t5cb_steps = partial(jax.jit, static_argnums=(1, 9, 16, 17, 18))(_t5cb_steps_body)
 
 
 class T5ContinuousBatchingGenerator:
@@ -369,7 +373,8 @@ class T5ContinuousBatchingGenerator:
         t_pad = tfm.padded_cache_len(p_pad)
         i8_self, i8_cross = self._int8_modes(params, cfg, b, l_max)
         # kv_group only passed when int8 self engages: TP subclasses override
-        # _init_pool without the kwarg, and their _int8_modes is always off
+        # _init_pool without the kwarg, and their _int8_modes never turns
+        # i8_self on (the per-op int8 kernel has no bias input)
         kv_kw = {"kv_group": b if b <= 8 else 8} if i8_self else {}
         fused, packed, head, head_v, caches, cross, bias_tab = self._init_pool(
             params, cfg, b, l_max, t_pad, **kv_kw)

@@ -52,7 +52,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .layers import ACT_FNS
+from .layers import ACT_FNS, KERNEL_ACT_FNS
 
 NEG_INF = -1e30
 KV_BLOCK = 32  # keys streamed per cache block (multiple of 8)
@@ -717,10 +717,10 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
         if wt_int8:
             m_acc = m_acc * s_1[0].astype(f32)
         if gated:  # GEGLU: act(x@wi) * (x@v) — T5 gated MLP (ref t5.py:29-37)
-            h3 = ACT_FNS[act]((m_acc[:, :dff] + b1_r[0].astype(f32)).astype(cdt)) \
+            h3 = KERNEL_ACT_FNS[act]((m_acc[:, :dff] + b1_r[0].astype(f32)).astype(cdt)) \
                 * m_acc[:, dff:].astype(cdt)
         else:
-            h3 = ACT_FNS[act]((m_acc + b1_r[0].astype(f32)).astype(cdt))
+            h3 = KERNEL_ACT_FNS[act]((m_acc + b1_r[0].astype(f32)).astype(cdt))
 
         def next_layer_warmup():
             @pl.when(l + 1 < n_layers)

@@ -58,16 +58,23 @@ NEG_INF = -1e30
 KV_BLOCK_INT8 = 128  # scale-DMA lane alignment fixes the block size
 
 
-def quantize_rows(x, axis: int = -1):
+def quantize_rows(x, axis: int = -1, tp_axis: str | None = None):
     """Symmetric per-row int8 quantization along ``axis``.
 
     Returns ``(x_q int8, scales f32)`` with ``scales`` keeping the reduced
     axis (size 1); all-zero rows get the harmless scale 1/127 (the a8
     convention, ops/decode_step.py). Matches the kernel's and the oracle's
     rule bit-for-bit (round-half-to-even, clip to [-127, 127]).
+
+    ``tp_axis``: inside a shard_map whose ranks hold width shards of ``x``
+    (tensor-parallel KV), the absmax pmaxes over the mesh axis so every rank
+    quantizes with the FULL-width scale — bit-identical to a single device
+    quantizing the unsharded row (parallel/cb_serving.py int8 pools).
     """
     x32 = x.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(x32), axis=axis, keepdims=True)
+    if tp_axis is not None:
+        absmax = lax.pmax(absmax, tp_axis)
     scales = jnp.where(absmax == 0.0, 1.0, absmax) * (1.0 / 127.0)
     x_q = jnp.clip(jnp.round(x32 / scales), -127, 127).astype(jnp.int8)
     return x_q, scales
@@ -130,9 +137,10 @@ def _quant_cols(x32):
     return jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8), s
 
 
-def _kernel(ends_ref, pad_ref, qt_ref, curk_ref, curv_ref, k_hbm, v_hbm,
-            sk_hbm, sv_hbm, o_ref, *, bk: int, scale: float, n_heads: int,
-            d: int, g: int, prec, has_cur: bool):
+def _kernel(ends_ref, pad_ref, qt_ref, curk_ref, curv_ref, curks_ref, k_hbm,
+            v_hbm, sk_hbm, sv_hbm, o_ref, *, bk: int, scale: float,
+            n_heads: int, d: int, g: int, prec, has_cur: bool,
+            has_cur_s: bool):
     b0 = pl.program_id(0) * g
     hd = n_heads * d
     gh = g * n_heads
@@ -252,8 +260,14 @@ def _kernel(ends_ref, pad_ref, qt_ref, curk_ref, curv_ref, k_hbm, v_hbm,
             # current position: K quantized with the cache-write rule (same
             # scores now as when later streamed), V full precision
             kc = curk_ref[...].astype(f32)  # (g, hd)
-            kc_absmax = jnp.max(jnp.abs(kc), axis=1, keepdims=True)
-            kc_s = jnp.where(kc_absmax == 0.0, 1.0, kc_absmax) * (1.0 / 127.0)
+            if has_cur_s:
+                # tensor-parallel ranks hold a WIDTH shard of the current K:
+                # the full-width scale (pmaxed outside) rides in so the
+                # in-kernel quantization matches the cache write exactly
+                kc_s = curks_ref[...]
+            else:
+                kc_absmax = jnp.max(jnp.abs(kc), axis=1, keepdims=True)
+                kc_s = jnp.where(kc_absmax == 0.0, 1.0, kc_absmax) * (1.0 / 127.0)
             kc_i8 = jnp.clip(jnp.round(kc / kc_s), -127, 127).astype(jnp.int8)
             sc_i32 = lax.dot_general(kc_i8, q_i8, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.int32)  # (g, gh)
@@ -286,7 +300,7 @@ def _kernel(ends_ref, pad_ref, qt_ref, curk_ref, curv_ref, k_hbm, v_hbm,
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
 def int8_decode_attention(q, k_q, v_q, k_s, v_s, ends, n_heads: int,
-                          pad_lens=None, cur_k=None, cur_v=None,
+                          pad_lens=None, cur_k=None, cur_v=None, cur_ks=None,
                           interpret: bool = False):
     """Single-position attention over an int8 KV cache.
 
@@ -296,6 +310,11 @@ def int8_decode_attention(q, k_q, v_q, k_s, v_s, ends, n_heads: int,
     step's unquantized K/V) the current position is folded in after the
     streamed blocks (megakernel semantics: the cache holds ``[0, pos)``).
     Returns (B, 1, H*D) merged-head context.
+
+    ``cur_ks`` ((B, 1) f32): the current K's per-key quantization scale,
+    overriding the in-kernel absmax — required under tensor parallelism,
+    where each rank holds a width SHARD of cur_k but the cache write used
+    the full-width (pmaxed) scale (see :func:`quantize_rows`'s ``tp_axis``).
 
     Batch must be <= 8 or a multiple of 8 (per-group scale DMAs need
     8-sublane-aligned row offsets).
@@ -327,9 +346,15 @@ def int8_decode_attention(q, k_q, v_q, k_s, v_s, ends, n_heads: int,
     # layout: a (hd, g) lane-blocked spec over (hd, b) violates Mosaic's
     # last-dim block rule (divisible by 128 or full) when g < b
     qt = jnp.swapaxes(q[:, 0, :].reshape(b // g, g, hd), 1, 2)
+    has_cur_s = cur_ks is not None
+    assert not has_cur_s or has_cur, "cur_ks without cur_k"
     if not has_cur:  # dummy (never read; has_cur is static)
         cur_k = jnp.zeros((b, hd), q.dtype)
         cur_v = jnp.zeros((b, hd), q.dtype)
+    if not has_cur_s:  # dummy (never read; has_cur_s is static)
+        cur_ks = jnp.ones((b, 1), jnp.float32)
+    else:
+        cur_ks = jnp.asarray(cur_ks, jnp.float32).reshape(b, 1)
 
     any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -339,17 +364,19 @@ def int8_decode_attention(q, k_q, v_q, k_s, v_s, ends, n_heads: int,
             pl.BlockSpec((1, hd, g), lambda i, e, p: (i, 0, 0)),
             pl.BlockSpec((g, hd), lambda i, e, p: (i, 0)),
             pl.BlockSpec((g, hd), lambda i, e, p: (i, 0)),
+            pl.BlockSpec((g, 1), lambda i, e, p: (i, 0)),
             any_spec, any_spec, any_spec, any_spec,
         ],
         out_specs=pl.BlockSpec((g, 1, hd), lambda i, e, p: (i, 0, 0)),
     )
     out = pl.pallas_call(
         functools.partial(_kernel, bk=KV_BLOCK_INT8, scale=1.0 / math.sqrt(d),
-                          n_heads=n_heads, d=d, g=g, prec=prec, has_cur=has_cur),
+                          n_heads=n_heads, d=d, g=g, prec=prec, has_cur=has_cur,
+                          has_cur_s=has_cur_s),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
         interpret=interpret,
-    )(ends_arr, pad_arr, qt, cur_k, cur_v, k_q, v_q, k_s, v_s)
+    )(ends_arr, pad_arr, qt, cur_k, cur_v, cur_ks, k_q, v_q, k_s, v_s)
     return out
 
 
@@ -365,7 +392,8 @@ def int8_attention_oracle(*args, **kw):
 
 
 def _int8_attention_oracle_impl(q, k_q, v_q, k_s, v_s, ends, n_heads: int,
-                                pad_lens=None, cur_k=None, cur_v=None, bias=None):
+                                pad_lens=None, cur_k=None, cur_v=None,
+                                cur_ks=None, bias=None):
     """Exact re-implementation of the kernel's quantized math in plain jnp
     (same block structure, same op order — int dots are exact and the f32
     chain mirrors the kernel's, so outputs match to f32 rounding).
@@ -443,8 +471,11 @@ def _int8_attention_oracle_impl(q, k_q, v_q, k_s, v_s, ends, n_heads: int,
             ms = m_new
         if cur_k is not None:
             kc = cur_k[sl].astype(f32)
-            kc_absmax = jnp.max(jnp.abs(kc), axis=1, keepdims=True)
-            kc_s = jnp.where(kc_absmax == 0.0, 1.0, kc_absmax) * (1.0 / 127.0)
+            if cur_ks is not None:  # full-width scale supplied (tp shards)
+                kc_s = jnp.asarray(cur_ks, f32).reshape(b, 1)[sl]
+            else:
+                kc_absmax = jnp.max(jnp.abs(kc), axis=1, keepdims=True)
+                kc_s = jnp.where(kc_absmax == 0.0, 1.0, kc_absmax) * (1.0 / 127.0)
             kc_i8 = jnp.clip(jnp.round(kc / kc_s), -127, 127).astype(jnp.int8)
             sc_i32 = lax.dot_general(kc_i8, q_i8, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.int32)

@@ -44,6 +44,36 @@ ACT_FNS = {
 }
 
 
+def _erf_poly(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7), f32 math.
+
+    Mosaic has NO erf/erfc lowering (jax.nn.gelu(approximate=False) lowers
+    through lax.erfc and fails to compile inside any pallas_call on real
+    hardware — interpret mode hides this), so kernels that need exact-GELU
+    numerics use this polynomial instead."""
+    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    y = 1.0 - ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _gelu_kernel_safe(x):
+    """GELU for code that runs INSIDE pallas kernels: identical to
+    :func:`_gelu_exact` on the bf16 serving path (tanh GELU), polynomial-erf
+    GELU (~1e-7 abs err) where the XLA path would use lax.erfc."""
+    if FAST_GELU_BF16 and x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
+    x32 = x.astype(jnp.float32)
+    out = 0.5 * x32 * (1.0 + _erf_poly(x32 * (1.0 / math.sqrt(2.0))))
+    return out.astype(x.dtype)
+
+
+# activation table for pallas-kernel bodies (ops/decode_step.py): only
+# "gelu" differs — everything else lowers fine in Mosaic
+KERNEL_ACT_FNS = dict(ACT_FNS, gelu=_gelu_kernel_safe)
+
+
 def dot_precision(x) -> lax.Precision:
     """HIGHEST for fp32 inputs (TPU would otherwise run bf16 MXU passes and
     miss the ≤1e-3 parity target); DEFAULT for bf16 — the fast path."""

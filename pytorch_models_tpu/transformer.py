@@ -146,6 +146,80 @@ def _decode_kernel_bias(attn_bias, l_max: int, n_heads: int):
     return None, False
 
 
+def _int8_self_decode_apply(p, cfg, k, v, q, cache, cache_pos, cache_layer,
+                            pad_lens):
+    """Single-position self-attention over an int8 KV cache — the per-op
+    (non-megakernel) decode path used by tensor-parallel serving.
+
+    Megakernel semantics (ops/decode_step.py ``kv_scales=``): the cache holds
+    quantized positions ``[0, pos)``; this step's K/V ride into the attention
+    kernel unquantized (K scored with the cache-write rule so a key scores
+    identically now and when later streamed) and are written back quantized
+    AFTER attention. Under tensor parallelism each rank holds a width shard:
+    quantization scales pmax over ``cfg.tp_axis`` so every rank uses the
+    FULL-width scale and stays bit-identical to a single device
+    (ops/int8_kv.py ``quantize_rows``/``cur_ks``).
+    """
+    from .ops.int8_kv import _b8, int8_decode_attention, quantize_rows
+
+    assert q.shape[-2] == 1, "int8 KV caches serve single-position decode only"
+    b = q.shape[0]
+    k_new = linear(p["k"], k)  # (B, 1, H*D) merged, matches the cache
+    v_new = linear(p["v"], v)
+    q_m = linear(p["q"], q)
+    kq, ks = quantize_rows(k_new, tp_axis=cfg.tp_axis)  # int8 + (B, 1, 1) f32
+    vq, vs = quantize_rows(v_new, tp_axis=cfg.tp_axis)
+    if cache_layer is not None:  # leaves are layer-stacked (L, B, Lmax|B8, ·)
+        ck = lax.dynamic_index_in_dim(cache["k"], cache_layer, 0, keepdims=False)
+        cv = lax.dynamic_index_in_dim(cache["v"], cache_layer, 0, keepdims=False)
+        cks = lax.dynamic_index_in_dim(cache["ks"], cache_layer, 0, keepdims=False)
+        cvs = lax.dynamic_index_in_dim(cache["vs"], cache_layer, 0, keepdims=False)
+    else:
+        ck, cv, cks, cvs = cache["k"], cache["v"], cache["ks"], cache["vs"]
+    out = int8_decode_attention(q_m, ck, cv, cks, cvs, cache_pos, cfg.n_heads,
+                                pad_lens=pad_lens, cur_k=k_new[:, 0, :],
+                                cur_v=v_new[:, 0, :], cur_ks=ks[:, 0, :])
+
+    pad = _b8(b) - b
+
+    def col(s):  # (B, 1, 1) scale -> (B8, 1) plane column
+        c = s.reshape(b, 1)
+        return jnp.pad(c, ((0, pad), (0, 0)), constant_values=1.0) if pad else c
+
+    if cache_layer is not None:
+        new_cache = dict(cache) | {
+            "k": lax.dynamic_update_slice(cache["k"], kq[None],
+                                          (cache_layer, 0, cache_pos, 0)),
+            "v": lax.dynamic_update_slice(cache["v"], vq[None],
+                                          (cache_layer, 0, cache_pos, 0)),
+            "ks": lax.dynamic_update_slice(cache["ks"], col(ks)[None],
+                                           (cache_layer, 0, cache_pos)),
+            "vs": lax.dynamic_update_slice(cache["vs"], col(vs)[None],
+                                           (cache_layer, 0, cache_pos)),
+        }
+    else:
+        new_cache = dict(cache) | {
+            "k": lax.dynamic_update_slice(cache["k"], kq, (0, cache_pos, 0)),
+            "v": lax.dynamic_update_slice(cache["v"], vq, (0, cache_pos, 0)),
+            "ks": lax.dynamic_update_slice(cache["ks"], col(ks), (0, cache_pos)),
+            "vs": lax.dynamic_update_slice(cache["vs"], col(vs), (0, cache_pos)),
+        }
+    return reduce_linear(p["o"], out, cfg.tp_axis), new_cache
+
+
+def _int8_cross_decode_apply(p, cfg, q, cache):
+    """Single-position cross-attention over write-once int8 encoder caches
+    (quantized at admission/encode time); ``len`` masks per-row valid memory
+    (all-empty rows return zeros — unadmitted pool slots)."""
+    from .ops.int8_kv import int8_decode_attention
+
+    assert q.shape[-2] == 1, "int8 KV caches serve single-position decode only"
+    q_m = linear(p["q"], q)
+    out = int8_decode_attention(q_m, cache["k"], cache["v"], cache["ks"],
+                                cache["vs"], cache["len"], cfg.n_heads)
+    return reduce_linear(p["o"], out, cfg.tp_axis)
+
+
 def mha_apply(
     p: dict,
     cfg: LayerConfig,
@@ -182,6 +256,13 @@ def mha_apply(
 
     k = q if k is None else k
     v = k if v is None else v
+
+    if cache is not None and "ks" in cache:  # int8 KV cache (per-op path)
+        assert attn_bias is None, "int8 per-op attention has no bias support"
+        if cache_pos is not None:
+            return _int8_self_decode_apply(p, cfg, k, v, q, cache, cache_pos,
+                                           cache_layer, pad_lens)
+        return _int8_cross_decode_apply(p, cfg, q, cache)
 
     if cache is not None and cache_pos is not None:  # self-attention, KV-cached
         k_new = linear(p["k"], k)  # (..., S, H*D) — merged, matches the cache

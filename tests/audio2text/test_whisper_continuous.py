@@ -199,3 +199,33 @@ def test_batched_admission_encodes(model, plain, audios):
     outs = cb.transcribe_tokens_many(audios, INIT, EOT, max_tokens=12)
     assert outs == _oracle(plain, audios, 12)
     assert cb.last_stats.admissions == len(audios)
+
+
+def test_megakernel_pool_matches_plain(audios):
+    """NON-vacuous megakernel coverage: a fused-ELIGIBLE model (d_model %
+    128 == 0 — the TINY fixture's d_model=64 fails fused_step_eligible and
+    silently degrades test_fused_step_path_matches_plain to the XLA route).
+    bf16 twin of the int8 pool tests: exercises the head phase, where head_v
+    must be a static argnum of _wcb_steps (traced, it gets captured by the
+    kernel closure and pallas_call rejects the trace)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pytorch_models_tpu.models.audio2text.whisper import _whisper_fused_ok
+    from pytorch_models_tpu.ops import attention as attn_mod
+
+    model = Whisper(vocab_size=100, n_layers=2, d_model=128, n_mels=80)
+    plain = WhisperGenerator(model)
+    base = _oracle(plain, audios[:3], 14)
+    attn_mod.USE_FUSED_STEP = True
+    try:
+        jax.clear_caches()
+        with pltpu.force_tpu_interpret_mode():
+            cb = WhisperContinuousBatchingGenerator(model, batch_size=2,
+                                                    check_every=3, pool_ctx=64)
+            assert _whisper_fused_ok(model.params["decoder"], model.cfg, 64)
+            outs = cb.transcribe_tokens_many(audios[:3], INIT, EOT, max_tokens=14)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        jax.clear_caches()
+    assert outs == base

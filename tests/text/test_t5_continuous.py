@@ -170,3 +170,33 @@ def test_per_request_sampling_params(model, prompts):
         outs = solo.generate_tokens_many(prompts[: r + 1], 12, PAD, EOS, topk=6,
                                          top_p=tps[r], temperature=temps[r], seed=5)
         assert mixed[r] == outs[r]
+
+
+def test_megakernel_pool_matches_plain(prompts):
+    """NON-vacuous megakernel coverage: a fused-ELIGIBLE model (dim % 128
+    == 0 — the TINY fixture's dim=64 silently fails fused_step_eligible and
+    degrades test_fused_step_path_matches_plain to the XLA route). This is
+    the path where head_v must be a static argnum of _t5cb_steps: traced, it
+    gets captured by the megakernel's head phase and pallas_call rejects
+    the trace."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pytorch_models_tpu.models.text.t5 import _t5_fused_ok
+    from pytorch_models_tpu.ops import attention as attn_mod
+
+    model = T5Model(vocab_size=120, dim=128, n_heads=4, n_layers=2, mlp_dim=256)
+    plain = T5Generator(model=model, tokenizer=object())
+    base = [plain.generate_tokens(ts, 12, PAD, EOS) for ts in prompts[:3]]
+    attn_mod.USE_FUSED_STEP = True
+    try:
+        jax.clear_caches()
+        with pltpu.force_tpu_interpret_mode():
+            cb = T5ContinuousBatchingGenerator(model, batch_size=2,
+                                               check_every=3, pool_ctx=64)
+            assert _t5_fused_ok(model.params["decoder"], model.cfg, 64)
+            outs = cb.generate_tokens_many(prompts[:3], 12, PAD, EOS)
+    finally:
+        attn_mod.USE_FUSED_STEP = None
+        jax.clear_caches()
+    assert outs == base

@@ -61,6 +61,18 @@ def main():
     print(f"vs exact quantized oracle: max abs diff {diff:.2e} "
           f"(rel {diff/scale:.2e}; expect f32-rounding scale)", flush=True)
     assert diff / scale < 1e-3, "kernel diverged from the quantized-math oracle"
+
+    # ---- cur_ks leg (the TP per-op path's supplied current-K scale) -------
+    # passing the cache-write scale must be bit-equivalent to the in-kernel
+    # absmax (same rule), and the operand plumbing must compile on hardware
+    from pytorch_models_tpu.ops.int8_kv import quantize_rows
+    _, ks_cur = quantize_rows(cur_k)
+    got_s = int8_decode_attention(q, *caches, ends, n_heads,
+                                  cur_k=cur_k, cur_v=cur_v, cur_ks=ks_cur)
+    dd = np.abs(np.asarray(got_s, np.float32) - np.asarray(got, np.float32)).max()
+    print(f"cur_ks leg (TP per-op path): max abs diff vs in-kernel absmax {dd:.2e}",
+          flush=True)
+    assert dd / scale < 1e-5, "cur_ks plumbing diverged"
     if quick:
         return
 
