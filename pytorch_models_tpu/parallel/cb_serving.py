@@ -28,13 +28,31 @@ from ..models.text.continuous import (
     _cb_admit_body,
     _cb_admit_prefix_body,
     _cb_chunk_body,
+    _cb_i8_admit_body,
+    _cb_i8_chunk_body,
+    _cb_i8_commit_body,
+    _cb_i8_paste_body,
     _cb_paste_body,
     _cb_prefix_body,
     _cb_steps_body,
 )
 from ..models.text.t5_continuous import T5ContinuousBatchingGenerator
 from ..models.text.generator import PROMPT_BUCKET
+from ..ops import attention as _attn
 from .serving import decoder_lm_serving_pspecs
+
+# int8 pool caches under TP: the int8 K/V shard on the head width like the
+# bf16 pool, while the per-key f32 scale planes REPLICATE — each key's scale
+# is computed over the full merged-head row (quantize_rows pmaxes the absmax
+# over the tp axis), so every rank holds the same planes and stays
+# bit-identical to a single device quantizing the unsharded row.
+_I8_PLANES = {"ks": P(), "vs": P()}
+
+
+def _i8_spec(spec: dict, caches: dict) -> dict:
+    """Cache pspec dict extended with replicated scale planes when the pytree
+    carries them (the dict structure is static inside a jit trace)."""
+    return dict(spec) | _I8_PLANES if "ks" in caches else spec
 
 
 class TPContinuousBatchingGenerator(ContinuousBatchingGenerator):
@@ -77,10 +95,11 @@ class TPContinuousBatchingGenerator(ContinuousBatchingGenerator):
                 return _cb_steps_body(p, cfg_local, buf, pads, lims, ends, caches,
                                       pos, False, done, n_steps, eos)
 
+            cspec = _i8_spec(cache_spec, caches)
             fn = jax.shard_map(
                 local, mesh=mesh,
-                in_specs=(pspecs, P(), P(), P(), P(), cache_spec, P(), P(), P(), P()),
-                out_specs=(P(), P(), cache_spec, P(), P()),
+                in_specs=(pspecs, P(), P(), P(), P(), cspec, P(), P(), P(), P()),
+                out_specs=(P(), P(), cspec, P(), P()),
                 check_vma=False,
             )
             return fn(params, buf, pad_lens, limits, ends, caches, pos,
@@ -99,11 +118,12 @@ class TPContinuousBatchingGenerator(ContinuousBatchingGenerator):
                                       topk=topk, top_p=top_p, temperature=temp,
                                       keys=keys, t0s=t0s, tps=tps)
 
+            cspec = _i8_spec(cache_spec, caches)
             fn = jax.shard_map(
                 local, mesh=mesh,
-                in_specs=(pspecs, P(), P(), P(), P(), cache_spec, P(), P(), P(),
+                in_specs=(pspecs, P(), P(), P(), P(), cspec, P(), P(), P(),
                           P(), P(), P(), P(), P()),
-                out_specs=(P(), P(), cache_spec, P(), P()),
+                out_specs=(P(), P(), cspec, P(), P()),
                 check_vma=False,
             )
             return fn(params, buf, pad_lens, limits, ends, caches, pos,
@@ -153,6 +173,53 @@ class TPContinuousBatchingGenerator(ContinuousBatchingGenerator):
                       row, pos, n, k, prefix_chunk, prefix_caches,
                       suffix_chunk, max_new)
 
+        # ---- int8 pool admission (per-op int8 decode path): the bf16
+        # 1-row scratch prefills per rank exactly like the bf16 pool's
+        # admission, and the commit quantizes per rank with the tp-pmaxed
+        # full-width scale (token-identical to the single-device int8 pool)
+        def i8_paste(buf, scratch, row, pad_len, kk, prefix_chunk, prefix_caches):
+            fn = jax.shard_map(
+                _cb_i8_paste_body, mesh=mesh,
+                in_specs=(P(), cache_spec, P(), P(), P(), P(), cache_spec),
+                out_specs=(P(), cache_spec),
+                check_vma=False,
+            )
+            return fn(buf, scratch, row, pad_len, kk, prefix_chunk, prefix_caches)
+
+        def i8_chunk(params, buf, scratch, row, c0, pad_len, chunk):
+            fn = jax.shard_map(
+                lambda p, *a: _cb_i8_chunk_body(p, cfg_local, *a),
+                mesh=mesh,
+                in_specs=(pspecs, P(), cache_spec, P(), P(), P(), P()),
+                out_specs=(P(), cache_spec),
+                check_vma=False,
+            )
+            return fn(params, buf, scratch, row, c0, pad_len, chunk)
+
+        def i8_admit(params, buf, scratch, pad_lens, limits, done,
+                     row, pos, n, n_tok, prompt_chunk, max_new):
+            fn = jax.shard_map(
+                lambda p, *a: _cb_i8_admit_body(p, cfg_local, *a),
+                mesh=mesh,
+                in_specs=(pspecs, P(), cache_spec, P(), P(), P(), P(), P(),
+                          P(), P(), P(), P()),
+                out_specs=(P(), cache_spec, P(), P(), P()),
+                check_vma=False,
+            )
+            return fn(params, buf, scratch, pad_lens, limits, done,
+                      row, pos, n, n_tok, prompt_chunk, max_new)
+
+        def i8_commit(caches, scratch, row):
+            i8_spec = dict(cache_spec) | _I8_PLANES
+            fn = jax.shard_map(
+                lambda c, s, r: _cb_i8_commit_body(c, s, r, "tp" if tp > 1 else None),
+                mesh=mesh,
+                in_specs=(i8_spec, cache_spec, P()),
+                out_specs=i8_spec,
+                check_vma=False,
+            )
+            return fn(caches, scratch, row)
+
         self._admit_jit = jax.jit(admit)
         self._prefix_jit = jax.jit(prefill_prefix)
         self._chunk_jit = jax.jit(prefill_chunk)
@@ -160,6 +227,10 @@ class TPContinuousBatchingGenerator(ContinuousBatchingGenerator):
         self._admit_prefix_jit = jax.jit(admit_prefix)
         self._steps_jit = jax.jit(steps)
         self._steps_sample_jit = jax.jit(steps_sample, static_argnums=(10, 11))
+        self._i8_paste_jit = jax.jit(i8_paste)
+        self._i8_chunk_jit = jax.jit(i8_chunk)
+        self._i8_admit_jit = jax.jit(i8_admit)
+        self._i8_commit_jit = jax.jit(i8_commit)
 
     # ---- sharding hooks ----------------------------------------------------
     def _params_cfg(self):
@@ -199,6 +270,29 @@ class TPContinuousBatchingGenerator(ContinuousBatchingGenerator):
         return self._steps_sample_jit(params, buf, pad_lens, limits, ends, caches,
                                       pos, done, n_steps, eos_id, topk, top_p,
                                       temperature, keys, t0s, tps)
+
+    # ---- int8 pool (per-op int8 decode path; see transformer.py
+    # _int8_self_decode_apply): per-rank kernel over width-sharded int8
+    # caches + replicated full-width scale planes
+    def _use_int8_pool(self, cfg, b: int, fused: bool) -> bool:
+        # per-rank width must stay lane-aligned: the int8 kernel's cache DMAs
+        # copy full (bk, hd/tp) rows and Mosaic rejects minor dims < 128 on
+        # real hardware (CLAUDE.md DMA alignment; interpret mode hides it)
+        tp = dict(self._mesh.shape)["tp"]
+        width = cfg.layer.n_heads * cfg.layer.head_dim
+        return _attn.use_int8_kv(b) and (width // tp) % 128 == 0
+
+    def _i8_paste(self, *args):
+        return self._i8_paste_jit(*args)
+
+    def _i8_chunk(self, params, cfg, *args):
+        return self._i8_chunk_jit(params, *args)
+
+    def _i8_admit(self, params, cfg, *args):
+        return self._i8_admit_jit(params, *args)
+
+    def _i8_commit(self, *args):
+        return self._i8_commit_jit(*args)
 
 
 class TPWhisperContinuousBatchingGenerator(WhisperContinuousBatchingGenerator):
@@ -263,14 +357,30 @@ class TPWhisperContinuousBatchingGenerator(WhisperContinuousBatchingGenerator):
                 return _wcb_steps_body(p, cfg_local, buf, pads, lims, ends, caches,
                                        cross, pos, False, done, n, eot)
 
+            cspec, xspec = _i8_spec(cache_spec, caches), _i8_spec(cross_spec, cross)
             fn = jax.shard_map(
                 local, mesh=mesh,
-                in_specs=(pspecs, P(), P(), P(), P(), cache_spec, cross_spec,
+                in_specs=(pspecs, P(), P(), P(), P(), cspec, xspec,
                           P(), P(), P(), P()),
-                out_specs=(P(), P(), cache_spec, P(), P()),
+                out_specs=(P(), P(), cspec, P(), P()),
                 check_vma=False)
             return fn(params, buf, pad_lens, limits, ends, caches, cross, pos,
                       done, n_steps, eot_id)
+
+        def admit_i8(params, buf, caches, cross, pad_lens, limits, done,
+                     row, pos, memory, init_chunk, max_new, i8_self, i8_cross):
+            from ..models.audio2text.continuous import _wcb_admit_i8_body
+
+            cspec, xspec = _i8_spec(cache_spec, caches), _i8_spec(cross_spec, cross)
+            fn = jax.shard_map(
+                lambda p, *a: _wcb_admit_i8_body(p, cfg_local, *a, i8_self, i8_cross),
+                mesh=mesh,
+                in_specs=(pspecs, P(), cspec, xspec, P(), P(), P(),
+                          P(), P(), P(), P(), P()),
+                out_specs=(P(), cspec, xspec, P(), P(), P()),
+                check_vma=False)
+            return fn(params, buf, caches, cross, pad_lens, limits, done,
+                      row, pos, memory, init_chunk, max_new)
 
         def steps_sample(params, buf, pad_lens, limits, ends, caches, cross, pos,
                          done, n_steps, eot_id, topk, top_p, temperature, keys, t0s,
@@ -284,17 +394,19 @@ class TPWhisperContinuousBatchingGenerator(WhisperContinuousBatchingGenerator):
                                        topk=topk, top_p=top_p, temperature=temp,
                                        keys=keys, t0s=t0s, tps=tps)
 
+            cspec, xspec = _i8_spec(cache_spec, caches), _i8_spec(cross_spec, cross)
             fn = jax.shard_map(
                 local, mesh=mesh,
-                in_specs=(pspecs, P(), P(), P(), P(), cache_spec, cross_spec,
+                in_specs=(pspecs, P(), P(), P(), P(), cspec, xspec,
                           P(), P(), P(), P(), P(), P(), P(), P()),
-                out_specs=(P(), P(), cache_spec, P(), P()),
+                out_specs=(P(), P(), cspec, P(), P()),
                 check_vma=False)
             return fn(params, buf, pad_lens, limits, ends, caches, cross, pos,
                       done, n_steps, eot_id, temperature, keys, t0s, tps)
 
         self._encode = jax.jit(encode)
         self._admit_jit = jax.jit(admit)
+        self._admit_i8_jit = jax.jit(admit_i8, static_argnums=(12, 13))
         self._steps_jit = jax.jit(steps)
         self._steps_sample_jit = jax.jit(steps_sample, static_argnums=(11, 12))
 
@@ -321,6 +433,20 @@ class TPWhisperContinuousBatchingGenerator(WhisperContinuousBatchingGenerator):
 
     def _admit(self, params, cfg, *args):
         return self._admit_jit(params, *args)
+
+    def _int8_modes(self, cfg, b: int, fused: bool) -> tuple[bool, bool]:
+        """TP int8 pools ride the per-op int8 path (transformer.py
+        _int8_self_decode_apply / _int8_cross_decode_apply): int8 K/V shard
+        on the head width, the full-width scale planes replicate. Per-rank
+        width must stay lane-aligned (Mosaic full-row DMAs; CLAUDE.md)."""
+        tp = dict(self._mesh.shape)["tp"]
+        lc = cfg.dec_layer
+        if (lc.n_heads * lc.head_dim // tp) % 128:
+            return False, False
+        return _attn.use_int8_kv(b), _attn.use_int8_kv_cross(b)
+
+    def _admit_i8(self, params, cfg, *args):
+        return self._admit_i8_jit(params, *args)
 
     def _steps(self, params, cfg, buf, pad_lens, limits, ends, caches, cross, pos,
                fused, done, n_steps, eot_id, packed=None, head=None, head_v=None,
@@ -394,14 +520,30 @@ class TPT5ContinuousBatchingGenerator(T5ContinuousBatchingGenerator):
                 return _t5cb_steps_body(p, cfg_local, buf, pads, lims, ends, caches,
                                         cross, pos, False, done, n, eos, bias)
 
+            xspec = _i8_spec(cross_spec, cross)
             fn = jax.shard_map(
                 local, mesh=mesh,
-                in_specs=(pspecs, P(), P(), P(), P(), cache_spec, cross_spec,
+                in_specs=(pspecs, P(), P(), P(), P(), cache_spec, xspec,
                           P(), P(), P(), P(), bias_spec),
                 out_specs=(P(), P(), cache_spec, P(), P()),
                 check_vma=False)
             return fn(params, buf, pad_lens, limits, ends, caches, cross, pos,
                       done, n_steps, eos_id, bias_tab)
+
+        def admit_i8(params, buf, cross, pad_lens, limits, done,
+                     row, pos, memory, n_enc, max_new, pad_id):
+            from ..models.text.t5_continuous import _t5cb_admit_i8_body
+
+            xspec = _i8_spec(cross_spec, cross)
+            fn = jax.shard_map(
+                lambda p, *a: _t5cb_admit_i8_body(p, cfg_local, *a),
+                mesh=mesh,
+                in_specs=(pspecs, P(), xspec, P(), P(), P(),
+                          P(), P(), P(), P(), P(), P()),
+                out_specs=(P(), xspec, P(), P(), P()),
+                check_vma=False)
+            return fn(params, buf, cross, pad_lens, limits, done,
+                      row, pos, memory, n_enc, max_new, pad_id)
 
         def steps_sample(params, buf, pad_lens, limits, ends, caches, cross, pos,
                          done, n_steps, eos_id, bias_tab, topk, top_p, temperature,
@@ -415,9 +557,10 @@ class TPT5ContinuousBatchingGenerator(T5ContinuousBatchingGenerator):
                                         topk=topk, top_p=top_p, temperature=temp,
                                         keys=keys, t0s=t0s, tps=tps)
 
+            xspec = _i8_spec(cross_spec, cross)
             fn = jax.shard_map(
                 local, mesh=mesh,
-                in_specs=(pspecs, P(), P(), P(), P(), cache_spec, cross_spec,
+                in_specs=(pspecs, P(), P(), P(), P(), cache_spec, xspec,
                           P(), P(), P(), P(), bias_spec, P(), P(), P(), P()),
                 out_specs=(P(), P(), cache_spec, P(), P()),
                 check_vma=False)
@@ -426,6 +569,7 @@ class TPT5ContinuousBatchingGenerator(T5ContinuousBatchingGenerator):
 
         self._encode_jit = jax.jit(encode)
         self._admit_jit = jax.jit(admit)
+        self._admit_i8_jit = jax.jit(admit_i8)
         self._steps_jit = jax.jit(steps)
         self._steps_sample_jit = jax.jit(steps_sample, static_argnums=(12, 13))
 
@@ -462,6 +606,22 @@ class TPT5ContinuousBatchingGenerator(T5ContinuousBatchingGenerator):
 
     def _admit(self, params, cfg, *args):
         return self._admit_jit(params, *args)
+
+    def _int8_modes(self, params, cfg, b: int, l_max: int) -> tuple[bool, bool]:
+        """TP T5 pools: int8 CROSS rides the per-op int8 path (write-once
+        encoder caches; T5-legal — the rel-pos bias is self-only). int8 SELF
+        stays bf16: the per-op kernel (ops/int8_kv.py) has no bias input, so
+        the decode rel-pos bias can't ride it (the group-tiled-bias trick is
+        megakernel-only, and GSPMD can't partition a pallas_call). Per-rank
+        width must stay lane-aligned (Mosaic full-row DMAs; CLAUDE.md)."""
+        tp = dict(self._mesh.shape)["tp"]
+        lc = cfg.layer
+        if (lc.n_heads * lc.head_dim // tp) % 128:
+            return False, False
+        return False, _attn.use_int8_kv_cross(b)
+
+    def _admit_i8(self, params, cfg, *args):
+        return self._admit_i8_jit(params, *args)
 
     def _steps(self, params, cfg, buf, pad_lens, limits, ends, caches, cross, pos,
                fused, done, n_steps, eos_id, bias_tab, packed=None, head=None,
