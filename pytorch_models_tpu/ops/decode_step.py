@@ -556,13 +556,18 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                     sb = sbias_r[pl.ds(i * blk, blk), :gh].astype(f32)
                     s = s + jnp.broadcast_to(sb[None], (g, blk, gh)).reshape(g * blk, gh)
                 k_idx = i * blk + j_in_blk
+                # NB: slice WITHOUT a None in the index tuple — mixed
+                # slice+newaxis indexing lowers via lax.gather, which Mosaic
+                # rejects inside the loop (hardware-only; interpret hides it)
                 if ends_col is None:
-                    pad_g = jnp.broadcast_to(pad_all[gi * g:(gi + 1) * g, :, None],
-                                             (g, blk, 1)).reshape(g * blk, 1)
+                    pad_g = jnp.broadcast_to(
+                        pad_all[gi * g:(gi + 1) * g].reshape(g, 1, 1),
+                        (g, blk, 1)).reshape(g * blk, 1)
                     valid = jnp.logical_and(k_idx < pos, k_idx >= pad_g)
                 else:
-                    ends_g = jnp.broadcast_to(ends_all[gi * g:(gi + 1) * g, :, None],
-                                              (g, blk, 1)).reshape(g * blk, 1)
+                    ends_g = jnp.broadcast_to(
+                        ends_all[gi * g:(gi + 1) * g].reshape(g, 1, 1),
+                        (g, blk, 1)).reshape(g * blk, 1)
                     valid = k_idx < ends_g
                 s = jnp.where(jnp.logical_and(valid, diag), s, NEG_INF)
                 m_new = jnp.maximum(ms, jnp.max(s, axis=0, keepdims=True))

@@ -91,6 +91,14 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     # jnp.take clamps out-of-range ids; match it — an unclamped id would issue
     # an out-of-bounds HBM DMA (garbage read on hardware)
     idx = jnp.clip(idx, 0, table.shape[0] - 1)
+    # pad N to a sublane multiple: the kernel's final (N, D) VMEM->HBM flush
+    # FAULTS the TPU worker at runtime when N % 8 != 0 (hardware-only —
+    # compiles fine, interpret fine; isolated on-chip round 4: n=8 passes at
+    # every table shape, n∈{1,2,3,5} crashes). Extra rows gather row 0 and
+    # are sliced off below.
+    n_pad = -n % 8
+    if n_pad:
+        idx = jnp.concatenate([idx, jnp.zeros((n_pad,), idx.dtype)])
     # pad V to a sublane multiple so every 8-row window is in bounds; the pad
     # is loop-invariant and hoisted out of decode loops by XLA's while LICM
     if table.shape[0] % 8:
@@ -103,11 +111,12 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         # never staged through a pipelined VMEM block
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
     )
-    return pl.pallas_call(
-        functools.partial(_kernel, n=n, v=table.shape[0]),
+    out = pl.pallas_call(
+        functools.partial(_kernel, n=n + n_pad, v=table.shape[0]),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, d), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((n + n_pad, d), table.dtype),
     )(idx.astype(jnp.int32), table)
+    return out[:n] if n_pad else out
 
 
 def embed_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
