@@ -67,12 +67,12 @@ def use_a8_decode(packed_wqkv_dtype) -> bool:
 
 # in-kernel embed phase of the fused step (ops/decode_step.py ``emb=``): the
 # token/position row gathers move into the megakernel's layer-0 entry,
-# removing two gather-kernel launches + an add per decode step. Gated to
-# small batch: that per-launch glue only matters where steps are ~0.3 ms
-# (whisper B=1, PERF.md #28); at batch 32 embeds measured ~free (#25) and
-# the per-row window copies would add b-unrolled compile time. None = auto
-# (b <= 4 on TPU); True/False force. Env DECODE_EMBED=0/1 overrides for A/B
-# sweeps (read at trace time).
+# removing two gather-kernel launches + an add per decode step. MEASURED
+# NEGATIVE on hardware (PERF.md #31a, round-4 sweep): whisper B=1 RTF 1,134x
+# with it on vs 1,384x off — the per-row window DMAs at layer-0 entry delay
+# the QKV warmups by more than the saved launch glue. Default OFF everywhere;
+# None = auto (currently off), True forces it on. Env DECODE_EMBED=0/1
+# overrides for A/B sweeps (read at trace time).
 USE_FUSED_EMBED: bool | None = None
 
 
@@ -86,7 +86,7 @@ def use_fused_embed(batch: int) -> bool:
         return env == "1"
     if USE_FUSED_EMBED is not None:
         return USE_FUSED_EMBED
-    return batch <= 4 and _on_tpu()
+    return False  # measured negative at every batch (PERF.md #31a)
 
 
 # int8 self-KV cache for the fused decode step (ops/decode_step.py

@@ -39,15 +39,22 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
 def _oracle(params, cfg, x, caches, pos, pads):
-    """Einsum decode path (no pallas) on the same device, fp32 HIGHEST."""
+    """Einsum decode path (no pallas) on the same device, fp32 HIGHEST.
+
+    Jitted: eager op-by-op dispatch through the axon tunnel takes tens of
+    minutes for a 2-layer stack (first version of this tool hung here)."""
     import pytorch_models_tpu.transformer as tfm
     from pytorch_models_tpu.ops import attention as attn_mod
 
+    @jax.jit
+    def run(params, x, caches, pads):
+        return tfm.decoder_apply(params, cfg, x[:, None, :],
+                                 self_caches=dict(caches), pos=pos,
+                                 pad_lens=pads)
+
     attn_mod.USE_DECODE_KERNEL = False
     try:
-        ref, new_caches = tfm.decoder_apply(
-            params, cfg, x[:, None, :], self_caches=dict(caches), pos=pos,
-            pad_lens=pads)
+        ref, new_caches = run(params, x, caches, pads)
     finally:
         attn_mod.USE_DECODE_KERNEL = None
     return ref[:, 0, :], new_caches
