@@ -367,19 +367,20 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             acc_i = jnp.zeros((b, n_cols), jnp.int32)
             for t in range(n_tiles):
                 wdma(hbm, scr, sem, l, t, r, t % 2).wait()
-                if t + 2 < n_tiles:
-                    wdma(hbm, scr, sem, l, t + 2, r, t % 2).start()
                 if t == max(0, n_tiles - 2) and next_warmup is not None:
                     next_warmup()
                 acc_i = acc_i + lax.dot_general(
                     x_q[:, t * r:(t + 1) * r], scr[t % 2],
                     (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+                # t+2 overwrites the slot the dot above just read: start it
+                # only AFTER that read — a pre-dot start races the MXU when
+                # compute runs slower than the copies (PERF.md #35)
+                if t + 2 < n_tiles:
+                    wdma(hbm, scr, sem, l, t + 2, r, t % 2).start()
             return acc_i.astype(f32) * r_scale
         acc = jnp.zeros((b, n_cols), f32)
         for t in range(n_tiles):
             wdma(hbm, scr, sem, l, t, r, t % 2).wait()
-            if t + 2 < n_tiles:
-                wdma(hbm, scr, sem, l, t + 2, r, t % 2).start()
             if t == max(0, n_tiles - 2) and next_warmup is not None:
                 next_warmup()
             w_tile = scr[t % 2]
@@ -390,6 +391,9 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             acc = acc + lax.dot_general(
                 x_act[:, t * r:(t + 1) * r], w_tile,
                 (((1,), (0,)), ((), ())), preferred_element_type=f32, precision=prec)
+            # post-read prefetch: t+2 reuses slot t%2 (see comment above)
+            if t + 2 < n_tiles:
+                wdma(hbm, scr, sem, l, t + 2, r, t % 2).start()
         return acc
 
     # head-expander: E[lane, h] = 1 iff lane belongs to head h
@@ -416,11 +420,6 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             ms, ls, accs = carry
             slot = lax.rem(i, 2)
 
-            @pl.when(i + 2 < n_blk)
-            def _():
-                for cp in kv_dma(khbm, vhbm, i + 2, lax.rem(i + 2, 2), scr2, sem2, blk):
-                    cp.start()
-
             for cp in kv_dma(khbm, vhbm, i, slot, scr2, sem2, blk):
                 cp.wait()
 
@@ -445,6 +444,16 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                                      preferred_element_type=f32, precision=prec
                                      ).reshape(b, blk, hd)
             pv = jnp.sum(p_full * scr2[1][slot].astype(f32), axis=1)
+
+            # block i+2 reuses this slot: its copy must start only AFTER the
+            # kq/pv reads above — a pre-read start races the DMA engine
+            # against the VPU/MXU when compute is slower than the copies
+            # (caught on-chip at fp32 HIGHEST, PERF.md #35)
+            @pl.when(i + 2 < n_blk)
+            def _():
+                for cp in kv_dma(khbm, vhbm, i + 2, lax.rem(i + 2, 2), scr2, sem2, blk):
+                    cp.start()
+
             return m_new, l_new, accs * expand(alpha) + pv
 
         init = (jnp.full((b, n_heads), NEG_INF, f32),
@@ -533,11 +542,6 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             mss, lss, accss = carry
             slot = lax.rem(i, 2)
 
-            @pl.when(i + 2 < n_blk)
-            def _():
-                for cp in dma(i + 2, lax.rem(i + 2, 2)):
-                    cp.start()
-
             for cp in dma(i, slot):
                 cp.wait()
 
@@ -590,6 +594,14 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                 out_m.append(m_new)
                 out_l.append(l_new)
                 out_a.append(accs * expand_g(alpha) + ctx)
+
+            # post-read prefetch: block i+2 reuses this slot, so its copy
+            # starts only after the k/sk/sv/v reads above (PERF.md #35)
+            @pl.when(i + 2 < n_blk)
+            def _():
+                for cp in dma(i + 2, lax.rem(i + 2, 2)):
+                    cp.start()
+
             return out_m, out_l, out_a
 
         init = ([jnp.full((1, gh), NEG_INF, f32)] * ng,
@@ -777,10 +789,6 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             bv, bi = carry  # (B, 1) running best value / index
             slot = lax.rem(t, 2)
 
-            @pl.when(t + 2 < n_v)
-            def _():
-                emb_dma(t + 2, slot).start()
-
             emb_dma(t, slot).wait()
             if head_a8:
                 s_i = lax.dot_general(xn_q, emb_scr[slot], (((1,), (1,)), ((), ())),
@@ -792,6 +800,12 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                 if cdt == jnp.bfloat16:
                     # round like XLA's bf16 head matmul: identical argmax winner
                     s = s.astype(jnp.bfloat16).astype(f32)
+            # post-read prefetch: tile t+2 reuses this slot — start only
+            # after the dot above has consumed it (PERF.md #35)
+            @pl.when(t + 2 < n_v)
+            def _():
+                emb_dma(t + 2, slot).start()
+
             row = t * tv + lax.broadcasted_iota(jnp.int32, (b, tv), 1)
             s = jnp.where(row < head_v, s, -jnp.inf)  # vocab-pad rows
             lm = jnp.max(s, axis=1, keepdims=True)

@@ -1,8 +1,15 @@
-"""Fused decode-step megakernel parity vs the per-layer path (interpret)."""
+"""Fused decode-step megakernel parity vs the per-layer path (interpret).
+
+Deep-ring configs (>= 3 blocks/tiles per double-buffered stream) are
+interpret-testable since the round-4 post-read prefetch fix (PERF.md #35):
+interpret executes every ``start()`` eagerly, so it deterministically
+catches any prefetch that overwrites a slot before its last read — the
+exact hazard that corrupted deep rings on hardware."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 import pytorch_models_tpu.transformer as tfm
@@ -22,9 +29,11 @@ def _setup(b=4, d=128, n_heads=2, dff_ratio=4.0, n_layers=2, l_max=128):
     return cfg, params
 
 
-def test_fused_step_matches_layer_stack():
+@pytest.mark.parametrize("l_max,pos", [(128, 37), (1024, 960)])
+def test_fused_step_matches_layer_stack(l_max, pos):
+    """(1024, 960) = 8-block self-KV ring (deep-ring regression, PERF #35)."""
     r = rng(191)
-    b, d, n_layers, l_max, pos = 4, 128, 2, 128, 37
+    b, d, n_layers = 4, 128, 2
     cfg, params = _setup(b=b, d=d, n_layers=n_layers, l_max=l_max)
     hd = cfg.n_heads * cfg.head_dim
     assert fused_step_eligible(params["layers"], cfg, l_max)
@@ -82,13 +91,15 @@ def test_fused_step_pos_zero():
                                rtol=2e-4, atol=2e-4)
 
 
-def test_fused_step_with_head_phase():
+@pytest.mark.parametrize("v", [300, 16384])
+def test_fused_step_with_head_phase(v):
     """The in-kernel greedy head (final norm + streamed argmax) must pick the
-    same token as the reference head path."""
+    same token as the reference head path. v=16384 streams the table as a
+    4-tile deep ring (deep-ring regression, PERF #35)."""
     from pytorch_models_tpu.ops.decode_step import fused_decode_step, pack_greedy_head
 
     r = rng(196)
-    b, d, n_layers, l_max, pos, v = 4, 128, 2, 128, 17, 300
+    b, d, n_layers, l_max, pos = 4, 128, 2, 128, 17
     cfg, params = _setup(b=b, d=d, n_layers=n_layers, l_max=l_max)
     hd = cfg.n_heads * cfg.head_dim
     x = jnp.asarray(r.standard_normal((b, d)), jnp.float32)
@@ -121,12 +132,18 @@ def test_fused_step_with_head_phase():
     assert tok.shape == (b,) and tok.dtype == jnp.int32
 
 
-def test_fused_cross_step_matches_layer_stack():
-    """Whisper-style decoder: self-attn + cross-attn over padded memory."""
+@pytest.mark.parametrize("l_max,pos,l_mem,valid_lens",
+                         [(128, 21, 40, (40, 17, 3, 40)),
+                          (1024, 960, 1024, (1000, 17, 3, 640))])
+def test_fused_cross_step_matches_layer_stack(l_max, pos, l_mem, valid_lens):
+    """Whisper-style decoder: self-attn + cross-attn over padded memory.
+
+    The (1024, 960, 1024) case runs BOTH streams as 8-block deep rings
+    (deep-ring regression, PERF #35)."""
     from pytorch_models_tpu.ops.decode_step import fused_cross_decode_step
 
     r = rng(193)
-    b, d, n_layers, l_max, pos, l_mem = 4, 128, 2, 128, 21, 40
+    b, d, n_layers = 4, 128, 2
     cfg = tfm.LayerConfig.make(d, n_heads=2, cross_attn=True)
     params = tfm.decoder_init(jax.random.PRNGKey(1), n_layers, cfg)
     hd = cfg.n_heads * cfg.head_dim
@@ -137,7 +154,7 @@ def test_fused_cross_step_matches_layer_stack():
         "v": jnp.asarray(r.standard_normal((n_layers, b, l_max, hd)), jnp.float32),
     }
     memory = jnp.asarray(r.standard_normal((b, l_mem, d)), jnp.float32)
-    valid = jnp.asarray([40, 17, 3, 40], jnp.int32)
+    valid = jnp.asarray(valid_lens, jnp.int32)
     cross = tfm.precompute_cross_caches(params, cfg, memory, valid_lens=valid)
     pads = jnp.asarray([0, 2, 0, 1], jnp.int32)
 
@@ -937,16 +954,17 @@ def test_fused_step_a8_head_cross_gated():
                                   np.argmax(np.asarray(logits), axis=-1))
 
 
-def test_fused_step_int8_kv_matches_attention_oracle():
+@pytest.mark.parametrize("l_max,pos", [(256, 200), (1024, 960)])
+def test_fused_step_int8_kv_matches_attention_oracle(l_max, pos):
     """int8 self-KV mode (``kv_scales=``): the megakernel's grouped int8
     attention must reproduce ops/int8_kv.py's exact quantized-math oracle
     layer by layer (int dots are exact; projections/LN/MLP stay the bf16
-    path's f32 math)."""
+    path's f32 math). (1024, 960) = 8-block deep ring (PERF #35)."""
     from pytorch_models_tpu.models.text._decoder_lm import quantize_kv_caches
     from pytorch_models_tpu.ops.int8_kv import int8_attention_oracle
 
     r = rng(311)
-    b, d, n_layers, l_max, pos = 4, 128, 2, 256, 200
+    b, d, n_layers = 4, 128, 2
     cfg, params = _setup(b=b, d=d, n_layers=n_layers, l_max=l_max)
     hd = cfg.n_heads * cfg.head_dim
 
