@@ -58,7 +58,8 @@ from .generator import PROMPT_BUCKET, _check_sampling, _is_greedy, _nucleus_mask
 
 
 def spec_greedy_decode_loop(draft_step, verify_chunk, t_state, d_state, buf,
-                            pos0, done0, limit, k: int, eos_id, l_max: int):
+                            pos0, done0, limit, k: int, eos_id, l_max: int,
+                            with_iters: bool = False):
     """Model-agnostic greedy speculative loop (the seq2seq generators reuse
     it with their own cached forwards — see models/text/t5.py and
     models/audio2text/whisper.py).
@@ -69,18 +70,21 @@ def spec_greedy_decode_loop(draft_step, verify_chunk, t_state, d_state, buf,
     target argmaxes for a chunk placed at positions ``[pos, pos+k]``.
     ``buf``: (l_max,) int32 with everything below ``pos0`` already decoded
     (prompt/start tokens + the first target token); slots >= pos0 are scratch.
-    Returns ``(buf, length)`` with length clamped to ``limit``.
+    Returns ``(buf, length)`` with length clamped to ``limit``; with
+    ``with_iters`` also the loop's iteration count, from which the measured
+    acceptance rate follows as ``((length - pos0) / n_iters - 1) / k``
+    (tokens emitted per iteration = 1 + accepted drafts).
     """
-    state = (buf, pos0, t_state, d_state, done0)
+    state = (buf, pos0, t_state, d_state, done0, jnp.int32(0))
 
     def cond(s):
-        _, pos, _, _, done = s
+        _, pos, _, _, done, _ = s
         # need slots [pos, pos+k) for drafts and chunk [pos-1, pos+k)
         return jnp.logical_and(jnp.logical_not(done),
                                jnp.logical_and(pos < limit, pos + k <= l_max))
 
     def body(s):
-        buf, pos, t_state, d_state, done = s
+        buf, pos, t_state, d_state, done, n_iter = s
 
         # ---- draft phase: k sequential single-token steps into buf[pos+j)
         for j in range(k):
@@ -106,14 +110,16 @@ def spec_greedy_decode_loop(draft_step, verify_chunk, t_state, d_state, buf,
         # target argmaxes, plus the correction/bonus token)
         idx = jnp.arange(k + 1)
         eos_hit = jnp.any(jnp.logical_and(idx <= n_acc, t_toks == eos_id))
-        return buf, pos + n_acc + 1, t_state, d_state, eos_hit
+        return buf, pos + n_acc + 1, t_state, d_state, eos_hit, n_iter + 1
 
-    buf, length, _, _, _ = lax.while_loop(cond, body, state)
-    return buf, jnp.minimum(length, limit)  # an iteration may overshoot
+    buf, length, _, _, _, n_iters = lax.while_loop(cond, body, state)
+    length = jnp.minimum(length, limit)  # an iteration may overshoot
+    return (buf, length, n_iters) if with_iters else (buf, length)
 
 
 def _spec_greedy_loop(params, cfg, draft_params, draft_cfg, prompt_buf,
-                      n_prompt, limit, k, eos_id, fused_draft=False):
+                      n_prompt, limit, k, eos_id, fused_draft=False,
+                      count_iters=False):
     """Prefill both models + while_loop of (k draft steps, 1 verify chunk).
 
     ``prompt_buf``: (P,) right-padded prompt; ``limit``: prompt + max_tokens
@@ -164,10 +170,35 @@ def _spec_greedy_loop(params, cfg, draft_params, draft_cfg, prompt_buf,
 
     return spec_greedy_decode_loop(draft_step, verify_chunk, t_caches, d_caches,
                                    buf, n_prompt + 1, first == eos_id, limit, k,
-                                   eos_id, l_max)
+                                   eos_id, l_max, with_iters=count_iters)
 
 
 _speculative_generate = partial(jax.jit, static_argnums=(1, 3, 7, 9))(_spec_greedy_loop)
+# measurement variant: also returns the loop's iteration count so tools can
+# report the MEASURED acceptance rate (tools/spec_bench.py, PERF.md #29)
+_speculative_generate_stats = partial(
+    jax.jit, static_argnums=(1, 3, 7, 9))(partial(_spec_greedy_loop, count_iters=True))
+
+
+def truncate_decoder_lm(params: dict, cfg, n_layers: int):
+    """Build an HONEST draft model from the target's own weights: the first
+    ``n_layers`` of the scan-stacked decoder plus the shared embeddings and
+    final norm. No training, no distillation — the prefix of a pretrained
+    stack is a real (if crude) predictor of the full stack's argmax, so the
+    acceptance rate it yields is a genuine operating point rather than the
+    a=1 / a~0 brackets random draft weights give (PERF.md #29).
+
+    Returns ``(draft_params, draft_cfg)`` sharing buffers with the target
+    (slices of stacked arrays are views under jit; no copy until device put).
+    """
+    assert 1 <= n_layers <= cfg.n_layers
+    draft_params = dict(params)
+    draft_params["decoder"] = {
+        "layers": jax.tree.map(lambda a: a[:n_layers], params["decoder"]["layers"])
+    }
+    from dataclasses import replace
+
+    return draft_params, replace(cfg, n_layers=n_layers)
 
 
 @partial(jax.jit, static_argnums=(1, 3, 7))
@@ -393,6 +424,18 @@ class SpeculativeDecoderGenerator:
         self.draft_model = draft_model
         self.tokenizer = tokenizer
         self.k = k
+
+    @classmethod
+    def with_truncated_draft(cls, model, tokenizer, n_draft_layers: int,
+                             k: int = 4) -> "SpeculativeDecoderGenerator":
+        """Zero-extra-weights speculative serving: draft = the first
+        ``n_draft_layers`` of the target's own stack (:func:`truncate_decoder_lm`).
+        Output stays token-identical to plain greedy for any draft; the
+        truncation depth only moves the speed/acceptance trade-off."""
+        from types import SimpleNamespace
+
+        dp, dc = truncate_decoder_lm(model.params, model.cfg, n_draft_layers)
+        return cls(model, SimpleNamespace(params=dp, cfg=dc), tokenizer, k)
 
     def generate(self, prompt: str, max_tokens: int = 100, topk: int = 1, seed: int = 0,
                  top_p: float | None = None, temperature: float = 1.0) -> str:

@@ -167,3 +167,50 @@ def test_buffer_edge_write_preserves_accepted_draft(models):
     spec = SpeculativeDecoderGenerator(target, target, tok, k=4).generate_tokens(
         prompt, max_tokens=120)
     assert len(spec) >= len(base) - 4 and spec == base[:len(spec)]
+
+
+def test_truncated_draft_matches_plain_greedy_and_counts_iters(models):
+    """Honest draft = first-k layers of the target's own stack
+    (truncate_decoder_lm): still token-identical to plain greedy, and the
+    stats variant's iteration count yields a sane measured acceptance rate
+    (tools/spec_bench.py uses exactly this path for the real operating
+    point, VERDICT r4 item 6)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pytorch_models_tpu.models.text._decoder_lm import decoder_lm_fused_ok
+    from pytorch_models_tpu.models.text.speculative import (
+        _speculative_generate_stats,
+        truncate_decoder_lm,
+    )
+
+    target = _small(0, n_layers=4)
+    tok = _Tok()
+    k = 3
+    base = DecoderGenerator(target, tok).generate_tokens([3, 1, 4, 1, 5], max_tokens=20)
+
+    dp, dc = truncate_decoder_lm(target.params, target.cfg, 2)
+    assert dc.n_layers == 2
+    assert jax.tree.leaves(dp["decoder"]["layers"])[0].shape[0] == 2
+    # truncated stack shares the target's layer-0 weights exactly
+    t0 = jax.tree.leaves(target.params["decoder"]["layers"])[0]
+    assert np.array_equal(np.asarray(jax.tree.leaves(dp["decoder"]["layers"])[0][0]),
+                          np.asarray(t0[0]))
+
+    n, pad = 5, 8
+    buf = np.zeros((pad,), np.int32)
+    buf[:n] = [3, 1, 4, 1, 5]
+    limit = n + 20
+    fd = decoder_lm_fused_ok(dp, dc)
+    out, length, n_iters = _speculative_generate_stats(
+        target.params, target.cfg, dp, dc, jnp.asarray(buf), n, limit, k, -1, fd)
+    out, length, n_iters = np.asarray(out), int(length), int(n_iters)
+    assert out[:length].tolist() == base
+    emitted = length - (n + 1)
+    assert n_iters >= 1
+    a = (emitted / n_iters - 1) / k
+    assert -1e-9 <= a <= 1.0  # 1 to k+1 tokens per iteration by construction
+
+    # the generator-facing constructor wires the same thing up
+    gen = SpeculativeDecoderGenerator.with_truncated_draft(target, tok, 2, k=k)
+    assert gen.generate_tokens([3, 1, 4, 1, 5], max_tokens=20) == base

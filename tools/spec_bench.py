@@ -44,7 +44,11 @@ def main():
     from pytorch_models_tpu.models.text import GPT2
     from pytorch_models_tpu.models.text._decoder_lm import decoder_lm_fused_ok
     from pytorch_models_tpu.models.text.generator import _generate_batch
-    from pytorch_models_tpu.models.text.speculative import _speculative_generate
+    from pytorch_models_tpu.models.text.speculative import (
+        _speculative_generate,
+        _speculative_generate_stats,
+        truncate_decoder_lm,
+    )
 
     target = GPT2(12, 768).to_bf16()
     draft = GPT2(2, 768).to_bf16()
@@ -64,13 +68,31 @@ def main():
     fused = decoder_lm_fused_ok(target.params, cfg)
     key = jax.random.PRNGKey(0)
     plain_args = (target.params, cfg, bbuf, pads, pad + new_tokens, 1, -1, key, fused)
-    timeit("plain", _generate_batch, plain_args, new_tokens)
+    t_plain = timeit("plain", _generate_batch, plain_args, new_tokens)
 
     pb = jnp.asarray(prompt_buf)
     for name, dm in (("spec a=1", target), ("spec a~0", draft)):
         fd = decoder_lm_fused_ok(dm.params, dm.cfg)
         args = (target.params, cfg, dm.params, dm.cfg, pb, n, limit, k, -1, fd)
         timeit(name, _speculative_generate, args, new_tokens)
+
+    # ---- REAL operating points: honest drafts built from the target's own
+    # stack (truncate_decoder_lm). Acceptance is MEASURED from the loop's
+    # iteration count; token identity vs plain greedy is asserted.
+    plain_toks = np.asarray(_generate_batch(*plain_args)[0])[0]
+    for n_draft in (2, 4, 6):
+        dp, dc = truncate_decoder_lm(target.params, cfg, n_draft)
+        fd = decoder_lm_fused_ok(dp, dc)
+        args = (target.params, cfg, dp, dc, pb, n, limit, k, -1, fd)
+        buf, length, n_iters = _speculative_generate_stats(*args)
+        buf, length, n_iters = np.asarray(buf), int(length), int(n_iters)
+        emitted = length - (n + 1)  # tokens the LOOP produced (pos0 = n+1)
+        a = (emitted / max(n_iters, 1) - 1) / k
+        assert (buf[:length] == plain_toks[:length]).all(), \
+            f"truncated-{n_draft} spec output diverged from plain greedy"
+        dt = timeit(f"trunc-{n_draft}", _speculative_generate_stats, args, new_tokens)
+        print(f"           acceptance {a:.2f} ({n_iters} iters for {emitted} tok)"
+              f"  speedup vs plain {t_plain/dt:.2f}x", flush=True)
 
 
 if __name__ == "__main__":
