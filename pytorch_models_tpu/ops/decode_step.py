@@ -63,6 +63,10 @@ TILE_BYTES = int(float(__import__("os").environ.get("DECODE_TILE_MB", "2")) * 10
 # minimum KV-block size the DMA engine amortizes; env override
 # DECODE_KV_TARGET_KB for A/B sweeps (bigger = fewer DMA issues at B=1)
 KV_TARGET_BYTES = int(__import__("os").environ.get("DECODE_KV_TARGET_KB", "256")) * 1024
+# int8-KV attention: run the post-dot VPU chain on the compact (blk, g*H)
+# diagonal instead of the wide (g*blk, g*H) grid (bit-identical; g-fold less
+# VPU work — the PERF.md #33 compute-tax fix). 0 = the original wide path.
+INT8_COMPACT = __import__("os").environ.get("INT8_COMPACT", "1") != "0"
 
 
 def _pick_kv_block(cache_len: int, b: int, hd: int, itemsize: int) -> int:
@@ -508,10 +512,22 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             return lax.dot_general(sel * v_gh, hm, (((1,), (0,)), ((), ())),
                                    preferred_element_type=f32, precision=prec)
 
-        row_i = lax.broadcasted_iota(jnp.int32, (g * blk, gh), 0)
-        col_i = lax.broadcasted_iota(jnp.int32, (g * blk, gh), 1)
-        diag = row_i // blk == col_i // n_heads
-        j_in_blk = row_i - (row_i // blk) * blk
+        compact = INT8_COMPACT
+        if compact:
+            m_i32 = sel.astype(jnp.int32)  # (g, gh) group-diagonal selector
+            j_col = lax.broadcasted_iota(jnp.int32, (blk, gh), 0)
+            # 3D bool diagonal mask for the PV re-expansion, built from 3D
+            # iotas (a 2D->3D unit-dim reshape of an int8 vector is an
+            # unsupported Mosaic shape cast on hardware, and int8 elementwise
+            # multiplies don't legalize — select does; interpret hides both)
+            mask3 = (lax.broadcasted_iota(jnp.int32, (g, blk, gh), 0)
+                     == lax.broadcasted_iota(jnp.int32, (g, blk, gh), 2)
+                     // n_heads)
+        else:
+            row_i = lax.broadcasted_iota(jnp.int32, (g * blk, gh), 0)
+            col_i = lax.broadcasted_iota(jnp.int32, (g * blk, gh), 1)
+            diag = row_i // blk == col_i // n_heads
+            j_in_blk = row_i - (row_i // blk) * blk
 
         q_s = q.astype(f32) * scale  # (b, hd)
         if ends_col is None:
@@ -522,7 +538,7 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
         # per-group quantized q-expander + (self only) current-position K
         # quantized with the cache-write rule: a key scores identically now
         # and when later streamed
-        qs, qi, kci, kcs = [], [], [], []
+        qs, qi, kci, kcs, bound_c = [], [], [], [], []
         for gi in range(ng):
             q_g = q_s[gi * g:(gi + 1) * g]
             q_e = lax.dot_general(q_g, sel, (((0,), (0,)), ((), ())),
@@ -531,6 +547,14 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
             sq = jnp.where(absmax == 0.0, 1.0, absmax) * (1.0 / 127.0)
             qi.append(jnp.clip(jnp.round(q_e / sq), -127, 127).astype(jnp.int8))
             qs.append(sq)
+            if compact:
+                # per-COLUMN valid bound (1, gh): column block r carries row
+                # r's pad (self) / length (cross); exact single-term dot
+                b_g = (pad_all if ends_col is None else ends_all)
+                bf = lax.dot_general(b_g[gi * g:(gi + 1) * g].astype(f32), sel,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32, precision=prec)
+                bound_c.append(bf.astype(jnp.int32))
             if cur_kv is not None:
                 kc = cur_kv[0][gi * g:(gi + 1) * g].astype(f32)
                 am = jnp.max(jnp.abs(kc), axis=1, keepdims=True)
@@ -551,40 +575,80 @@ def _kernel(*refs, n_layers: int, n_heads: int, d: int, hd: int, dff: int,
                 k_flat = k_scr_[slot][gi * g:(gi + 1) * g].reshape(g * blk, hd)
                 s_i32 = lax.dot_general(k_flat, qi[gi], (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.int32)
-                sk_blk = sk_scr_[slot][gi * g:(gi + 1) * g]  # (g, blk)
-                s = (s_i32.astype(f32).reshape(g, blk, gh)
-                     * sk_blk[:, :, None]).reshape(g * blk, gh) * qs[gi]
-                if has_sbias and ends_col is None:
-                    # GROUP-TILED key-major decode bias: first g*H lanes hold
-                    # bias[k, h] repeated per group; rows broadcast g-fold
-                    sb = sbias_r[pl.ds(i * blk, blk), :gh].astype(f32)
-                    s = s + jnp.broadcast_to(sb[None], (g, blk, gh)).reshape(g * blk, gh)
-                k_idx = i * blk + j_in_blk
-                # NB: slice WITHOUT a None in the index tuple — mixed
-                # slice+newaxis indexing lowers via lax.gather, which Mosaic
-                # rejects inside the loop (hardware-only; interpret hides it)
-                if ends_col is None:
-                    pad_g = jnp.broadcast_to(
-                        pad_all[gi * g:(gi + 1) * g].reshape(g, 1, 1),
-                        (g, blk, 1)).reshape(g * blk, 1)
-                    valid = jnp.logical_and(k_idx < pos, k_idx >= pad_g)
+                if compact:
+                    # compact-diagonal path (PERF.md #33 compute-tax fix):
+                    # fold the block-diagonal (g, blk, gh) into (blk, gh) —
+                    # column block r keeps plane r — so every VPU op below
+                    # runs at 1/g width. Bit-identical to the wide path.
+                    s3i = s_i32.reshape(g, blk, gh)
+                    s_c = s3i[0] * m_i32[0:1]
+                    for r in range(1, g):
+                        s_c = s_c + s3i[r] * m_i32[r:r + 1]
+                    # per-column key scales sk_c[j, c] = sk[c//H, j] (exact
+                    # single-term selector dot; same for V scales below)
+                    sk_c = lax.dot_general(sk_scr_[slot][gi * g:(gi + 1) * g],
+                                           sel, (((0,), (0,)), ((), ())),
+                                           preferred_element_type=f32,
+                                           precision=prec)
+                    s = s_c.astype(f32) * sk_c * qs[gi]
+                    if has_sbias and ends_col is None:
+                        s = s + sbias_r[pl.ds(i * blk, blk), :gh].astype(f32)
+                    k_idx = i * blk + j_col
+                    if ends_col is None:
+                        valid = jnp.logical_and(k_idx < pos, k_idx >= bound_c[gi])
+                    else:
+                        valid = k_idx < bound_c[gi]
+                    s = jnp.where(valid, s, NEG_INF)
                 else:
-                    ends_g = jnp.broadcast_to(
-                        ends_all[gi * g:(gi + 1) * g].reshape(g, 1, 1),
-                        (g, blk, 1)).reshape(g * blk, 1)
-                    valid = k_idx < ends_g
-                s = jnp.where(jnp.logical_and(valid, diag), s, NEG_INF)
+                    sk_blk = sk_scr_[slot][gi * g:(gi + 1) * g]  # (g, blk)
+                    s = (s_i32.astype(f32).reshape(g, blk, gh)
+                         * sk_blk[:, :, None]).reshape(g * blk, gh) * qs[gi]
+                    if has_sbias and ends_col is None:
+                        # GROUP-TILED key-major decode bias: first g*H lanes
+                        # hold bias[k, h] repeated per group; rows broadcast
+                        sb = sbias_r[pl.ds(i * blk, blk), :gh].astype(f32)
+                        s = s + jnp.broadcast_to(sb[None], (g, blk, gh)).reshape(g * blk, gh)
+                    k_idx = i * blk + j_in_blk
+                    # NB: slice WITHOUT a None in the index tuple — mixed
+                    # slice+newaxis indexing lowers via lax.gather, which
+                    # Mosaic rejects inside the loop (hardware-only;
+                    # interpret hides it)
+                    if ends_col is None:
+                        pad_g = jnp.broadcast_to(
+                            pad_all[gi * g:(gi + 1) * g].reshape(g, 1, 1),
+                            (g, blk, 1)).reshape(g * blk, 1)
+                        valid = jnp.logical_and(k_idx < pos, k_idx >= pad_g)
+                    else:
+                        ends_g = jnp.broadcast_to(
+                            ends_all[gi * g:(gi + 1) * g].reshape(g, 1, 1),
+                            (g, blk, 1)).reshape(g * blk, 1)
+                        valid = k_idx < ends_g
+                    s = jnp.where(jnp.logical_and(valid, diag), s, NEG_INF)
                 m_new = jnp.maximum(ms, jnp.max(s, axis=0, keepdims=True))
                 m_safe = jnp.maximum(m_new, jnp.float32(NEG_INF / 2))
                 p = jnp.exp(s - m_safe)
                 alpha = jnp.exp(ms - m_safe)
                 l_new = alpha * ls + jnp.sum(p, axis=0, keepdims=True)
-                sv_blk = sv_scr_[slot][gi * g:(gi + 1) * g]
-                p_eff = (p.reshape(g, blk, gh)
-                         * sv_blk[:, :, None]).reshape(g * blk, gh)
-                pm = jnp.max(jnp.abs(p_eff), axis=0, keepdims=True)
-                ps = jnp.where(pm == 0.0, 1.0, pm) * (1.0 / 127.0)
-                p_i8 = jnp.clip(jnp.round(p_eff / ps), -127, 127).astype(jnp.int8)
+                if compact:
+                    sv_c = lax.dot_general(sv_scr_[slot][gi * g:(gi + 1) * g],
+                                           sel, (((0,), (0,)), ((), ())),
+                                           preferred_element_type=f32,
+                                           precision=prec)
+                    p_eff = p * sv_c
+                    pm = jnp.max(jnp.abs(p_eff), axis=0, keepdims=True)
+                    ps = jnp.where(pm == 0.0, 1.0, pm) * (1.0 / 127.0)
+                    p_i8c = jnp.clip(jnp.round(p_eff / ps), -127, 127).astype(jnp.int8)
+                    # re-expand to block-diagonal ONLY for the int8 PV
+                    # operand (a quarter-width int8 broadcast+mask pass)
+                    p_i8 = jnp.where(mask3, jnp.broadcast_to(p_i8c[None], (g, blk, gh)),
+                                     jnp.int8(0)).reshape(g * blk, gh)
+                else:
+                    sv_blk = sv_scr_[slot][gi * g:(gi + 1) * g]
+                    p_eff = (p.reshape(g, blk, gh)
+                             * sv_blk[:, :, None]).reshape(g * blk, gh)
+                    pm = jnp.max(jnp.abs(p_eff), axis=0, keepdims=True)
+                    ps = jnp.where(pm == 0.0, 1.0, pm) * (1.0 / 127.0)
+                    p_i8 = jnp.clip(jnp.round(p_eff / ps), -127, 127).astype(jnp.int8)
                 v_flat = v_scr_[slot][gi * g:(gi + 1) * g].reshape(g * blk, hd)
                 pv = lax.dot_general(p_i8, v_flat, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.int32)

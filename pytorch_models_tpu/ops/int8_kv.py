@@ -140,7 +140,7 @@ def _quant_cols(x32):
 def _kernel(ends_ref, pad_ref, qt_ref, curk_ref, curv_ref, curks_ref, k_hbm,
             v_hbm, sk_hbm, sv_hbm, o_ref, *, bk: int, scale: float,
             n_heads: int, d: int, g: int, prec, has_cur: bool,
-            has_cur_s: bool):
+            has_cur_s: bool, compact: bool):
     b0 = pl.program_id(0) * g
     hd = n_heads * d
     gh = g * n_heads
@@ -198,14 +198,36 @@ def _kernel(ends_ref, pad_ref, qt_ref, curk_ref, curv_ref, curks_ref, k_hbm,
                                    preferred_element_type=f32, precision=prec)
 
         # per-row valid ranges / group-diagonal mask over the (g*bk, gh) grid
-        ends_v = jnp.concatenate(
-            [jnp.full((bk, 1), ends_ref[b0 + r], jnp.int32) for r in range(g)], 0)
-        pad_v = jnp.concatenate(
-            [jnp.full((bk, 1), pad_ref[b0 + r], jnp.int32) for r in range(g)], 0)
-        row_i = lax.broadcasted_iota(jnp.int32, (g * bk, gh), 0)
-        col_i = lax.broadcasted_iota(jnp.int32, (g * bk, gh), 1)
-        diag = row_i // bk == col_i // n_heads
-        j_in_blk = row_i - (row_i // bk) * bk  # key offset within the block
+        if compact:
+            # compact-diagonal layout (PERF.md: the int8 compute-tax fix):
+            # everything after the big score dot runs on (bk, gh) — column
+            # block r holds row r's scores — cutting the per-block VPU work
+            # g-fold. Bit-identical to the wide path: off-diagonal entries
+            # are exactly the masked/zero ones, and every f32 op keeps the
+            # wide path's per-element operand order.
+            m_i32 = s2.astype(jnp.int32)  # (g, gh) group-diagonal selector
+            ends_c = jnp.zeros((1, gh), jnp.int32)
+            pad_c = jnp.zeros((1, gh), jnp.int32)
+            for r in range(g):
+                ends_c = ends_c + ends_ref[b0 + r] * m_i32[r:r + 1]
+                pad_c = pad_c + pad_ref[b0 + r] * m_i32[r:r + 1]
+            j_col = lax.broadcasted_iota(jnp.int32, (bk, gh), 0)
+            # 3D bool diagonal mask for the PV re-expansion, built from 3D
+            # iotas (a 2D->3D unit-dim reshape of an int8 vector is an
+            # unsupported Mosaic shape cast on hardware, and int8 elementwise
+            # multiplies don't legalize — select does; interpret hides both)
+            mask3 = (lax.broadcasted_iota(jnp.int32, (g, bk, gh), 0)
+                     == lax.broadcasted_iota(jnp.int32, (g, bk, gh), 2)
+                     // n_heads)
+        else:
+            ends_v = jnp.concatenate(
+                [jnp.full((bk, 1), ends_ref[b0 + r], jnp.int32) for r in range(g)], 0)
+            pad_v = jnp.concatenate(
+                [jnp.full((bk, 1), pad_ref[b0 + r], jnp.int32) for r in range(g)], 0)
+            row_i = lax.broadcasted_iota(jnp.int32, (g * bk, gh), 0)
+            col_i = lax.broadcasted_iota(jnp.int32, (g * bk, gh), 1)
+            diag = row_i // bk == col_i // n_heads
+            j_in_blk = row_i - (row_i // bk) * bk  # key offset within the block
 
         def step(i, carry):
             ms, ls, accs = carry  # (1, gh), (1, gh), (g, hd) f32
@@ -222,15 +244,34 @@ def _kernel(ends_ref, pad_ref, qt_ref, curk_ref, curv_ref, curks_ref, k_hbm,
             k_flat = k_scr[slot].reshape(g * bk, hd)  # int8, layout-free merge
             s_i32 = lax.dot_general(k_flat, q_i8, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.int32)
-            # dequant: per-key K scale (3D broadcast keeps (g, bk) alignment
-            # without a relayout), then the per-column q scale
-            s3 = s_i32.astype(f32).reshape(g, bk, gh) * sk_scr[slot][:g, :, None]
-            s = s3.reshape(g * bk, gh) * sq
+            if compact:
+                # fold the (g, bk, gh) block-diagonal into (bk, gh): column
+                # block r keeps plane r (others are cross-row garbage the
+                # wide path masks to -inf; the masked sum zeroes them)
+                s3i = s_i32.reshape(g, bk, gh)
+                s_c = s3i[0] * m_i32[0:1]
+                for r in range(1, g):
+                    s_c = s_c + s3i[r] * m_i32[r:r + 1]
+                # per-column key scales: sk_c[j, c] = sk[c//H, j], exact via
+                # a single-term f32 selector dot (same for the V scales)
+                sk_c = lax.dot_general(sk_scr[slot][:g], s2,
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=f32, precision=prec)
+                s = s_c.astype(f32) * sk_c * sq  # same op order as wide path
 
-            k_idx = i * bk + j_in_blk
-            valid = jnp.logical_and(
-                jnp.logical_and(k_idx < ends_v, k_idx >= pad_v), diag)
-            s = jnp.where(valid, s, NEG_INF)
+                k_idx = i * bk + j_col
+                valid = jnp.logical_and(k_idx < ends_c, k_idx >= pad_c)
+                s = jnp.where(valid, s, NEG_INF)
+            else:
+                # dequant: per-key K scale (3D broadcast keeps (g, bk)
+                # alignment without a relayout), then the per-column q scale
+                s3 = s_i32.astype(f32).reshape(g, bk, gh) * sk_scr[slot][:g, :, None]
+                s = s3.reshape(g * bk, gh) * sq
+
+                k_idx = i * bk + j_in_blk
+                valid = jnp.logical_and(
+                    jnp.logical_and(k_idx < ends_v, k_idx >= pad_v), diag)
+                s = jnp.where(valid, s, NEG_INF)
 
             m_new = jnp.maximum(ms, jnp.max(s, axis=0, keepdims=True))
             m_safe = jnp.maximum(m_new, jnp.float32(NEG_INF / 2))
@@ -240,8 +281,18 @@ def _kernel(ends_ref, pad_ref, qt_ref, curk_ref, curv_ref, curks_ref, k_hbm,
 
             # fold per-key V scales into the probs (V's key axis is about to
             # be contracted), quantize per column, int8 PV dot
-            p_eff = (p.reshape(g, bk, gh) * sv_scr[slot][:g, :, None]).reshape(g * bk, gh)
-            p_i8, ps = _quant_cols(p_eff)
+            if compact:
+                sv_c = lax.dot_general(sv_scr[slot][:g], s2,
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=f32, precision=prec)
+                p_i8c, ps = _quant_cols(p * sv_c)
+                # re-expand to block-diagonal ONLY for the int8 PV operand
+                # (int8 broadcast+mask: a quarter-width pass)
+                p_i8 = jnp.where(mask3, jnp.broadcast_to(p_i8c[None], (g, bk, gh)),
+                                 jnp.int8(0)).reshape(g * bk, gh)
+            else:
+                p_eff = (p.reshape(g, bk, gh) * sv_scr[slot][:g, :, None]).reshape(g * bk, gh)
+                p_i8, ps = _quant_cols(p_eff)
             v_flat = v_scr[slot].reshape(g * bk, hd)
             pv = lax.dot_general(p_i8, v_flat, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.int32)  # (gh, hd)
@@ -298,10 +349,10 @@ def _kernel(ends_ref, pad_ref, qt_ref, curk_ref, curv_ref, curks_ref, k_hbm,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_heads", "interpret", "compact"))
 def int8_decode_attention(q, k_q, v_q, k_s, v_s, ends, n_heads: int,
                           pad_lens=None, cur_k=None, cur_v=None, cur_ks=None,
-                          interpret: bool = False):
+                          interpret: bool = False, compact: bool = True):
     """Single-position attention over an int8 KV cache.
 
     q: (B, 1, H*D); k_q/v_q: (B, Lmax, H*D) int8; k_s/v_s: (B8, Lmax) f32
@@ -372,7 +423,7 @@ def int8_decode_attention(q, k_q, v_q, k_s, v_s, ends, n_heads: int,
     out = pl.pallas_call(
         functools.partial(_kernel, bk=KV_BLOCK_INT8, scale=1.0 / math.sqrt(d),
                           n_heads=n_heads, d=d, g=g, prec=prec, has_cur=has_cur,
-                          has_cur_s=has_cur_s),
+                          has_cur_s=has_cur_s, compact=compact),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
         interpret=interpret,

@@ -136,3 +136,21 @@ def test_empty_range_rows_no_cur():
                                 pad_lens=pads, interpret=True)
     assert np.isfinite(np.asarray(got)).all()
     np.testing.assert_array_equal(np.asarray(got[1]), 0.0)
+
+
+@pytest.mark.parametrize("b,pads,ends,cur", [
+    (3, [0, 5, 130], [L_MAX, 190, 256], True),
+    (16, [0] * 8 + [3] * 8, [L_MAX] * 8 + [140] * 8, False),
+])
+def test_compact_path_bit_identical_to_wide(b, pads, ends, cur):
+    """The compact-diagonal formulation (all post-dot VPU work on (bk, g*H))
+    must be BIT-identical to the original wide path: same per-element operand
+    order everywhere, off-diagonal entries exactly the masked/zero ones."""
+    q, k, v, cur_k, cur_v, k_q, v_q, k_s, v_s, pads, ends = _setup(
+        b, seed=3, pads=pads, ends=ends)
+    kw = dict(cur_k=cur_k, cur_v=cur_v) if cur else {}
+    wide = int8_decode_attention(q, k_q, v_q, k_s, v_s, ends, H, pad_lens=pads,
+                                 interpret=True, compact=False, **kw)
+    comp = int8_decode_attention(q, k_q, v_q, k_s, v_s, ends, H, pad_lens=pads,
+                                 interpret=True, compact=True, **kw)
+    np.testing.assert_array_equal(np.asarray(wide), np.asarray(comp))

@@ -40,6 +40,7 @@ def timeit(name, fn, *args, reps=12):
 
 def main():
     n_tokens = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1  # 16 = bench shape
     from functools import partial
 
     from pytorch_models_tpu.models.audio2text.whisper import (
@@ -52,7 +53,7 @@ def main():
     pre_fwd = gen.preprocessor._forward
 
     r = np.random.default_rng(0)
-    wav = jnp.asarray(r.standard_normal((1, gen.N_SAMPLES)), jnp.float32)
+    wav = jnp.asarray(r.standard_normal((batch, gen.N_SAMPLES)), jnp.float32)
     init = jnp.asarray([50258, 50259, 50359, 50363], jnp.int32)
 
     mel_fn = jax.jit(pre_fwd)
@@ -79,7 +80,7 @@ def main():
                                             max_tokens, eot_id)
 
     # eot_id=-1: never emitted, so the decode always runs the full n_tokens
-    print(f"whisper-base B=1 pipeline, {n_tokens} decode steps")
+    print(f"whisper-base B={batch} pipeline, {n_tokens} decode steps")
     t_mel = timeit("mel", mel_fn, wav)
     t_enc = timeit("encode", enc_fn, model.params, mel)
     t_dec = timeit("decode_loop", dec_fn, model.params, memory, n_tokens + 8, init, -1)
