@@ -466,9 +466,15 @@ class SpeculativeDecoderGenerator:
 
         fused_draft = decoder_lm_fused_ok(self.draft_model.params, self.draft_model.cfg)
         if _is_greedy(topk, top_p):
-            buf, length = _speculative_generate(
+            buf, length, n_iters = _speculative_generate_stats(
                 self.model.params, cfg, self.draft_model.params, self.draft_model.cfg,
                 jnp.asarray(prompt_buf), n, limit, self.k, eos, fused_draft)
+            # serving observability (same spirit as the CB engines'
+            # ServingStats): measured acceptance of the last greedy call
+            emitted = int(length) - (n + 1)
+            self.last_iters = int(n_iters)
+            self.last_accept_rate = (
+                (emitted / self.last_iters - 1) / self.k if self.last_iters else None)
         else:
             buf, length = _speculative_sample_generate(
                 self.model.params, cfg, self.draft_model.params, self.draft_model.cfg,

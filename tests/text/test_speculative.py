@@ -214,3 +214,22 @@ def test_truncated_draft_matches_plain_greedy_and_counts_iters(models):
     # the generator-facing constructor wires the same thing up
     gen = SpeculativeDecoderGenerator.with_truncated_draft(target, tok, 2, k=k)
     assert gen.generate_tokens([3, 1, 4, 1, 5], max_tokens=20) == base
+
+
+def test_last_accept_rate_stats(models):
+    """Greedy generate_tokens records measured acceptance: 1.0 when the
+    draft IS the target (every chunk accepts all k), in [0, 1] for a random
+    draft, and output unchanged in both cases."""
+    target, draft = models
+    tok = _Tok()
+    base = DecoderGenerator(target, tok).generate_tokens([3, 1, 4, 1, 5], max_tokens=15)
+
+    gen_same = SpeculativeDecoderGenerator(target, target, tok, k=3)
+    assert gen_same.generate_tokens([3, 1, 4, 1, 5], max_tokens=15) == base
+    # every iteration emits k+1 tokens except possibly the last (limit clamp)
+    assert gen_same.last_accept_rate is not None and gen_same.last_accept_rate > 0.7
+
+    gen_rand = SpeculativeDecoderGenerator(target, draft, tok, k=3)
+    assert gen_rand.generate_tokens([3, 1, 4, 1, 5], max_tokens=15) == base
+    assert -1e-9 <= gen_rand.last_accept_rate <= 1.0
+    assert gen_rand.last_iters >= gen_same.last_iters
