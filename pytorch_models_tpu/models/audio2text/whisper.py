@@ -842,6 +842,27 @@ class SpeculativeWhisperGenerator:
     SAMPLE_RATE = WhisperGenerator.SAMPLE_RATE
     N_SAMPLES = WhisperGenerator.N_SAMPLES
 
+    @classmethod
+    def with_truncated_draft(cls, model: "Whisper", tokenizer=None,
+                             n_layers: int = 2, k: int = 4) -> "SpeculativeWhisperGenerator":
+        """Zero-extra-weights speculative serving: the draft is the target's
+        own first ``n_layers`` of both stacks (shared conv stem, embeddings,
+        final norms). Output stays token-identical to
+        :class:`WhisperGenerator` for any draft (models/text/speculative.py);
+        depth only moves the speed/acceptance trade-off."""
+        from dataclasses import replace
+        from types import SimpleNamespace
+
+        assert 1 <= n_layers <= model.cfg.n_layers
+        dp = dict(model.params)
+        for stack in ("encoder", "decoder"):
+            sd = dict(model.params[stack])
+            sd["layers"] = jax.tree.map(lambda a: a[:n_layers], sd["layers"])
+            dp[stack] = sd
+        draft = SimpleNamespace(params=dp,
+                                cfg=replace(model.cfg, n_layers=n_layers))
+        return cls(model, draft, tokenizer, k)
+
     def __init__(self, model: Whisper, draft_model: Whisper, tokenizer=None,
                  k: int = 4) -> None:
         assert model.cfg.vocab_size == draft_model.cfg.vocab_size, \

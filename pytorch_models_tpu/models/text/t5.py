@@ -908,6 +908,27 @@ class SpeculativeT5Generator:
         self.tokenizer = tokenizer
         self.k = k
 
+    @classmethod
+    def with_truncated_draft(cls, model: T5Model, tokenizer, n_layers: int,
+                             k: int = 4) -> "SpeculativeT5Generator":
+        """Zero-extra-weights speculative serving: the draft is the target's
+        own first ``n_layers`` of BOTH stacks (shared embeddings, rel-pos
+        tables, final norms, classifier). Output stays token-identical to
+        :class:`T5Generator` for any draft; depth only moves the
+        speed/acceptance trade-off (models/text/speculative.py)."""
+        from dataclasses import replace
+        from types import SimpleNamespace
+
+        assert 1 <= n_layers <= model.cfg.n_layers
+        dp = dict(model.params)
+        for stack in ("encoder", "decoder"):
+            sd = dict(model.params[stack])
+            sd["layers"] = jax.tree.map(lambda a: a[:n_layers], sd["layers"])
+            dp[stack] = sd
+        draft = SimpleNamespace(params=dp,
+                                cfg=replace(model.cfg, n_layers=n_layers))
+        return cls(model, draft, tokenizer, k)
+
     def generate(self, prompt: str, max_tokens: int = 100) -> str:
         token_ids = self.tokenizer.Encode(prompt, add_eos=True)
         out = self.generate_tokens(token_ids, max_tokens, self.tokenizer.pad_id(),

@@ -83,3 +83,13 @@ def test_batch_matches_unbatched_per_segment(target, plain, audio):
     outs = gen.transcribe_tokens_batch(audios, INIT, EOT, max_tokens=24)
     for a, o in zip(audios, outs):
         assert o == plain.transcribe_tokens(a, INIT, EOT, max_tokens=24)
+
+
+def test_truncated_draft_matches(target, plain, audio):
+    """Honest draft built from the target's own first layer of both stacks
+    (with_truncated_draft): still token-identical."""
+    base = plain.transcribe_tokens(audio, INIT, EOT, max_tokens=32)
+    gen = SpeculativeWhisperGenerator.with_truncated_draft(target, n_layers=1, k=3)
+    assert gen.draft_model.cfg.n_layers == 1
+    spec = gen.transcribe_tokens(audio, INIT, EOT, max_tokens=32)
+    assert spec == base

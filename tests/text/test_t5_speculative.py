@@ -95,3 +95,13 @@ def test_batch_identical_draft(target, plain):
     outs = gen.generate_tokens_batch(rows, 16, PAD, EOS)
     for r, o in zip(rows, outs):
         assert o == plain.generate_tokens(r, 16, PAD, EOS)
+
+
+def test_truncated_draft_matches(target, plain):
+    """Honest draft built from the target's own first layer of both stacks
+    (with_truncated_draft): still token-identical."""
+    base = plain.generate_tokens(PROMPT, 24, PAD, EOS)
+    gen = SpeculativeT5Generator.with_truncated_draft(target, object(), 1, k=3)
+    assert gen.draft_model.cfg.n_layers == 1
+    spec = gen.generate_tokens(PROMPT, 24, PAD, EOS)
+    assert spec == base
