@@ -629,17 +629,27 @@ class ContinuousBatchingGenerator:
         slot_seen = [0] * b  # next unstreamed buffer slot (on_tokens)
         outputs: list[list[int] | None] = [None] * n_req
         done_h = np.ones((b,), bool)
+        ends_h = np.zeros((b,), np.int32)
         stats = ServingStats(requests=n_req)
         t_start = time.perf_counter()
 
         while next_req < n_req or any(r is not None for r in slot_req):
             # ---- harvest finished slots, admit queued requests in order
-            for row in range(b):
-                if slot_req[row] is not None and done_h[row]:
-                    end = int(np.asarray(ends[row]))
-                    outputs[slot_req[row]] = np.asarray(buf[row, slot_pad[row]: end]).tolist()
+            # batch the finished rows' buffer reads into ONE host round trip
+            # (each np.asarray is a full tunnel round trip; a remote-device
+            # host pays ~30 ms per pull — see PERF.md ledger #39)
+            h_rows = [row for row in range(b)
+                      if slot_req[row] is not None and done_h[row]]
+            if h_rows:
+                # whole-array pull: an eager row slice is itself a ~30 ms
+                # dispatch through the tunnel, so slice on the host instead
+                buf_h = jax.device_get(buf)
+                for row in h_rows:
+                    end = int(ends_h[row])
+                    outputs[slot_req[row]] = buf_h[row, slot_pad[row]: end].tolist()
                     stats.tokens_generated += end - slot_pad[row] - slot_n[row]
                     slot_req[row] = None
+            for row in range(b):
                 if slot_req[row] is None and next_req < n_req:
                     toks, m_eff = plans[next_req]
                     s = len(toks)
@@ -754,8 +764,13 @@ class ContinuousBatchingGenerator:
                 fused, done, jnp.int32(self.check_every), eos, packed, head, head_v,
                 topk, True if has_tp else None,
                 jnp.float32(1.0) if greedy else temps_d, keys, t0s, tps_d)
-            pos = int(np.asarray(pos_d))
-            done_h = np.array(done)  # np.asarray of a device array is read-only
+            # ONE host round trip for the whole scheduler view (pos, done,
+            # ends): separate np.asarray pulls each pay the full tunnel
+            # latency (~30 ms remote) — batching them was a 2.2x wall-clock
+            # win on the mixed-budget benchmark (PERF.md ledger #39)
+            pos, done_h, ends_h = jax.device_get((pos_d, done, ends))
+            pos = int(pos)
+            done_h = np.array(done_h)  # device_get results are read-only
             d_steps = pos - pos_before
             stats.scheduling_points += 1
             stats.decode_steps += d_steps
@@ -763,7 +778,7 @@ class ContinuousBatchingGenerator:
             stats.live_slot_steps += d_steps * live  # chunk-granularity occupancy
 
             if on_tokens is not None:
-                ends_h = np.asarray(ends)
+                deliver = []  # (row, request, upto); buffers batched below
                 for row in range(b):
                     r = slot_req[row]
                     if r is None:
@@ -771,7 +786,11 @@ class ContinuousBatchingGenerator:
                     # finished rows park writing EOS past their latched end
                     upto = int(ends_h[row]) if done_h[row] else pos
                     if upto > slot_seen[row]:
-                        on_tokens(r, np.asarray(buf[row, slot_seen[row]: upto]).tolist())
+                        deliver.append((row, r, upto))
+                if deliver:  # one whole-buffer round trip, sliced on host
+                    buf_h = jax.device_get(buf)
+                    for row, r, upto in deliver:
+                        on_tokens(r, buf_h[row, slot_seen[row]: upto].tolist())
                         slot_seen[row] = upto
 
         assert all(o is not None for o in outputs)

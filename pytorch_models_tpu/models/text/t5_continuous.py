@@ -412,12 +412,19 @@ class T5ContinuousBatchingGenerator:
         slot_seen = [0] * b  # next unstreamed buffer slot (on_tokens)
         outputs: list[list[int] | None] = [None] * n_req
         done_h = np.ones((b,), bool)
+        ends_h = np.zeros((b,), np.int32)
 
         while next_req < n_req or any(r is not None for r in slot_req):
-            for row in range(b):
-                if slot_req[row] is not None and done_h[row]:
-                    end = int(np.asarray(ends[row]))
-                    outputs[slot_req[row]] = np.asarray(buf[row, slot_pad[row]: end]).tolist()
+            # batch the finished rows' buffer reads into ONE whole-array
+            # pull: per-row eager slices each pay a full tunnel round trip
+            # on a remote device (PERF.md ledger #39)
+            h_rows = [row for row in range(b)
+                      if slot_req[row] is not None and done_h[row]]
+            if h_rows:
+                buf_h = jax.device_get(buf)
+                for row in h_rows:
+                    end = int(ends_h[row])
+                    outputs[slot_req[row]] = buf_h[row, slot_pad[row]: end].tolist()
                     stats.tokens_generated += end - slot_pad[row] - 1
                     slot_req[row] = None
 
@@ -481,16 +488,18 @@ class T5ContinuousBatchingGenerator:
                 jnp.int32(pos), fused, done, jnp.int32(self.check_every), eos_id,
                 bias_tab, packed, head, head_v, topk, True if has_tp else None,
                 jnp.float32(1.0) if greedy else temps_d, keys, t0s, tps_d)
-            pos = int(np.asarray(pos_d))
+            # ONE host round trip for the whole scheduler view (ledger #39)
+            pos, done_h, ends_h = jax.device_get((pos_d, done, ends))
+            pos = int(pos)
+            done_h = np.array(done_h)
             d_steps = pos - pos_before
             stats.scheduling_points += 1
             stats.decode_steps += d_steps
             stats.slot_steps += d_steps * b
             stats.live_slot_steps += d_steps * live  # chunk-granularity occupancy
-            done_h = np.array(done)
 
             if on_tokens is not None:
-                ends_h = np.asarray(ends)
+                deliver = []
                 for row in range(b):
                     r = slot_req[row]
                     if r is None:
@@ -498,7 +507,11 @@ class T5ContinuousBatchingGenerator:
                     # finished rows park writing EOS past their latched end
                     upto = int(ends_h[row]) if done_h[row] else pos
                     if upto > slot_seen[row]:
-                        on_tokens(r, np.asarray(buf[row, slot_seen[row]: upto]).tolist())
+                        deliver.append((row, r, upto))
+                if deliver:  # one whole-buffer round trip, sliced on host
+                    buf_h = jax.device_get(buf)
+                    for row, r, upto in deliver:
+                        on_tokens(r, buf_h[row, slot_seen[row]: upto].tolist())
                         slot_seen[row] = upto
 
         assert all(o is not None for o in outputs)

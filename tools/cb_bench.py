@@ -5,6 +5,11 @@ cohorts of B and waits for each cohort's longest row; continuous batching
 admits the next request the moment a slot frees (modulo check_every).
 The win is the parked-slot area: sum(max_b - b_i) over each static cohort.
 
+Besides wall clock, prints the DECOMPOSITION the ledger needs: device work
+(slot-steps), useful-token occupancy (ServingStats), host interactions
+(scheduling points + admissions), so the tunnel's per-interaction cost can
+be separated from the scheduling win a co-located host would keep.
+
 Run: python tools/cb_bench.py [pool_B] [n_requests]
 """
 
@@ -44,8 +49,12 @@ def main():
     prompts = [[int(x) for x in r.integers(0, 50_000, (8,))] for _ in range(n_req)]
     budgets = [int(x) for x in r.integers(32, 257, (n_req,))]
     total_gen = sum(budgets)
+    # static slot-step accounting: each cohort of B runs to its max budget
+    static_steps = sum(max(budgets[i: i + b]) for i in range(0, n_req, b))
+    static_slot_steps = static_steps * b
     print(f"gpt2-small bf16, pool B={b}, {n_req} requests, budgets 32-256 "
-          f"(sum {total_gen})", flush=True)
+          f"(sum {total_gen}); static slot-steps {static_slot_steps} "
+          f"({total_gen / static_slot_steps:.0%} useful)", flush=True)
 
     # --- static: cohorts of B, per-cohort budget = max over the cohort
     static_gen = DecoderGenerator(model, tok)
@@ -57,20 +66,33 @@ def main():
             outs += static_gen.generate_tokens_batch(prompts[sl], max(budgets[sl]))
         return outs
 
-    # --- continuous
-    cb = ContinuousBatchingGenerator(model, tok, batch_size=b, prompt_bucket=64,
-                                     check_every=32)
-
-    def run_cb():
-        return cb.generate_tokens_many(prompts, budgets)
-
-    for name, fn in (("static", run_static), ("continuous", run_cb)):
+    def timed(name, fn, extra=""):
         fn()  # compile
         t0 = time.perf_counter()
         fn()
         dt = time.perf_counter() - t0
-        print(f"{name:11s} {dt:6.2f} s  ->  {total_gen/dt:8,.0f} useful tok/s",
+        print(f"{name:14s} {dt:6.2f} s  ->  {total_gen/dt:8,.0f} useful tok/s{extra()}",
               flush=True)
+        return dt
+
+    timed("static", run_static, lambda: "")
+
+    # --- continuous, check_every sweep (scheduling granularity vs host
+    # interaction count; each engine reuses the same compiled programs)
+    for ce in (16, 32, 64, 128):
+        cb = ContinuousBatchingGenerator(model, tok, batch_size=b,
+                                         prompt_bucket=64, check_every=ce)
+
+        def run_cb():
+            return cb.generate_tokens_many(prompts, budgets)
+
+        def stats():
+            s = cb.last_stats
+            return (f"   [ce={ce}: occ {s.occupancy:.0%}, slot-steps {s.slot_steps}, "
+                    f"{s.scheduling_points} syncs, {s.admissions} admits, "
+                    f"{s.epoch_resets} resets]")
+
+        timed(f"continuous/{ce}", run_cb, stats)
 
 
 if __name__ == "__main__":
