@@ -511,16 +511,14 @@ class WhisperContinuousBatchingGenerator:
         outputs: list[list[int] | None] = [None] * n_req
         done_h = np.ones((b,), bool)
         ends_h = np.zeros((b,), np.int32)
+        buf_h = None  # host snapshot of buf, set after each step chunk
 
         while next_req < n_req or any(r is not None for r in slot_req):
-            # batch the finished rows' buffer reads into ONE whole-array
-            # pull: per-row eager slices each pay a full tunnel round trip
-            # on a remote device (PERF.md ledger #39)
-            h_rows = [row for row in range(b)
-                      if slot_req[row] is not None and done_h[row]]
-            if h_rows:
-                buf_h = jax.device_get(buf)
-                for row in h_rows:
+            # buf_h/ends_h came with the scheduler view in ONE round trip
+            # after the last step chunk (ledger #39); finished rows'
+            # [pad:end) spans are never touched by admissions
+            for row in range(b):
+                if slot_req[row] is not None and done_h[row]:
                     end = int(ends_h[row])
                     outputs[slot_req[row]] = buf_h[row, slot_pad[row]: end].tolist()
                     stats.tokens_generated += end - slot_pad[row] - n_init
@@ -600,7 +598,7 @@ class WhisperContinuousBatchingGenerator:
                 packed, head, head_v, topk, True if has_tp else None,
                 jnp.float32(1.0) if greedy else temps_d, keys, t0s, tps_d)
             # ONE host round trip for the whole scheduler view (ledger #39)
-            pos, done_h, ends_h = jax.device_get((pos_d, done, ends))
+            pos, done_h, ends_h, buf_h = jax.device_get((pos_d, done, ends, buf))
             pos = int(pos)
             done_h = np.array(done_h)
             d_steps = pos - pos_before
@@ -619,11 +617,9 @@ class WhisperContinuousBatchingGenerator:
                     upto = int(ends_h[row]) if done_h[row] else pos
                     if upto > slot_seen[row]:
                         deliver.append((row, r, upto))
-                if deliver:  # one whole-buffer round trip, sliced on host
-                    buf_h = jax.device_get(buf)
-                    for row, r, upto in deliver:
-                        on_tokens(r, buf_h[row, slot_seen[row]: upto].tolist())
-                        slot_seen[row] = upto
+                for row, r, upto in deliver:  # buf_h from the same round trip
+                    on_tokens(r, buf_h[row, slot_seen[row]: upto].tolist())
+                    slot_seen[row] = upto
 
         assert all(o is not None for o in outputs)
         stats.wall_time_s = time.perf_counter() - t_start

@@ -630,21 +630,18 @@ class ContinuousBatchingGenerator:
         outputs: list[list[int] | None] = [None] * n_req
         done_h = np.ones((b,), bool)
         ends_h = np.zeros((b,), np.int32)
+        buf_h = None  # host snapshot of buf, set after each step chunk
         stats = ServingStats(requests=n_req)
         t_start = time.perf_counter()
 
         while next_req < n_req or any(r is not None for r in slot_req):
-            # ---- harvest finished slots, admit queued requests in order
-            # batch the finished rows' buffer reads into ONE host round trip
-            # (each np.asarray is a full tunnel round trip; a remote-device
-            # host pays ~30 ms per pull — see PERF.md ledger #39)
-            h_rows = [row for row in range(b)
-                      if slot_req[row] is not None and done_h[row]]
-            if h_rows:
-                # whole-array pull: an eager row slice is itself a ~30 ms
-                # dispatch through the tunnel, so slice on the host instead
-                buf_h = jax.device_get(buf)
-                for row in h_rows:
+            # ---- harvest finished slots, admit queued requests in order.
+            # buf_h/ends_h came with the scheduler view in ONE round trip
+            # after the last step chunk (ledger #39: per-array pulls each pay
+            # the full tunnel latency); finished rows' [pad:end) spans are
+            # never touched by admissions, so the snapshot stays valid here
+            for row in range(b):
+                if slot_req[row] is not None and done_h[row]:
                     end = int(ends_h[row])
                     outputs[slot_req[row]] = buf_h[row, slot_pad[row]: end].tolist()
                     stats.tokens_generated += end - slot_pad[row] - slot_n[row]
@@ -765,10 +762,9 @@ class ContinuousBatchingGenerator:
                 topk, True if has_tp else None,
                 jnp.float32(1.0) if greedy else temps_d, keys, t0s, tps_d)
             # ONE host round trip for the whole scheduler view (pos, done,
-            # ends): separate np.asarray pulls each pay the full tunnel
-            # latency (~30 ms remote) — batching them was a 2.2x wall-clock
-            # win on the mixed-budget benchmark (PERF.md ledger #39)
-            pos, done_h, ends_h = jax.device_get((pos_d, done, ends))
+            # ends, token buffer): separate np.asarray pulls each pay the
+            # full tunnel latency (~30 ms remote) — see PERF.md ledger #39
+            pos, done_h, ends_h, buf_h = jax.device_get((pos_d, done, ends, buf))
             pos = int(pos)
             done_h = np.array(done_h)  # device_get results are read-only
             d_steps = pos - pos_before
@@ -787,11 +783,9 @@ class ContinuousBatchingGenerator:
                     upto = int(ends_h[row]) if done_h[row] else pos
                     if upto > slot_seen[row]:
                         deliver.append((row, r, upto))
-                if deliver:  # one whole-buffer round trip, sliced on host
-                    buf_h = jax.device_get(buf)
-                    for row, r, upto in deliver:
-                        on_tokens(r, buf_h[row, slot_seen[row]: upto].tolist())
-                        slot_seen[row] = upto
+                for row, r, upto in deliver:  # buf_h from the same round trip
+                    on_tokens(r, buf_h[row, slot_seen[row]: upto].tolist())
+                    slot_seen[row] = upto
 
         assert all(o is not None for o in outputs)
         stats.wall_time_s = time.perf_counter() - t_start
